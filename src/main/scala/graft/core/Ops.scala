@@ -1,0 +1,60 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Stateless relational building blocks mirroring the reference's projection /
+  * filter / guardrail surface (SURVEY §2.2). All are thin, declarative
+  * DataFrame transforms so Catalyst pushes them into the scan (predicate
+  * pushdown + column pruning — verified in PlanSpec).
+  */
+object Ops {
+
+  /** Column-subset migration: `column.names.to.target`
+    * (reference: docs/04-cdm-approach.md:331-335).
+    */
+  def project(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*)
+
+  /** Column exclusion: `column.names.to.exclude`
+    * (reference: docs/04-cdm-approach.md:338).
+    */
+  def exclude(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.drop(cols: _*)
+
+  /** Token-range partition filter — the Spark stand-in for CDM's
+    * `partition.min/max` token slicing (reference:
+    * docs/04-cdm-approach.md:290-315). We bucket the partition key into
+    * `buckets` deterministic slices; with a real Cassandra connector this
+    * becomes a pushed-down `token(pk)` range predicate.
+    */
+  def tokenRange(df: DataFrame, pkCol: String, buckets: Int,
+                 lo: Int, hi: Int): DataFrame =
+    df.filter(pmod(col(pkCol), lit(buckets)).between(lo, hi))
+
+  /** Incremental (writetime >= min) re-migration filter
+    * (reference: docs/04-cdm-approach.md:320-329).
+    */
+  def incremental(df: DataFrame, writetimeCol: String, minMicros: Long): DataFrame =
+    df.filter(col(writetimeCol) >= lit(minMicros))
+
+  /** Guardrail size check (reference: docs/04-cdm-approach.md:380-387):
+    * flag rows whose serialized size exceeds the budget. Matching rows are
+    * routed to an error sink, the rest continue to the target
+    * (GuardrailCheck job, docs/04-cdm-approach.md:444-447).
+    */
+  def guardrailFlag(df: DataFrame, maxRowBytes: Long, flagCol: String = "guardrail_oversize"): DataFrame =
+    df.withColumn(flagCol, octet_length(to_json(struct(df.columns.map(col): _*))) > lit(maxRowBytes))
+
+  /** Per-row max writetime/TTL — CDM collapses per-cell writetimes to the
+    * row-level max (reference: docs/04-cdm-approach.md:826-831).
+    */
+  def rowMax(cols: Seq[Column], as: String)(df: DataFrame): DataFrame =
+    df.withColumn(as, greatest(cols: _*))
+
+  /** Writetime adjustment hook `transform.custom.writetime.incrementBy`
+    * (reference: docs/04-cdm-approach.md:834-835).
+    */
+  def writetimeIncrement(df: DataFrame, writetimeCol: String, by: Long): DataFrame =
+    df.withColumn(writetimeCol, col(writetimeCol) + lit(by))
+}

@@ -1,0 +1,122 @@
+package graft.validate
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reconciliation algebra — the Spark-native form of CDM `DiffData`
+  * (reference: docs/04-cdm-approach.md:355-377) and of the sampled validator
+  * (reference: lab/scripts/validate_migration.py:41-72).
+  *
+  * Semantics reproduced:
+  *  - full row-by-row diff classifying valid / missing / mismatch
+  *    (docs/04-cdm-approach.md:357-358); we additionally surface
+  *    extra_in_target, which CDM ignores because it never deletes
+  *    (docs/04-cdm-approach.md:367).
+  *  - autocorrect: missing rows re-inserted, mismatched rows overwritten by
+  *    origin UNLESS the target row carries a newer writetime — last-write-wins
+  *    (docs/04-cdm-approach.md:358-369,837-841).
+  *  - sampled validation: small origin sample point-looked-up on target
+  *    (validate_migration.py:43-67) → broadcast hash join, no shuffle of the
+  *    big side.
+  *
+  * Scale posture: classify() is the ONE wide operator of the whole migration
+  * surface (SURVEY §3.2). Both inputs shuffle once on the PK and sort-merge
+  * join; everything downstream (classification, report) is narrow. At 100 TB
+  * pre-bucketing both sides on the PK removes even that exchange.
+  */
+object Diff {
+
+  val StatusCol = "diff_status"
+
+  private def eqPred(compare: Seq[String]): Column =
+    compare.map(c => col(s"o_$c") <=> col(s"t_$c")).reduce(_ && _)
+
+  /** Per-row classification over a single full-outer join on the PK. */
+  def classify(origin: DataFrame, target: DataFrame,
+               pk: Seq[String], compare: Seq[String]): DataFrame = {
+    val oSel = origin.select(
+      pk.map(col) ++ (compare.map(c => col(c).as(s"o_$c")) :+ lit(1).as("_o_present")): _*)
+    val tSel = target.select(
+      pk.map(col) ++ (compare.map(c => col(c).as(s"t_$c")) :+ lit(1).as("_t_present")): _*)
+    oSel.join(tSel, pk, "full_outer")
+      .withColumn(StatusCol,
+        when(col("_o_present").isNull, lit("extra_in_target"))
+          .when(col("_t_present").isNull, lit("missing"))
+          .when(eqPred(compare), lit("valid"))
+          .otherwise(lit("mismatch")))
+  }
+
+  /** DiffData-style summary report: one row per class with its count
+    * (reference log shape: lab/exercises/04-cdm-migration.md:254).
+    */
+  def report(origin: DataFrame, target: DataFrame,
+             pk: Seq[String], compare: Seq[String]): DataFrame =
+    classify(origin, target, pk, compare)
+      .groupBy(col(StatusCol)).agg(count(lit(1)).as("n"))
+      .orderBy(StatusCol)
+
+  /** Rows present in origin, absent in target — autocorrect.missing feed
+    * (docs/04-cdm-approach.md:357). Left-anti join: shuffles on PK only.
+    */
+  def missing(origin: DataFrame, target: DataFrame, pk: Seq[String]): DataFrame =
+    origin.join(target.select(pk.map(col): _*), pk, "left_anti")
+
+  /** Same-PK rows whose content differs — autocorrect.mismatch feed
+    * (docs/04-cdm-approach.md:358).
+    */
+  def mismatched(origin: DataFrame, target: DataFrame,
+                 pk: Seq[String], compare: Seq[String]): DataFrame =
+    classify(origin, target, pk, compare)
+      .filter(col(StatusCol) === "mismatch")
+
+  /** Sampled validation (validate_migration.py:43-72): take the first n rows
+    * of origin in PK order, look each up on target. The sample side is tiny
+    * by construction, so we broadcast it — the target table never shuffles.
+    * Returns one summary row (sampled / found / missing / mismatched).
+    */
+  def validateSample(origin: DataFrame, target: DataFrame,
+                     pk: Seq[String], compare: Seq[String], n: Int): DataFrame = {
+    val sample = origin.orderBy(pk.map(col): _*).limit(n)
+    val sSel = sample.select(
+      pk.map(col) ++ compare.map(c => col(c).as(s"o_$c")): _*)
+    val tSel = target.select(
+      pk.map(col) ++ (compare.map(c => col(c).as(s"t_$c")) :+ lit(1).as("_t_present")): _*)
+    broadcast(sSel).join(tSel, pk, "left_outer")
+      .agg(
+        count(lit(1)).as("sampled"),
+        count(when(col("_t_present").isNotNull, 1)).as("found"),
+        count(when(col("_t_present").isNull, 1)).as("missing"),
+        count(when(col("_t_present").isNotNull && !eqPred(compare), 1)).as("mismatched"))
+  }
+
+  /** Last-write-wins merge: keep, per PK, the row with the greatest
+    * writetime (ties broken deterministically by the tieBreak columns) —
+    * the conflict rule ZDM/CDM rely on during dual-write + backfill
+    * (docs/04-cdm-approach.md:837-841). One shuffle on the PK; map-side
+    * nothing to combine since rows are wide — a window + filter keeps it
+    * whole-stage-codegen friendly.
+    */
+  def lwwMerge(df: DataFrame, pk: Seq[String], writetime: String,
+               tieBreak: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(pk.map(col): _*)
+      .orderBy(col(writetime).desc +: tieBreak.map(col(_).desc): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Autocorrect (docs/04-cdm-approach.md:358-369): produce the corrected
+    * target — origin content wins for missing + mismatched rows except where
+    * the target's writetime is strictly newer (LWW); target-only rows are
+    * kept (CDM never deletes, :367).
+    */
+  def autocorrect(origin: DataFrame, target: DataFrame, pk: Seq[String],
+                  compare: Seq[String], writetime: String): DataFrame = {
+    val allCols = pk ++ compare :+ writetime
+    val o = origin.select(allCols.map(col): _*).withColumn("_src", lit(0))
+    val t = target.select(allCols.map(col): _*).withColumn("_src", lit(1))
+    // origin beats target at equal writetime would re-apply backfill over a
+    // live write; keep target on ties → order by (writetime, _src) desc.
+    lwwMerge(o.unionByName(t), pk, writetime, Seq("_src")).drop("_src")
+  }
+}
