@@ -20,25 +20,35 @@ import org.apache.spark.sql.types._
   */
 object Hashing {
 
-  /** Canonical string form of one column, stable across Spark and DuckDB. */
+  /** Canonical string form of one column, stable across Spark and DuckDB.
+    * NaN/Infinity are rendered explicitly because a decimal cast would
+    * collapse them (and any |x| beyond the decimal range) to null.
+    */
   def canonical(name: String, dt: DataType): Column = dt match {
     case DoubleType | FloatType =>
-      col(name).cast(DecimalType(28, 6)).cast(StringType)
+      val c = col(name).cast(DoubleType)
+      when(isnan(c), lit("NaN"))
+        .when(c === Double.PositiveInfinity, lit("Inf"))
+        .when(c === Double.NegativeInfinity, lit("-Inf"))
+        .otherwise(c.cast(DecimalType(28, 6)).cast(StringType))
     case TimestampType =>
       // micros-since-epoch renders identically everywhere
       expr(s"cast(unix_micros(`$name`) as string)")
     case _ => col(name).cast(StringType)
   }
 
-  /** md5(concat_ws('|', sorted canonical columns)); nulls render as chr(1)
-    * so (null,"") and ("",null) differ — concat_ws drops nulls silently.
+  /** md5 over length-prefixed canonical fields. Length-prefixing
+    * (`len:value`) makes the encoding self-delimiting, so a literal
+    * delimiter inside a value cannot collide with a field boundary; nulls
+    * render as chr(1), distinct from the empty string (which is `0:`).
     */
   def portableRowHash(schema: StructType, cols: Seq[String]): Column = {
     val parts = cols.sorted.map { c =>
-      val dt = schema(c).dataType
-      coalesce(canonical(c, dt), lit(""))
+      val canon = canonical(c, schema(c).dataType)
+      coalesce(concat(length(canon).cast(StringType), lit(":"), canon),
+               lit("\u0001"))
     }
-    md5(concat_ws("|", parts: _*))
+    md5(concat(parts: _*))
   }
 
   /** Engine-internal 64-bit row hash (whole-stage-codegen friendly). */

@@ -24,13 +24,16 @@ object Ops {
 
   /** Token-range partition filter — the Spark stand-in for CDM's
     * `partition.min/max` token slicing (reference:
-    * docs/04-cdm-approach.md:290-315). We bucket the partition key into
-    * `buckets` deterministic slices; with a real Cassandra connector this
+    * docs/04-cdm-approach.md:290-315). We bucket a *hash* of the partition
+    * key into `buckets` deterministic slices — hashing (like Cassandra's
+    * Murmur3 token) works for string/uuid PKs where a raw numeric cast
+    * would be null, and balances skewed numeric keys. `pmod` (not `%`)
+    * because xxhash64 is signed. With a real Cassandra connector this
     * becomes a pushed-down `token(pk)` range predicate.
     */
-  def tokenRange(df: DataFrame, pkCol: String, buckets: Int,
+  def tokenRange(df: DataFrame, pkCols: Seq[String], buckets: Int,
                  lo: Int, hi: Int): DataFrame =
-    df.filter(pmod(col(pkCol), lit(buckets)).between(lo, hi))
+    df.filter(pmod(xxhash64(pkCols.map(col): _*), lit(buckets.toLong)).between(lo, hi))
 
   /** Incremental (writetime >= min) re-migration filter
     * (reference: docs/04-cdm-approach.md:320-329).

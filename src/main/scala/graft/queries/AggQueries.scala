@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.agg.Metrics
+import graft.window.TimeSeries
+
+/** Aggregation + window queries — SURVEY §2.4 A2/A5–A10, §2.5 W1–W5. */
+object AggQueries {
+  import Common._
+
+  val qs: Map[String, Q] = Map(
+    // A2 — grouped counts (ops by type, simulate_app_traffic.py:156-203)
+    "count_by_group" -> ((s, d) =>
+      Metrics.countByGroup(t(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // A5 — error-ratio gate (maxErrorRatio, docs/03-dse-tooling.md:226-228)
+    "error_ratio" -> ((s, d) =>
+      Metrics.errorRatio(t(s, d, "events"), col("event_type") === "error")),
+
+    // A6 — 5-minute tumbling rate (Prometheus rate(x[5m]) analog)
+    "rate_5m" -> ((s, d) =>
+      Metrics.rate(t(s, d, "events"), "ts", "5 minutes")
+        .orderBy(col("win_start"))),
+
+    // A7 — latency percentiles p50/p95/p99 (docs/05-zdm-approach.md:588-597)
+    "latency_percentiles" -> ((s, d) =>
+      Metrics.latencyPercentiles(t(s, d, "events"), "value")),
+
+    // A8 — distinct cardinality (exact; approx_count_distinct is the
+    // 100 TB swap-in, exercised in tests)
+    "distinct_users" -> ((s, d) =>
+      t(s, d, "events").agg(countDistinct(col("user_id")).as("n_users"))),
+
+    // A9 — min/max/sum rollup totals (report tables)
+    "rollup_totals" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n"),
+        Metrics.decSum(col("l_quantity")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))),
+
+    // A10 — ROLLUP grouping sets (engine extension)
+    "rollup_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus"))).as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
+
+    // W1 — latest-3 events per user (DESC clustering read pattern,
+    // 01-create-schema.cql:52-53). Ordering on epoch-micros + unique id so
+    // Spark (µs) and DuckDB (ns) sort identically.
+    "window_latest_per_key" -> ((s, d) =>
+      TimeSeries.latestPerKey(
+          t(s, d, "events").withColumn("ts_us", unix_micros(col("ts"))),
+          Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc), 3)
+        .select(col("user_id"), col("rn"), col("ts_us"), col("event_id"), col("event_type"))
+        .orderBy(col("user_id"), col("rn"))),
+
+    // W2 — daily bucketing (activity_date derivation, generate_data.py:143-146)
+    "bucket_daily" -> ((s, d) =>
+      TimeSeries.bucketDaily(t(s, d, "events"), "ts").orderBy(col("day"))),
+
+    // W3 — sliding 5m/1m rate
+    "window_sliding_rate" -> ((s, d) =>
+      TimeSeries.slidingRate(t(s, d, "events"), "ts", "5 minutes", "1 minute")
+        .orderBy(col("win_start"))),
+
+    // W4 — running total per customer in order-date order (exact decimal)
+    "window_running_total" -> ((s, d) =>
+      TimeSeries.runningTotal(t(s, d, "orders"),
+          Seq("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey")),
+          col("o_totalprice").cast(DecimalType(18, 2)), "running_total")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("running_total").cast(DecimalType(38, 2)).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))),
+
+    // W5 — 30-minute-gap sessions per user
+    "window_session" -> ((s, d) =>
+      TimeSeries.sessionize(t(s, d, "events"), "user_id",
+          unix_micros(col("ts")), 1800000000L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("_ts_us")).as("session_start"),
+          max(col("_ts_us")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_id")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "count_by_group" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2",
+    "error_ratio" ->
+      """SELECT count(*) AS total,
+                count(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+                CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS ratio
+         FROM events""",
+    "rate_5m" ->
+      """SELECT epoch_us(time_bucket(INTERVAL 5 MINUTE, ts::TIMESTAMP)) AS win_start,
+                count(*) AS n
+         FROM events GROUP BY 1 ORDER BY win_start""",
+    "latency_percentiles" ->
+      """SELECT quantile_cont(value, 0.5) AS p50,
+                quantile_cont(value, 0.95) AS p95,
+                quantile_cont(value, 0.99) AS p99
+         FROM events""",
+    "distinct_users" ->
+      "SELECT count(DISTINCT user_id) AS n_users FROM events",
+    "rollup_totals" ->
+      """SELECT count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+                min(l_extendedprice) AS min_price,
+                max(l_extendedprice) AS max_price
+         FROM lineitem""",
+    "rollup_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag, l_linestatus""",
+    "window_latest_per_key" ->
+      """WITH ranked AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, rn, ts_us, event_id, event_type
+         FROM ranked WHERE rn <= 3 ORDER BY user_id, rn""",
+    "bucket_daily" ->
+      "SELECT ts::DATE AS day, count(*) AS n FROM events GROUP BY 1 ORDER BY day",
+    "window_sliding_rate" ->
+      """SELECT epoch_us(date_trunc('minute', ts::TIMESTAMP) - k * INTERVAL 1 MINUTE) AS win_start,
+                count(*) AS n
+         FROM events, unnest([0, 1, 2, 3, 4]) AS u(k)
+         GROUP BY 1 ORDER BY win_start""",
+    "window_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DECIMAL(38,2)) AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "window_session" ->
+      """WITH flagged AS (
+           SELECT user_id, epoch_us(ts) AS ts_us,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                       WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+                       ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+         sessions AS (
+           SELECT user_id, ts_us,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, min(ts_us) AS session_start,
+                max(ts_us) AS session_end, count(*) AS n_events
+         FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_id"""
+  )
+}

@@ -29,7 +29,8 @@ object Diff {
   val StatusCol = "diff_status"
 
   private def eqPred(compare: Seq[String]): Column =
-    compare.map(c => col(s"o_$c") <=> col(s"t_$c")).reduce(_ && _)
+    compare.map(c => col(s"o_$c") <=> col(s"t_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true)) // PK-only table: trivially equal
 
   /** Per-row classification over a single full-outer join on the PK. */
   def classify(origin: DataFrame, target: DataFrame,
@@ -80,13 +81,22 @@ object Diff {
     val sSel = sample.select(
       pk.map(col) ++ compare.map(c => col(c).as(s"o_$c")): _*)
     val tSel = target.select(
-      pk.map(col) ++ (compare.map(c => col(c).as(s"t_$c")) :+ lit(1).as("_t_present")): _*)
-    broadcast(sSel).join(tSel, pk, "left_outer")
+      pk.map(col) ++ compare.map(c => col(c).as(s"t_$c")): _*)
+    // The broadcast hint must land on the BUILD side of the join. No outer
+    // join preserving the sample can build the sample side (LeftOuter
+    // builds right, RightOuter builds left), so an outer formulation always
+    // degrades to a sort-merge join that shuffles the full target. Instead:
+    // INNER join streaming the target with the broadcast sample (BHJ
+    // build-right is supported for inner) — target is scanned once, never
+    // shuffled — and recover `missing` arithmetically as sampled - found
+    // (PKs are unique on both sides).
+    val joined = tSel.join(broadcast(sSel), pk, "inner")
       .agg(
-        count(lit(1)).as("sampled"),
-        count(when(col("_t_present").isNotNull, 1)).as("found"),
-        count(when(col("_t_present").isNull, 1)).as("missing"),
-        count(when(col("_t_present").isNotNull && !eqPred(compare), 1)).as("mismatched"))
+        count(lit(1)).as("found"),
+        count(when(!eqPred(compare), 1)).as("mismatched"))
+    sSel.agg(count(lit(1)).as("sampled")).crossJoin(joined)
+      .select(col("sampled"), col("found"),
+        (col("sampled") - col("found")).as("missing"), col("mismatched"))
   }
 
   /** Last-write-wins merge: keep, per PK, the row with the greatest
