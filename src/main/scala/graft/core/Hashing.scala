@@ -34,6 +34,10 @@ object Hashing {
     case TimestampType =>
       // micros-since-epoch renders identically everywhere
       expr(s"cast(unix_micros(`$name`) as string)")
+    case TimestampNTZType =>
+      // session runs in UTC, so the cast preserves the wall clock and the
+      // result matches DuckDB's epoch_us on the same parquet value
+      expr(s"cast(unix_micros(cast(`$name` as timestamp)) as string)")
     case _ => col(name).cast(StringType)
   }
 

@@ -17,27 +17,27 @@ object AggQueries {
 
     // A5 — error-ratio gate (maxErrorRatio, docs/03-dse-tooling.md:226-228)
     "error_ratio" -> ((s, d) =>
-      Metrics.errorRatio(t(s, d, "events"), col("event_type") === "error")),
+      Metrics.errorRatio(events(s, d), col("event_type") === "error")),
 
     // A6 — 5-minute tumbling rate (Prometheus rate(x[5m]) analog)
     "rate_5m" -> ((s, d) =>
-      Metrics.rate(t(s, d, "events"), "ts", "5 minutes")
+      Metrics.rate(events(s, d), "ts", "5 minutes")
         .orderBy(col("win_start"))),
 
     // A7 — latency percentiles p50/p95/p99 (docs/05-zdm-approach.md:588-597)
     "latency_percentiles" -> ((s, d) =>
-      Metrics.latencyPercentiles(t(s, d, "events"), "value")),
+      Metrics.latencyPercentiles(events(s, d), "value")),
 
     // A8 — distinct cardinality (exact; approx_count_distinct is the
     // 100 TB swap-in, exercised in tests)
     "distinct_users" -> ((s, d) =>
-      t(s, d, "events").agg(countDistinct(col("user_id")).as("n_users"))),
+      events(s, d).agg(countDistinct(col("user_id")).as("n_users"))),
 
     // A9 — min/max/sum rollup totals (report tables)
     "rollup_totals" -> ((s, d) =>
       t(s, d, "lineitem").agg(
         count(lit(1)).as("n"),
-        Metrics.decSum(col("l_quantity")).as("sum_qty"),
+        Metrics.decSum(col("l_quantity")).cast("double").as("sum_qty"),
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"))),
 
@@ -54,18 +54,18 @@ object AggQueries {
     // Spark (µs) and DuckDB (ns) sort identically.
     "window_latest_per_key" -> ((s, d) =>
       TimeSeries.latestPerKey(
-          t(s, d, "events").withColumn("ts_us", unix_micros(col("ts"))),
+          events(s, d),
           Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc), 3)
         .select(col("user_id"), col("rn"), col("ts_us"), col("event_id"), col("event_type"))
         .orderBy(col("user_id"), col("rn"))),
 
     // W2 — daily bucketing (activity_date derivation, generate_data.py:143-146)
     "bucket_daily" -> ((s, d) =>
-      TimeSeries.bucketDaily(t(s, d, "events"), "ts").orderBy(col("day"))),
+      TimeSeries.bucketDaily(events(s, d), "ts").orderBy(col("day"))),
 
     // W3 — sliding 5m/1m rate
     "window_sliding_rate" -> ((s, d) =>
-      TimeSeries.slidingRate(t(s, d, "events"), "ts", "5 minutes", "1 minute")
+      TimeSeries.slidingRate(events(s, d), "ts", "5 minutes", "1 minute")
         .orderBy(col("win_start"))),
 
     // W4 — running total per customer in order-date order (exact decimal)
@@ -74,13 +74,13 @@ object AggQueries {
           Seq("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey")),
           col("o_totalprice").cast(DecimalType(18, 2)), "running_total")
         .select(col("o_custkey"), col("o_orderkey"),
-          col("running_total").cast(DecimalType(38, 2)).as("running_total"))
+          col("running_total").cast("double").as("running_total"))
         .orderBy(col("o_custkey"), col("o_orderkey"))),
 
     // W5 — 30-minute-gap sessions per user
     "window_session" -> ((s, d) =>
-      TimeSeries.sessionize(t(s, d, "events"), "user_id",
-          unix_micros(col("ts")), 1800000000L)
+      TimeSeries.sessionize(events(s, d), "user_id",
+          col("ts_us"), 1800000000L)
         .groupBy(col("user_id"), col("session_id"))
         .agg(min(col("_ts_us")).as("session_start"),
           max(col("_ts_us")).as("session_end"),
@@ -110,7 +110,7 @@ object AggQueries {
       "SELECT count(DISTINCT user_id) AS n_users FROM events",
     "rollup_totals" ->
       """SELECT count(*) AS n,
-                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                 min(l_extendedprice) AS min_price,
                 max(l_extendedprice) AS max_price
          FROM lineitem""",
@@ -118,7 +118,7 @@ object AggQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
                 GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-         ORDER BY gid, l_returnflag, l_linestatus""",
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "window_latest_per_key" ->
       """WITH ranked AS (
            SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
@@ -139,7 +139,7 @@ object AggQueries {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS DECIMAL(38,2)) AS running_total
+                     AS DOUBLE) AS running_total
          FROM orders ORDER BY o_custkey, o_orderkey""",
     "window_session" ->
       """WITH flagged AS (
@@ -154,7 +154,8 @@ object AggQueries {
                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
            FROM flagged)
-         SELECT user_id, session_id, min(ts_us) AS session_start,
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                min(ts_us) AS session_start,
                 max(ts_us) AS session_end, count(*) AS n_events
          FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_id"""
   )

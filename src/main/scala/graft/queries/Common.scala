@@ -21,46 +21,81 @@ object Common {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** lineitem natural compound PK (SURVEY §7.2). */
-  val liPk: Seq[String] = Seq("l_orderkey", "l_linenumber")
+  /** events with `ts` normalized. The parquet column is TIMESTAMP(NANOS),
+    * which Spark 4 only reads as a Long of nanos-since-epoch
+    * (spark.sql.legacy.parquet.nanosAsLong=true, set by Verify/Bench/tests).
+    * Exposes `ts_us` (epoch micros, matches DuckDB epoch_us(ts)) and `ts`
+    * re-typed as a µs TimestampType for window()/to_date(). `div` (integer
+    * division) — a double division would lose precision above 2^53 ns.
+    */
+  def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
 
-  /** Non-PK lineitem columns, used as the diff compare set. */
-  val liCompare: Seq[String] = Seq(
-    "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
-    "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+  /** Epoch-micros of a TIMESTAMP_NTZ column (testdata dates are NTZ;
+    * unix_micros only takes TIMESTAMP — with the session in UTC the cast is
+    * wall-clock-preserving, matching DuckDB's epoch_us).
+    */
+  def usOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unix_micros(c.cast("timestamp"))
 
-  /** Defect-injected twin of lineitem, playing the migration "target" side
+  /** All lineitem columns in schema order — used to make lineitem ORDER BYs
+    * *total*: `(l_orderkey, l_linenumber)` is NOT unique in the testdata
+    * (up to 6 rows per pair at sf0.01), so any ordering that doesn't cover
+    * every output column is run-to-run nondeterministic. An ORDER BY over
+    * ALL output columns is always hash-stable: rows tied on the full column
+    * list are identical, so their relative order cannot change the output.
+    */
+  val liAllCols: Seq[String] = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate")
+
+  /** orders PK — verified unique at sf0.001/0.01/0.1 (unlike lineitem's
+    * `(l_orderkey, l_linenumber)`), so the Diff/LWW family is keyed here:
+    * DiffData semantics assume one row per PK
+    * (reference: docs/04-cdm-approach.md:355-377).
+    */
+  val ordPk: Seq[String] = Seq("o_orderkey")
+
+  /** Non-PK orders columns, used as the diff compare set. */
+  val ordCompare: Seq[String] = Seq(
+    "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+    "o_orderpriority")
+
+  /** Defect-injected twin of orders, playing the migration "target" side
     * for the Diff family (reference DiffData semantics,
     * docs/04-cdm-approach.md:355-377). Deterministic defects:
-    *  - rows with l_orderkey % 97 == 0 are MISSING from the target;
-    *  - rows with l_orderkey % 89 == 0 have l_quantity + 1 (MISMATCH);
-    *  - rows with l_orderkey % 101 == 0 are duplicated under a shifted
-    *    l_linenumber (+100) → EXTRA_IN_TARGET.
+    *  - rows with o_orderkey % 97 == 0 are MISSING from the target;
+    *  - rows with o_orderkey % 89 == 0 have o_totalprice + 1 (MISMATCH);
+    *  - rows with o_orderkey % 101 == 0 also appear under a shifted key
+    *    (+100,000,000 — beyond any real key) → EXTRA_IN_TARGET.
     */
-  def lineitemTwin(li: DataFrame): DataFrame = {
-    val base = li
-      .filter(col("l_orderkey") % 97 =!= 0)
-      .withColumn("l_quantity",
-        when(col("l_orderkey") % 89 === 0, col("l_quantity") + 1.0)
-          .otherwise(col("l_quantity")))
-    val extra = li
-      .filter(col("l_orderkey") % 101 === 0)
-      .withColumn("l_linenumber", col("l_linenumber") + 100)
+  def ordersTwin(ord: DataFrame): DataFrame = {
+    val base = ord
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    val extra = ord
+      .filter(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
     base.unionByName(extra.select(base.columns.map(col): _*))
   }
 
-  /** DuckDB CTE body mirroring [[lineitemTwin]] exactly. Use as
+  /** DuckDB CTE body mirroring [[ordersTwin]] exactly. Use as
     * s"WITH twin AS ($twinSql) SELECT ...".
     */
   val twinSql: String =
-    """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
-       CASE WHEN l_orderkey % 89 = 0 THEN l_quantity + 1.0 ELSE l_quantity END AS l_quantity,
-       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
-       FROM lineitem WHERE l_orderkey % 97 <> 0
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+       FROM orders WHERE o_orderkey % 97 <> 0
        UNION ALL
-       SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber + 100 AS l_linenumber,
-       l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
-       FROM lineitem WHERE l_orderkey % 101 = 0"""
+       SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+       FROM orders WHERE o_orderkey % 101 = 0"""
 
   /** Scratch dir for queries that exercise a write path (CSV/JSON round
     * trips, dual-write, migrate). Kept inside the repo's build dir.

@@ -5,8 +5,9 @@ import graft.core.Hashing
 import graft.validate.Diff
 
 /** Reconciliation / validation queries — SURVEY §2.3 J1–J4, §2.4 A1/A3,
-  * §2.9 T3. Origin = lineitem, target = the defect-injected twin
-  * (Common.lineitemTwin), so every diff class is non-empty and the DuckDB
+  * §2.9 T3. Origin = orders (PK `o_orderkey`, verified unique at every SF —
+  * DiffData assumes exactly one row per PK), target = the defect-injected
+  * twin (Common.ordersTwin), so every diff class is non-empty and the DuckDB
   * oracle can reproduce the target exactly.
   */
 object DiffQueries {
@@ -14,14 +15,14 @@ object DiffQueries {
 
   /** Null-safe equality over the compare columns, as DuckDB SQL. */
   private val eqSql: String =
-    liCompare.map(c => s"o.$c IS NOT DISTINCT FROM t.$c").mkString(" AND ")
+    ordCompare.map(c => s"o.$c IS NOT DISTINCT FROM t.$c").mkString(" AND ")
 
   val qs: Map[String, Q] = Map(
     // A1 — the count gate (validate_migration.py:28-39): counts both sides
     "count_star" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-      val tw = lineitemTwin(li)
-      li.agg(count(lit(1)).as("origin_rows"))
+      val ord = t(s, d, "orders")
+      val tw = ordersTwin(ord)
+      ord.agg(count(lit(1)).as("origin_rows"))
         .crossJoin(tw.agg(count(lit(1)).as("target_rows")))
         .select(col("origin_rows"), col("target_rows"),
           (col("origin_rows") === col("target_rows")).as("counts_match"))
@@ -29,98 +30,99 @@ object DiffQueries {
 
     // J1 — DiffData full reconciliation report (docs/04-cdm-approach.md:355-377)
     "diff_full_outer" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-      Diff.report(li, lineitemTwin(li), liPk, liCompare)
+      val ord = t(s, d, "orders")
+      Diff.report(ord, ordersTwin(ord), ordPk, ordCompare)
     }),
 
     // J2 — missing-row detection (autocorrect.missing feed)
     "diff_missing_anti" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-      Diff.missing(li, lineitemTwin(li), liPk)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      val ord = t(s, d, "orders")
+      Diff.missing(ord, ordersTwin(ord), ordPk)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
     }),
 
     // J3 — mismatch detection (same PK, different content)
     "diff_mismatch" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-      Diff.mismatched(li, lineitemTwin(li), liPk, liCompare)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("o_l_quantity"), col("t_l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      val ord = t(s, d, "orders")
+      Diff.mismatched(ord, ordersTwin(ord), ordPk, ordCompare)
+        .select(col("o_orderkey"),
+          col("o_o_totalprice"), col("t_o_totalprice"))
+        .orderBy(col("o_orderkey"))
     }),
 
     // J4 — sampled lookup validation (validate_migration.py:43-72);
     // broadcast the 500-row sample, stream the target (plan-tested)
     "validate_sample" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-      Diff.validateSample(li, lineitemTwin(li), liPk, liCompare, 500)
+      val ord = t(s, d, "orders")
+      Diff.validateSample(ord, ordersTwin(ord), ordPk, ordCompare, 500)
     }),
 
-    // A3 — portable md5 row hash (06-validation-monitoring.md:95-98)
+    // A3 — portable md5 row hash (06-validation-monitoring.md:95-98).
+    // orders' unique PK makes the ORDER BY + LIMIT deterministic.
     "row_hash" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-      li.select(col("l_orderkey"), col("l_linenumber"),
-          Hashing.portableRowHash(li.schema, li.columns.toSeq).as("row_md5"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      val ord = t(s, d, "orders")
+      ord.select(col("o_orderkey"),
+          Hashing.portableRowHash(ord.schema, ord.columns.toSeq).as("row_md5"))
+        .orderBy(col("o_orderkey"))
         .limit(100)
     }),
 
     // T3 — last-write-wins merge of origin+target versions; mutated target
     // rows carry a newer writetime and must win (docs/04-cdm-approach.md:837-841)
     "lww_merge" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-      val o = li.withColumn("writetime", unix_micros(col("l_shipdate")))
+      val ord = t(s, d, "orders")
+      val o = ord.withColumn("writetime", usOf(col("o_orderdate")))
         .withColumn("src", lit(0))
-      val tw = lineitemTwin(li)
+      val tw = ordersTwin(ord)
         .withColumn("writetime",
-          unix_micros(col("l_shipdate")) +
-            when(col("l_orderkey") % 89 === 0, lit(1L)).otherwise(lit(0L)))
+          usOf(col("o_orderdate")) +
+            when(col("o_orderkey") % 89 === 0, lit(1L)).otherwise(lit(0L)))
         .withColumn("src", lit(1))
-      Diff.lwwMerge(o.unionByName(tw), liPk, "writetime", Seq("src"))
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      Diff.lwwMerge(o.unionByName(tw), ordPk, "writetime", Seq("src"))
+        .select(col("o_orderkey"), col("o_totalprice"),
           col("writetime"), col("src"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
   val oracle: Map[String, String] = Map(
     "count_star" ->
       s"""WITH twin AS ($twinSql)
-          SELECT (SELECT count(*) FROM lineitem) AS origin_rows,
+          SELECT (SELECT count(*) FROM orders) AS origin_rows,
                  (SELECT count(*) FROM twin) AS target_rows,
-                 (SELECT count(*) FROM lineitem) = (SELECT count(*) FROM twin) AS counts_match""",
+                 (SELECT count(*) FROM orders) = (SELECT count(*) FROM twin) AS counts_match""",
     "diff_full_outer" ->
       s"""WITH twin AS ($twinSql)
-          SELECT CASE WHEN o.l_orderkey IS NULL THEN 'extra_in_target'
-                      WHEN t.l_orderkey IS NULL THEN 'missing'
+          SELECT CASE WHEN o.o_orderkey IS NULL THEN 'extra_in_target'
+                      WHEN t.o_orderkey IS NULL THEN 'missing'
                       WHEN $eqSql THEN 'valid'
                       ELSE 'mismatch' END AS diff_status,
                  count(*) AS n
-          FROM lineitem o FULL OUTER JOIN twin t
-            ON o.l_orderkey = t.l_orderkey AND o.l_linenumber = t.l_linenumber
+          FROM orders o FULL OUTER JOIN twin t
+            ON o.o_orderkey = t.o_orderkey
           GROUP BY 1 ORDER BY diff_status""",
     "diff_missing_anti" ->
       s"""WITH twin AS ($twinSql)
-          SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem o
+          SELECT o_orderkey, o_totalprice FROM orders o
           WHERE NOT EXISTS (SELECT 1 FROM twin t
-            WHERE t.l_orderkey = o.l_orderkey AND t.l_linenumber = o.l_linenumber)
-          ORDER BY l_orderkey, l_linenumber""",
+            WHERE t.o_orderkey = o.o_orderkey)
+          ORDER BY o_orderkey""",
     "diff_mismatch" ->
       s"""WITH twin AS ($twinSql)
-          SELECT o.l_orderkey, o.l_linenumber,
-                 o.l_quantity AS o_l_quantity, t.l_quantity AS t_l_quantity
-          FROM lineitem o JOIN twin t
-            ON o.l_orderkey = t.l_orderkey AND o.l_linenumber = t.l_linenumber
+          SELECT o.o_orderkey,
+                 o.o_totalprice AS o_o_totalprice, t.o_totalprice AS t_o_totalprice
+          FROM orders o JOIN twin t
+            ON o.o_orderkey = t.o_orderkey
           WHERE NOT ($eqSql)
-          ORDER BY o.l_orderkey, o.l_linenumber""",
+          ORDER BY o.o_orderkey""",
     "validate_sample" ->
       s"""WITH twin AS ($twinSql),
-          sample AS (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500),
-          j AS (SELECT o.*, t.l_orderkey AS hit,
-                       CASE WHEN t.l_orderkey IS NOT NULL AND NOT ($eqSql) THEN 1 END AS bad
+          sample AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 500),
+          j AS (SELECT o.*, t.o_orderkey AS hit,
+                       CASE WHEN t.o_orderkey IS NOT NULL AND NOT ($eqSql) THEN 1 END AS bad
                 FROM sample o LEFT JOIN twin t
-                  ON o.l_orderkey = t.l_orderkey AND o.l_linenumber = t.l_linenumber)
+                  ON o.o_orderkey = t.o_orderkey)
           SELECT count(*) AS sampled, count(hit) AS found,
                  count(*) - count(hit) AS missing, count(bad) AS mismatched
           FROM j""",
@@ -128,11 +130,9 @@ object DiffQueries {
       // Mirror Hashing.portableRowHash: columns sorted by name, each
       // length-prefixed canonical string, nulls as chr(1), md5 of the concat.
       val cols = Seq(
-        "l_discount" -> "dbl", "l_extendedprice" -> "dbl",
-        "l_linenumber" -> "str", "l_linestatus" -> "str",
-        "l_orderkey" -> "str", "l_partkey" -> "str",
-        "l_quantity" -> "dbl", "l_returnflag" -> "str",
-        "l_shipdate" -> "ts", "l_suppkey" -> "str", "l_tax" -> "dbl")
+        "o_custkey" -> "str", "o_orderdate" -> "ts", "o_orderkey" -> "str",
+        "o_orderpriority" -> "str", "o_orderstatus" -> "str",
+        "o_totalprice" -> "dbl")
       val parts = cols.map { case (c, k) =>
         val canon = k match {
           case "dbl" => s"CASE WHEN isnan($c) THEN 'NaN' WHEN $c = 'infinity'::DOUBLE THEN 'Inf' WHEN $c = '-infinity'::DOUBLE THEN '-Inf' ELSE CAST(CAST($c AS DECIMAL(28,6)) AS VARCHAR) END"
@@ -141,25 +141,25 @@ object DiffQueries {
         }
         s"coalesce(CAST(length($canon) AS VARCHAR) || ':' || $canon, chr(1))"
       }
-      s"""SELECT l_orderkey, l_linenumber,
+      s"""SELECT o_orderkey,
           md5(${parts.mkString(" || ")}) AS row_md5
-          FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100"""
+          FROM orders ORDER BY o_orderkey LIMIT 100"""
     },
     "lww_merge" ->
       s"""WITH twin AS ($twinSql),
           versions AS (
-            SELECT l_orderkey, l_linenumber, l_quantity,
-                   epoch_us(l_shipdate) AS writetime, 0 AS src FROM lineitem
+            SELECT o_orderkey, o_totalprice,
+                   epoch_us(o_orderdate) AS writetime, 0 AS src FROM orders
             UNION ALL
-            SELECT l_orderkey, l_linenumber, l_quantity,
-                   epoch_us(l_shipdate) + CASE WHEN l_orderkey % 89 = 0 THEN 1 ELSE 0 END AS writetime,
+            SELECT o_orderkey, o_totalprice,
+                   epoch_us(o_orderdate) + CASE WHEN o_orderkey % 89 = 0 THEN 1 ELSE 0 END AS writetime,
                    1 AS src FROM twin),
           ranked AS (
-            SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+            SELECT *, row_number() OVER (PARTITION BY o_orderkey
                                          ORDER BY writetime DESC, src DESC) AS rn
             FROM versions)
-          SELECT l_orderkey, l_linenumber, l_quantity, writetime, src
+          SELECT o_orderkey, o_totalprice, writetime, src
           FROM ranked WHERE rn = 1
-          ORDER BY l_orderkey, l_linenumber"""
+          ORDER BY o_orderkey"""
   )
 }

@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf parquet tables, compare to the Verify parquet dump
+(columns sorted by name, exact value compare). Dev tool only — the shipped
+Scala library does not depend on it."""
+import sys, json, glob, os
+import duckdb, pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+ok = bad = 0
+for name, sql in sorted(oracle.items()):
+    d = f"{out_dir}/{name}"
+    if not os.path.isdir(d):
+        print(f"FAIL {name}: no spark output"); bad += 1; continue
+    try:
+        spark_df = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{d}/*.parquet"))])
+        duck_df = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); bad += 1; continue
+    s = spark_df[sorted(spark_df.columns)].reset_index(drop=True)
+    k = duck_df[sorted(duck_df.columns)].reset_index(drop=True)
+    if list(s.columns) != list(k.columns):
+        print(f"FAIL {name}: schema {list(s.columns)} vs {list(k.columns)}"); bad += 1; continue
+    if len(s) != len(k):
+        print(f"FAIL {name}: rows {len(s)} vs {len(k)}"); bad += 1; continue
+    # exact string compare per cell (mirrors hash compare)
+    def canon(df):
+        return df.astype(str)
+    cs, ck = canon(s), canon(k)
+    neq = (cs != ck).any(axis=1)
+    if neq.any():
+        i = neq.idxmax()
+        print(f"FAIL {name}: first diff row {i}:\n  spark {cs.iloc[i].to_dict()}\n  duck  {ck.iloc[i].to_dict()}")
+        bad += 1; continue
+    print(f"ok   {name} ({len(s)} rows)"); ok += 1
+print(f"\n{ok} ok / {bad} fail / {len(oracle)} total")
+sys.exit(1 if bad else 0)
