@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{CoreQueries, AggQueries, DiffQueries}
+import graft.queries.{CoreQueries, AggQueries, DiffQueries, FnQueries, JoinQueries, LlmQueries, IoQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,10 +12,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.qs ++ AggQueries.qs ++ DiffQueries.qs
+    CoreQueries.qs ++ AggQueries.qs ++ DiffQueries.qs ++ FnQueries.qs ++
+      JoinQueries.qs ++ LlmQueries.qs ++ IoQueries.qs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ AggQueries.oracle ++ DiffQueries.oracle
+    CoreQueries.oracle ++ AggQueries.oracle ++ DiffQueries.oracle ++
+      FnQueries.oracle ++ JoinQueries.oracle ++ LlmQueries.oracle ++ IoQueries.oracle
 }

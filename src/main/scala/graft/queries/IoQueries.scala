@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CSV/JSON export+import round-trips — SURVEY §2.1 S2–S5, the
+  * COPY TO/FROM + DSBulk load/unload surface (reference:
+  * docs/02-native-tooling.md:303-358, docs/03-dse-tooling.md:24-152,
+  * lab/exercises/03-dsbulk-migration.md). Each query WRITES the export to a
+  * scratch dir, re-reads it with the declared schema (header-driven mapping,
+  * docs/02-native-tooling.md:328-334 — no inference in the core path), and
+  * returns the round-tripped rows, so the oracle checks the full
+  * export→import cycle against the source table.
+  *
+  * Dates travel as formatted strings (the COPY DATEFORMAT option,
+  * docs/02-native-tooling.md:341); doubles round-trip exactly (Spark writes
+  * shortest-round-trip decimal form).
+  */
+object IoQueries {
+  import Common._
+
+  private val ordersCsvSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_date", StringType),
+    StructField("o_orderpriority", StringType)))
+
+  private def ordersExportable(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+      col("o_orderpriority"))
+
+  private val ordersExportableSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+              strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority
+       FROM orders ORDER BY o_orderkey"""
+
+  val qs: Map[String, Q] = Map(
+    // S2 — CSV export (header, '|' delimiter — the COPY option surface),
+    // re-read with the declared schema
+    "export_csv" -> ((s, d) => {
+      val path = scratch("export_csv", d)
+      ordersExportable(s, d).write.mode("overwrite")
+        .option("header", "true").option("delimiter", "|")
+        .csv(path)
+      s.read.schema(ordersCsvSchema)
+        .option("header", "true").option("delimiter", "|")
+        .csv(path)
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // S3+S5 — gzip-compressed CSV import with declared schema (INGESTRATE
+    // chunked load analog; compression from 03-dsbulk-migration.md:236-258).
+    // Result is a checksum over the imported rows (the count gate a loader
+    // run ends with, docs/02-native-tooling.md:388-398).
+    "import_csv" -> ((s, d) => {
+      val path = scratch("import_csv", d)
+      ordersExportable(s, d).write.mode("overwrite")
+        .option("header", "true").option("compression", "gzip")
+        .csv(path)
+      s.read.schema(ordersCsvSchema).option("header", "true").csv(path)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+    }),
+
+    // S4 — JSON lines export/import (dsbulk --connector.name json)
+    "export_json" -> ((s, d) => {
+      val path = scratch("export_json", d)
+      ordersExportable(s, d).write.mode("overwrite").json(path)
+      s.read.schema(ordersCsvSchema).json(path)
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "export_csv" -> ordersExportableSql,
+    "import_csv" ->
+      """SELECT count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders""",
+    "export_json" -> ordersExportableSql
+  )
+}

@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ext.LlmOps
+
+/** LLM training-data pipeline queries (SURVEY §2.11): five dedup variants,
+  * similarity search, text analysis, multimodal join — exercised on the
+  * documents/embeddings testdata. The corpus has no natural duplicates, so
+  * dedup queries run on a twin with injected exact/near duplicates (same
+  * pattern as the Diff family's defect twin).
+  */
+object LlmQueries {
+  import Common._
+
+  /** documents ∪ shifted copies: ids %10==0 re-appear under id+100000;
+    * those with id %20==0 get one appended word (near- but not exact dup).
+    */
+  private def docsWithDups(docs: DataFrame): DataFrame =
+    docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          when(col("doc_id") % 20 === 0, concat(col("text"), lit(" tail")))
+            .otherwise(col("text")).as("text"),
+          col("lang"), col("source"), col("n_chars")))
+
+  private val docsDupSql: String =
+    """SELECT doc_id, text, lang, source, n_chars FROM documents
+       UNION ALL
+       SELECT doc_id + 100000 AS doc_id,
+              CASE WHEN doc_id % 20 = 0 THEN text || ' tail' ELSE text END AS text,
+              lang, source, n_chars
+       FROM documents WHERE doc_id % 10 = 0"""
+
+  /** embeddings ∪ identical copies of ids %25==0 (cosine exactly 1). */
+  private def embWithDups(emb: DataFrame): DataFrame =
+    emb.unionByName(
+      emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label")))
+
+  private val embDupSql: String =
+    """SELECT vec_id, embedding, label FROM embeddings
+       UNION ALL
+       SELECT vec_id + 100000 AS vec_id, embedding, label
+       FROM embeddings WHERE vec_id % 25 = 0"""
+
+  // ---- shared DuckDB fragments mirroring LlmOps bit-for-bit ----
+
+  private def duckHash(s: String, seed: String): String =
+    s"('0x' || substr(md5($s || ':' || $seed), 1, 15))::BIGINT"
+
+  private val duckWords = "string_split(lower(text), ' ')"
+
+  private val duckShingleCte =
+    s"""base AS (SELECT doc_id, text, lang, $duckWords AS words FROM docs),
+        sh AS (SELECT doc_id, text, lang, words,
+                 CASE WHEN len(words) < 3 THEN [lower(text)]
+                      ELSE list_transform(generate_series(1, len(words) - 2),
+                             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                 END AS shingles
+               FROM base)"""
+
+  private val duckSigCte =
+    s"""sig AS (SELECT doc_id,
+                 list_transform([0, 1, 2, 3, 4, 5, 6, 7],
+                   j -> list_min(list_transform(shingles,
+                          s -> ${duckHash("s", "j::VARCHAR")}))) AS sig
+               FROM sh)"""
+
+  private val duckBandCte =
+    """bands AS (SELECT doc_id,
+                  unnest(list_transform([0, 1, 2, 3],
+                    b -> b::VARCHAR || '|' ||
+                         md5(sig[b*2+1]::VARCHAR || ',' || sig[b*2+2]::VARCHAR))) AS band
+                FROM sig)"""
+
+  val qs: Map[String, Q] = Map(
+    // exact dedup: group by content hash, keep the smallest id
+    "dedup_exact" -> ((s, d) =>
+      docsWithDups(t(s, d, "documents"))
+        .groupBy(md5(col("text")).as("content_md5"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+        .filter(col("n") > 1)
+        .orderBy(col("content_md5"))),
+
+    // MinHash+LSH banded near-dup candidates (shuffle on band hash)
+    "dedup_minhash" -> ((s, d) =>
+      LlmOps.minhashCandidates(docsWithDups(t(s, d, "documents")), "doc_id")
+        .orderBy(col("a"), col("b"))),
+
+    // SimHash bucket pairs (equal 32-bit simhash); simhash table
+    // materialized before the self-join (same rationale as bandedSignatures)
+    "dedup_simhash" -> ((s, d) => {
+      val sh = LlmOps.withSimhash(LlmOps.withWords(docsWithDups(t(s, d, "documents"))))
+        .select(col("doc_id"), col("simhash"))
+        .persist()
+      sh.as("x").join(sh.as("y"),
+          col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.simhash").as("simhash"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // exact n-gram Jaccard over LSH candidates (verify step after banding)
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val docs = docsWithDups(t(s, d, "documents"))
+      val sh = LlmOps.shingleTable(docs, "doc_id")
+      val cands = LlmOps.minhashCandidatesFrom(sh, "doc_id")
+      cands
+        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+        .select(col("a"), col("b"), LlmOps.jaccard(col("sa"), col("sb")).as("jac"))
+        .filter(col("jac") >= 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // embedding cosine near-dups within an IVF-style bucket (cluster label)
+    "dedup_embedding_cos" -> ((s, d) =>
+      LlmOps.embeddingNearDups(embWithDups(t(s, d, "embeddings")), 0.95)
+        .orderBy(col("a"), col("b"))),
+
+    // brute-force cosine top-k around the vec_id=0 query vector
+    "sim_search_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      LlmOps.cosineTopK(e.filter(col("vec_id") =!= 0),
+        e.filter(col("vec_id") === 0), 10)
+    }),
+
+    // per-doc text analysis: token counts, stopword ratio, quality, lang
+    // guess, minhash fingerprint
+    "text_stats" -> ((s, d) =>
+      LlmOps.textStats(t(s, d, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_tokens_re"),
+          col("stop_hits"), col("stop_ratio"), col("lang_guess"), col("quality"),
+          col("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    // multimodal: text metadata ⋈ vector metadata on the shared id
+    "multimodal_cols" -> ((s, d) =>
+      t(s, d, "documents")
+        .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"), "inner")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
+          size(col("embedding")).as("dim"))
+        .orderBy(col("doc_id")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH docs AS ($docsDupSql)
+          SELECT md5(text) AS content_md5, count(*) AS n, min(doc_id) AS keep_id
+          FROM docs GROUP BY 1 HAVING count(*) > 1 ORDER BY content_md5""",
+    "dedup_minhash" ->
+      s"""WITH docs AS ($docsDupSql),
+          $duckShingleCte,
+          $duckSigCte,
+          $duckBandCte
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+          ORDER BY a, b""",
+    "dedup_simhash" ->
+      s"""WITH docs AS ($docsDupSql),
+          base AS (SELECT doc_id, $duckWords AS words FROM docs),
+          hashed AS (SELECT doc_id,
+                       list_transform(words, w -> ${duckHash("w", "'sim'")}) AS hs
+                     FROM base),
+          simh AS (SELECT doc_id,
+                     CAST(list_sum(list_transform(generate_series(0, 31),
+                       j -> CASE WHEN list_sum(list_transform(hs,
+                                    h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                                 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+                   FROM hashed)
+          SELECT x.doc_id AS a, y.doc_id AS b, x.simhash
+          FROM simh x JOIN simh y ON x.simhash = y.simhash AND x.doc_id < y.doc_id
+          ORDER BY a, b""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH docs AS ($docsDupSql),
+          $duckShingleCte,
+          $duckSigCte,
+          $duckBandCte,
+          cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                    FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id)
+          SELECT c.a, c.b,
+                 round(len(list_intersect(list_distinct(pa.shingles), list_distinct(pb.shingles)))::DOUBLE
+                       / (len(list_distinct(pa.shingles)) + len(list_distinct(pb.shingles))
+                          - len(list_intersect(list_distinct(pa.shingles), list_distinct(pb.shingles))))::DOUBLE,
+                       6) AS jac
+          FROM cands c
+          JOIN sh pa ON pa.doc_id = c.a
+          JOIN sh pb ON pb.doc_id = c.b
+          WHERE round(len(list_intersect(list_distinct(pa.shingles), list_distinct(pb.shingles)))::DOUBLE
+                      / (len(list_distinct(pa.shingles)) + len(list_distinct(pb.shingles))
+                         - len(list_intersect(list_distinct(pa.shingles), list_distinct(pb.shingles))))::DOUBLE,
+                      6) >= 0.5
+          ORDER BY a, b""",
+    "dedup_embedding_cos" ->
+      s"""WITH e AS ($embDupSql)
+          SELECT x.vec_id AS a, y.vec_id AS b,
+                 round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))),
+                       6) AS cos
+          FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+          WHERE round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+                      / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
+                         * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))),
+                      6) >= 0.95
+          ORDER BY a, b""",
+    "sim_search_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, label,
+                round(list_dot_product(embedding::DOUBLE[], qe::DOUBLE[])
+                      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                         * sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))),
+                      6) AS cos
+         FROM embeddings, q WHERE vec_id <> 0
+         ORDER BY cos DESC, vec_id LIMIT 10""",
+    "text_stats" ->
+      s"""WITH docs AS (SELECT * FROM documents),
+          $duckShingleCte
+          SELECT doc_id, lang,
+                 len(words) AS n_tokens,
+                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS n_tokens_re,
+                 len(list_filter(words, w -> w IN ('the', 'a'))) AS stop_hits,
+                 round(len(list_filter(words, w -> w IN ('the', 'a')))::DOUBLE
+                       / len(words)::DOUBLE, 6) AS stop_ratio,
+                 CASE WHEN len(list_filter(words, w -> w IN ('the', 'a'))) > 0
+                      THEN 'en' ELSE 'unk' END AS lang_guess,
+                 len(words) BETWEEN 10 AND 1000
+                   AND round(len(list_filter(words, w -> w IN ('the', 'a')))::DOUBLE
+                             / len(words)::DOUBLE, 6) < 0.5 AS quality,
+                 list_min(list_transform(shingles, fs -> ${duckHash("fs", "'fp'")})) AS fingerprint
+          FROM sh ORDER BY doc_id""",
+    "multimodal_cols" ->
+      """SELECT doc_id, lang, n_chars, label, len(embedding) AS dim
+         FROM documents JOIN embeddings ON doc_id = vec_id
+         ORDER BY doc_id"""
+  )
+}
