@@ -21,8 +21,10 @@ import org.apache.spark.sql.types._
 object Hashing {
 
   /** Canonical string form of one column, stable across Spark and DuckDB.
-    * NaN/Infinity are rendered explicitly because a decimal cast would
-    * collapse them (and any |x| beyond the decimal range) to null.
+    * NaN/Infinity/huge doubles are rendered explicitly: a decimal cast of
+    * |x| ≥ 1e22 throws under ANSI mode (Spark 4 default) and would
+    * otherwise collapse to null; printf-style %e rendering is identical in
+    * both engines for the out-of-decimal-range tail.
     */
   def canonical(name: String, dt: DataType): Column = dt match {
     case DoubleType | FloatType =>
@@ -30,6 +32,7 @@ object Hashing {
       when(isnan(c), lit("NaN"))
         .when(c === Double.PositiveInfinity, lit("Inf"))
         .when(c === Double.NegativeInfinity, lit("-Inf"))
+        .when(abs(c) >= 1e21, format_string("%.6e", c))
         .otherwise(c.cast(DecimalType(28, 6)).cast(StringType))
     case TimestampType =>
       // micros-since-epoch renders identically everywhere

@@ -135,7 +135,7 @@ object DiffQueries {
         "o_totalprice" -> "dbl")
       val parts = cols.map { case (c, k) =>
         val canon = k match {
-          case "dbl" => s"CASE WHEN isnan($c) THEN 'NaN' WHEN $c = 'infinity'::DOUBLE THEN 'Inf' WHEN $c = '-infinity'::DOUBLE THEN '-Inf' ELSE CAST(CAST($c AS DECIMAL(28,6)) AS VARCHAR) END"
+          case "dbl" => s"CASE WHEN isnan($c) THEN 'NaN' WHEN $c = 'infinity'::DOUBLE THEN 'Inf' WHEN $c = '-infinity'::DOUBLE THEN '-Inf' WHEN abs($c) >= 1e21 THEN printf('%.6e', $c) ELSE CAST(CAST($c AS DECIMAL(28,6)) AS VARCHAR) END"
           case "ts"  => s"CAST(epoch_us($c) AS VARCHAR)"
           case _     => s"CAST($c AS VARCHAR)"
         }

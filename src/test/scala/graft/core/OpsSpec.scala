@@ -1,0 +1,59 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class OpsSpec extends SparkSpec {
+  private lazy val customer = spark.read.parquet(s"${sf()}/customer.parquet")
+
+  test("tokenRange buckets partition the table (disjoint + complete), string-safe") {
+    // force a STRING pk — the r1 advice case: raw pmod on a string silently
+    // drops all rows; the hash-based form must not
+    val df = customer.withColumn("pk", concat(lit("c-"), col("c_custkey")))
+    val total = df.count()
+    val buckets = 8
+    val counts = (0 until buckets).map { b =>
+      Ops.tokenRange(df, Seq("pk"), buckets, b, b).count()
+    }
+    assert(counts.sum == total)
+    assert(counts.count(_ > 0) > 1, "hashing should spread keys across buckets")
+  }
+
+  test("tokenRange range slice equals union of its single buckets") {
+    val df = customer.withColumn("pk", col("c_custkey").cast("string"))
+    val slice = Ops.tokenRange(df, Seq("pk"), 8, 2, 5).count()
+    val singles = (2 to 5).map(b => Ops.tokenRange(df, Seq("pk"), 8, b, b).count()).sum
+    assert(slice == singles)
+  }
+
+  test("project and exclude are complementary") {
+    val cols = Seq("c_custkey", "c_name")
+    val p = Ops.project(customer, cols)
+    val e = Ops.exclude(customer, customer.columns.toSeq.diff(cols))
+    assert(p.columns.toSet == cols.toSet)
+    assert(e.columns.toSet == cols.toSet)
+    assert(p.exceptAll(e.select(cols.map(col): _*)).isEmpty)
+  }
+
+  test("guardrailFlag flags exactly rows over the byte budget") {
+    val flagged = Ops.guardrailFlag(customer, 120)
+    val manual = customer
+      .withColumn("sz", octet_length(to_json(struct(customer.columns.map(col): _*))))
+    val over = manual.filter(col("sz") > 120).count()
+    assert(flagged.filter(col("guardrail_oversize")).count() == over)
+    assert(flagged.count() == customer.count())
+  }
+
+  test("rowMax takes the per-row maximum across writetime columns") {
+    val df = customer.select(col("c_custkey"),
+      (col("c_custkey") * 2).as("wt1"), (col("c_custkey") + 10).as("wt2"))
+    val out = Ops.rowMax(Seq(col("wt1"), col("wt2")), "wt")(df)
+    assert(out.filter(col("wt") =!= greatest(col("wt1"), col("wt2"))).count() == 0)
+  }
+
+  test("writetimeIncrement shifts by the configured amount") {
+    val df = customer.select(col("c_custkey"), col("c_custkey").as("wt"))
+    val out = Ops.writetimeIncrement(df, "wt", 7L)
+    assert(out.filter(col("wt") =!= col("c_custkey") + 7L).count() == 0)
+  }
+}

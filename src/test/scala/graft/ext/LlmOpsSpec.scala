@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("identical docs collide in every band; disjoint docs in none") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again",
+      3L -> "entirely different words about spark catalyst tungsten codegen shuffles")
+    val pairs = LlmOps.minhashCandidates(d, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard(x, x) = 1; jaccard of disjoint sets = 0") {
+    val d = LlmOps.withShingles(LlmOps.withWords(docs(
+      1L -> "a b c d e f g h", 2L -> "p q r s t u v w")))
+      .select(col("doc_id"), col("shingles"))
+    val a = d.filter(col("doc_id") === 1).select(col("shingles").as("sa"))
+    val b = d.filter(col("doc_id") === 2).select(col("shingles").as("sb"))
+    val self = a.crossJoin(a.select(col("sa").as("sb")))
+      .select(LlmOps.jaccard(col("sa"), col("sb")).as("j")).collect().head.getDouble(0)
+    val disj = a.crossJoin(b)
+      .select(LlmOps.jaccard(col("sa"), col("sb")).as("j")).collect().head.getDouble(0)
+    assert(self == 1.0)
+    assert(disj == 0.0)
+  }
+
+  test("simhash: identical texts equal; different texts differ") {
+    val d = LlmOps.withSimhash(LlmOps.withWords(docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "one two three four five six seven eight nine ten")))
+      .select(col("doc_id"), col("simhash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(1L) == d(2L))
+    assert(d(1L) != d(3L))
+  }
+
+  test("cosine of a vector with itself is 1; orthogonal is 0") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f, 2.0f)),
+      (2L, Seq(0.0f, 3.0f, 0.0f))).toDF("vec_id", "embedding")
+    val a = e.filter(col("vec_id") === 1).select(col("embedding").as("x"))
+    val self = a.crossJoin(a.select(col("x").as("y")))
+      .select(LlmOps.cosine("x", "y").as("c")).collect().head.getDouble(0)
+    val ortho = a.withColumnRenamed("x", "x0")
+      .crossJoin(e.filter(col("vec_id") === 2).select(col("embedding").as("y")))
+      .select(LlmOps.cosine("x0", "y").as("c")).collect().head.getDouble(0)
+    assert(self == 1.0)
+    assert(ortho == 0.0)
+  }
+
+  test("textStats: counts and ratios on a known doc") {
+    val r = LlmOps.textStats(docs(1L -> "the cat sat on a mat"))
+      .select("n_tokens", "stop_hits", "stop_ratio", "lang_guess").collect().head
+    assert(r.getInt(0) == 6)
+    assert(r.getInt(1) == 2)
+    assert(r.getDouble(2) == math.round(2.0 / 6.0 * 1e6) / 1e6)
+    assert(r.getString(3) == "en")
+  }
+
+  test("embeddingNearDups only compares within a label bucket") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),   // same bucket, identical
+      (3L, Seq(1.0f, 0.0f), 1))                              // identical but other bucket
+      .toDF("vec_id", "embedding", "label")
+    val pairs = LlmOps.embeddingNearDups(e, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.migrate
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** Uppercases o_orderstatus — exercises the transform.custom.class plugin
+  * loader (docs/04-cdm-approach.md:341-349).
+  */
+class UpperStatusTransformer extends MigrateJob.Transformer {
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("o_orderstatus", upper(col("o_orderstatus")))
+}
+
+class MigrateJobSpec extends SparkSpec {
+  private lazy val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-migrate").toString
+
+  test("full migrate preserves every row across buckets") {
+    val dir = tmp()
+    val res = MigrateJob.run(spark, orders, dir,
+      MigrateJob.Config(pkCols = Seq("o_orderkey"), tokenBuckets = 4))
+    assert(res.migrated == orders.count())
+    assert(res.buckets == Seq(0, 1, 2, 3))
+    val out = spark.read.parquet(s"$dir/bucket=*")
+    assert(out.count() == orders.count())
+  }
+
+  test("resume skips ledgered buckets") {
+    val dir = tmp()
+    val cfg = MigrateJob.Config(pkCols = Seq("o_orderkey"), tokenBuckets = 4)
+    MigrateJob.run(spark, orders, dir, cfg)
+    val second = MigrateJob.run(spark, orders, dir, cfg)
+    assert(second.buckets.isEmpty, "second run must skip all completed buckets")
+    assert(second.migrated == 0)
+  }
+
+  test("column selection + transformer plugin applied") {
+    val dir = tmp()
+    val cfg = MigrateJob.Config(
+      pkCols = Seq("o_orderkey"),
+      tokenBuckets = 2,
+      columnsToTarget = Seq("o_orderkey", "o_orderstatus"),
+      transformerClass = Some("graft.migrate.UpperStatusTransformer"))
+    MigrateJob.run(spark, orders, dir, cfg)
+    val out = spark.read.parquet(s"$dir/bucket=*")
+    assert(out.columns.toSet == Set("o_orderkey", "o_orderstatus"))
+    assert(out.filter(col("o_orderstatus") =!= upper(col("o_orderstatus"))).count() == 0)
+  }
+
+  test("guardrail routes oversize rows to the error sink and counts them") {
+    val dir = tmp()
+    // ~everything serializes > 40 bytes except nothing — pick a mid threshold
+    val res = MigrateJob.run(spark, orders, dir,
+      MigrateJob.Config(pkCols = Seq("o_orderkey"), tokenBuckets = 2,
+        guardrailMaxRowBytes = Some(150), errorLimit = 1000000L))
+    assert(res.skippedOversize > 0)
+    assert(res.migrated + res.skippedOversize == orders.count())
+    val errs = spark.read.parquet(s"$dir/_errors/bucket=*")
+    assert(errs.count() == res.skippedOversize)
+  }
+
+  test("error budget aborts the run") {
+    val dir = tmp()
+    val ex = intercept[IllegalStateException] {
+      MigrateJob.run(spark, orders, dir,
+        MigrateJob.Config(pkCols = Seq("o_orderkey"), tokenBuckets = 2,
+          guardrailMaxRowBytes = Some(1), errorLimit = 10L))
+    }
+    assert(ex.getMessage.contains("error budget exceeded"))
+  }
+
+  test("rate limiter throttles throughput") {
+    import spark.implicits._
+    val df = spark.range(200).toDF("id").repartition(1)
+    val t0 = System.nanoTime()
+    MigrateJob.rateLimited(df, 400).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs >= 0.4, s"200 rows at 400 rows/s should take ≥0.5s, took $secs")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.migrate.MigrateJob
+import graft.queries.{Common, DiffQueries, JoinQueries}
+
+/** Plan-shape assertions — the 100 TB contract (SURVEY §4, §7.4):
+  * the migrate path is shuffle-free, small sides broadcast, filters and
+  * projections reach the parquet scan.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def hasShuffle(df: DataFrame): Boolean =
+    physical(df).contains("Exchange")
+
+  test("migrate transform pipeline has zero exchanges (narrow end-to-end)") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val cfg = MigrateJob.Config(
+      pkCols = Seq("o_orderkey"),
+      columnsToExclude = Seq("o_orderpriority"),
+      bucketRange = Some((0, 3)),
+      tokenBuckets = 8)
+    val out = MigrateJob.transformOnly(orders, cfg)
+    assert(!hasShuffle(out), s"migrate plan must not shuffle:\n${physical(out)}")
+  }
+
+  test("validate_sample broadcasts the sample, not the target") {
+    val plan = physical(DiffQueries.qs("validate_sample")(spark, sf()))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join in:\n$plan")
+  }
+
+  test("FK dim join is a broadcast hash join") {
+    val plan = physical(JoinQueries.qs("join_fk_orders_users")(spark, sf()))
+    assert(plan.contains("BroadcastHashJoin"), s"expected BHJ in:\n$plan")
+  }
+
+  test("equality filter is pushed down to the parquet scan") {
+    val df = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .filter(col("l_returnflag") === "R")
+    val plan = physical(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("projection prunes the parquet read schema") {
+    val df = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = physical(df)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("topk_orders plans as TakeOrderedAndProject (no global sort)") {
+    val df = spark.read.parquet(s"${sf()}/orders.parquet")
+      .orderBy(col("o_totalprice").desc).limit(10)
+    assert(physical(df).contains("TakeOrderedAndProject"))
+  }
+
+  test("diff report shuffles at most once per side (single wide op)") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val rep = graft.validate.Diff.classify(orders, Common.ordersTwin(orders),
+      Common.ordPk, Common.ordCompare)
+    val exchanges = "Exchange".r.findAllIn(physical(rep)).length
+    assert(exchanges <= 3, s"too many exchanges ($exchanges):\n${physical(rep)}")
+  }
+}

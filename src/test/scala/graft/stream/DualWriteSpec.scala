@@ -1,0 +1,100 @@
+package graft.stream
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import java.nio.file.Files
+
+class DualWriteSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graft-stream").toString
+
+  test("batch dual-write lands identical rows on both sinks") {
+    val base = tmp()
+    val df = spark.read.parquet(s"${sf()}/orders.parquet").limit(100)
+    DualWrite.dualWriteBatch(df, s"$base/origin", s"$base/target")
+    val o = spark.read.parquet(s"$base/origin")
+    val t = spark.read.parquet(s"$base/target")
+    assert(o.count() == 100 && t.count() == 100)
+    assert(o.exceptAll(t).isEmpty && t.exceptAll(o).isEmpty)
+  }
+
+  test("streaming dual-write: each micro-batch reaches both sinks (T1 parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmp()
+    val mem = MemoryStream[(Long, String)]
+    val q = DualWrite.dualWriteStream(
+      mem.toDF().toDF("id", "v"), s"$base/origin", s"$base/target", s"$base/ckpt")
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val o = spark.read.parquet(s"$base/origin")
+    val t = spark.read.parquet(s"$base/target")
+    assert(o.count() == 3 && t.count() == 3)
+    assert(o.exceptAll(t).isEmpty)
+  }
+
+  test("routedRead: DUAL returns primary plus a comparison report") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val (primary, cmp) = DualWrite.routedRead(DualWrite.Dual,
+      orders, orders, Seq("o_orderkey"))
+    assert(primary.count() == orders.count())
+    val rep = cmp.get.collect()
+    assert(rep.length == 1 && rep.head.getString(0) == "valid")
+  }
+
+  test("streaming LWW keeps the max-writetime row per key, drops late losers (T3/T4)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("pk", "ts", "writetime", "v")
+    val out = DualWrite.lwwStream(df, Seq("pk"), "ts", "writetime", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("lww_out")
+      .outputMode("update").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      mem.addData(("k1", ts(0), 100L, "old"), ("k1", ts(1), 200L, "new"),
+        ("k2", ts(2), 50L, "only"))
+      q.processAllAvailable()
+      // late row for k1 with OLDER writetime must not regress state
+      mem.addData(("k1", ts(3), 150L, "late-loser"))
+      q.processAllAvailable()
+      val state = spark.table("lww_out")
+        .groupBy("pk").agg(max_by(col("v"), col("writetime")).as("v"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(state("k1") == "new")
+      assert(state("k2") == "only")
+    } finally q.stop()
+  }
+
+  test("workload sim maps the rate source to the configured op mix (T6)") {
+    val df = DualWrite.workloadSim(spark, 10, 0.7)
+    assert(df.isStreaming)
+    assert(df.columns.toSet == Set("ts", "op_id", "op_type"))
+  }
+
+  test("metrics listener observes batches and rows (T7)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val listener = new DualWrite.MetricsListener
+    spark.streams.addListener(listener)
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().writeStream.format("noop").start()
+    try {
+      mem.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      // listener events are async; give the bus a moment
+      var waited = 0
+      while (listener.rows < 3 && waited < 50) { Thread.sleep(100); waited += 1 }
+      assert(listener.rows >= 3)
+      assert(listener.batches >= 1)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+}
