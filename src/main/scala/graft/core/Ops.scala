@@ -49,6 +49,16 @@ object Ops {
   def guardrailFlag(df: DataFrame, maxRowBytes: Long, flagCol: String = "guardrail_oversize"): DataFrame =
     df.withColumn(flagCol, octet_length(to_json(struct(df.columns.map(col): _*))) > lit(maxRowBytes))
 
+  /** S6 — partition-key-grouped write layout (dsbulk
+    * `batch.mode=PARTITION_KEY`, reference: docs/03-dse-tooling.md:138,186-189):
+    * co-locate and order rows by PK before the sink so a Cassandra-style
+    * writer batches per partition key. One hash exchange + partition-local
+    * sort (never a global sort) — asserted in PlanSpec.
+    */
+  def pkGroupedLayout(df: DataFrame, pkCols: Seq[String], numPartitions: Int): DataFrame =
+    df.repartition(numPartitions, pkCols.map(col): _*)
+      .sortWithinPartitions(pkCols.map(col): _*)
+
   /** Per-row max writetime/TTL — CDM collapses per-cell writetimes to the
     * row-level max (reference: docs/04-cdm-approach.md:826-831).
     */

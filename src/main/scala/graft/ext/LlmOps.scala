@@ -34,22 +34,38 @@ object LlmOps {
 
   /** Word 3-gram shingles (docs shorter than 3 words shingle to the whole
     * text so every doc has ≥1 shingle).
+    *
+    * Built with zip_with over slices, NOT an index lambda reading `words`:
+    * a lambda that references an outer column re-evaluates that column's
+    * (possibly inlined) expression per element — O(n²) per row once the
+    * optimizer collapses projects (measured 100× slowdowns under explode).
+    * zip_with evaluates each argument array exactly once.
     */
   def withShingles(df: DataFrame): DataFrame =
     df.withColumn("shingles", expr(
       """if(size(words) < 3, array(lower(text)),
-            transform(sequence(1, size(words) - 2),
-              i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1),
-                             element_at(words, i + 2))))"""))
+            zip_with(
+              zip_with(slice(words, 1, size(words) - 2),
+                       slice(words, 2, size(words) - 2),
+                       (x, y) -> concat(x, ' ', y)),
+              slice(words, 3, size(words) - 2),
+              (p, z) -> concat(p, ' ', z)))"""))
 
-  /** MinHash signature: k independent min-hashes over the shingle set
-    * (seed j = 0..k-1). One narrow map per row.
+  /** MinHash signature: k independent min-hashes over the shingle set.
+    * Each shingle is md5-hashed ONCE to 32 bits; the k permutations are
+    * affine maps h → (a_j·h + b_j) mod P (P prime > 2^32) — the universal-
+    * hashing form of minhash. This matters because higher-order functions
+    * evaluate interpreted (outside codegen): one md5 + k multiply-adds per
+    * shingle beats k md5s per shingle ~8× on the hot path. a_j < 2^20 keeps
+    * a_j·h < 2^52 — exact in int64 on every engine.
     */
   def withMinhashSig(df: DataFrame, k: Int): DataFrame =
-    df.withColumn("sig", expr(
-      s"""transform(sequence(0, ${k - 1}),
-            j -> aggregate(shingles, 9223372036854775807L,
-                   (acc, s) -> least(acc, ${hashSql("s", "cast(j as string)")})))"""))
+    df.withColumn("sh32", expr(
+      "transform(shingles, s -> cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))"))
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, ${k - 1}),
+              j -> aggregate(sh32, 9223372036854775807L,
+                     (acc, h) -> least(acc, ((1 + j * 104729) * h + j * 7919) % 4294967311)))"""))
 
   /** LSH band hashes: `bands` bands of `r` signature rows each; the band
     * index is baked into the hash so bands never collide across positions.
@@ -72,11 +88,17 @@ object LlmOps {
   def shingleTable(docs: DataFrame, idCol: String): DataFrame =
     withShingles(withWords(docs)).select(col(idCol), col("shingles")).persist()
 
-  /** (id, band-hash) pairs, one row per band, built from a [[shingleTable]]. */
+  /** (id, band-hash) pairs, one row per band, built from a [[shingleTable]].
+    * The signature column is materialized before banding+explode: Generate
+    * (explode) triggers project collapsing that would otherwise inline the
+    * whole signature expression into the per-band output.
+    */
   def bandedSignatures(sh: DataFrame, idCol: String, k: Int = 8,
-                       bands: Int = 4, r: Int = 2): DataFrame =
-    withBandHashes(withMinhashSig(sh, k), bands, r)
+                       bands: Int = 4, r: Int = 2): DataFrame = {
+    val sigT = withMinhashSig(sh, k).select(col(idCol), col("sig")).persist()
+    withBandHashes(sigT, bands, r)
       .select(col(idCol), explode(col("bands")).as("band"))
+  }
 
   /** Candidate near-duplicate pairs: docs sharing ≥1 LSH band. Equi-join of
     * the band table with itself — shuffle on the band hash, linear in
@@ -87,11 +109,12 @@ object LlmOps {
     minhashCandidatesFrom(shingleTable(docs, idCol), idCol, k, bands, r)
 
   /** As [[minhashCandidates]] but reusing an existing (persisted)
-    * [[shingleTable]].
+    * [[shingleTable]]. The band table is persisted too: the self-join must
+    * not compute signatures once per side.
     */
   def minhashCandidatesFrom(sh: DataFrame, idCol: String, k: Int = 8,
                             bands: Int = 4, r: Int = 2): DataFrame = {
-    val banded = bandedSignatures(sh, idCol, k, bands, r)
+    val banded = bandedSignatures(sh, idCol, k, bands, r).persist()
     banded.as("x").join(banded.as("y"), "band")
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
@@ -149,14 +172,18 @@ object LlmOps {
 
   /** Embedding near-duplicate pairs *within a coarse bucket* (here: the
     * cluster label — the IVF posture: compare only within a cell, shuffle on
-    * the bucket key, never all-pairs).
+    * the bucket key, never all-pairs). Norms are precomputed per vector and
+    * the table persisted, so each pair costs one dot product instead of
+    * three (HOF evaluation is interpreted — per-pair work is the budget).
     */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", sqrt(dot("embedding", "embedding")))
+      .persist()
     e.as("x").join(e.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        cosine("x.embedding", "y.embedding").as("cos"))
+        round(dot("x.embedding", "y.embedding") / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

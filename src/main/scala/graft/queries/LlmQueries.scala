@@ -62,10 +62,12 @@ object LlmQueries {
                FROM base)"""
 
   private val duckSigCte =
-    s"""sig AS (SELECT doc_id,
+    """sig AS (SELECT doc_id,
                  list_transform([0, 1, 2, 3, 4, 5, 6, 7],
-                   j -> list_min(list_transform(shingles,
-                          s -> ${duckHash("s", "j::VARCHAR")}))) AS sig
+                   j -> list_min(list_transform(
+                          list_transform(shingles,
+                            s -> ('0x' || substr(md5(s), 1, 8))::BIGINT),
+                          h -> ((1 + j * 104729) * h + j * 7919) % 4294967311))) AS sig
                FROM sh)"""
 
   private val duckBandCte =

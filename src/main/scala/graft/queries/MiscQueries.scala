@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.stream.DualWrite
+import graft.functions.StatsAgg
+
+/** Remaining operator surface — SURVEY §2.1 S7/S9, §2.2 P8, §2.10 X3. */
+object MiscQueries {
+  import Common._
+
+  /** Spark SQL type name → DuckDB type name, for the schema-export oracle.
+    * (TIMESTAMP_NTZ maps to DuckDB's plain TIMESTAMP; both are wall-clock.)
+    */
+  private val typeMap = Map(
+    "bigint" -> "BIGINT", "int" -> "INTEGER", "double" -> "DOUBLE",
+    "float" -> "FLOAT", "string" -> "VARCHAR", "timestamp_ntz" -> "TIMESTAMP",
+    "timestamp" -> "TIMESTAMP", "date" -> "DATE", "boolean" -> "BOOLEAN",
+    "array<float>" -> "FLOAT[]")
+
+  val qs: Map[String, Q] = Map(
+    // S7/T1 — dual-write parity: write the same frame to two sinks, re-read
+    // both, report counts + full-content parity (the dual-write grep check,
+    // lab/exercises/05-zdm-migration.md:115-148)
+    "dual_write" -> ((s, d) => {
+      val base = scratch("dual_write", d)
+      val df = t(s, d, "orders")
+      df.write.mode("overwrite").parquet(s"$base/origin")
+      df.write.mode("overwrite").parquet(s"$base/target")
+      val o = s.read.parquet(s"$base/origin")
+      val tg = s.read.parquet(s"$base/target")
+      o.agg(count(lit(1)).as("origin_rows"))
+        .crossJoin(tg.agg(count(lit(1)).as("target_rows")))
+        .withColumn("parity",
+          lit(o.exceptAll(tg).isEmpty && tg.exceptAll(o).isEmpty))
+    }),
+
+    // S9 — schema export (DESC KEYSPACE analog, 06-validation-monitoring.md:198-200):
+    // normalized (column, type) rows comparable across engines
+    "schema_export" -> ((s, d) => {
+      import s.implicits._
+      val fields = t(s, d, "orders").schema.fields.toSeq
+        .map(f => (f.name, typeMap.getOrElse(f.dataType.simpleString, f.dataType.simpleString)))
+      fields.toDF("column_name", "column_type").orderBy(col("column_name"))
+    }),
+
+    // P8 — null→UNSET write policy (docs/04-cdm-approach.md:833): a null in
+    // the incoming row means "leave the target cell untouched", not
+    // "overwrite with null". Origin nulls o_orderpriority for keys %13==0;
+    // the merge must preserve the target value exactly there.
+    "null_unset_merge" -> ((s, d) => {
+      val target = t(s, d, "orders")
+      val origin = target.withColumn("o_orderpriority",
+        when(col("o_orderkey") % 13 === 0, lit(null)).otherwise(col("o_orderpriority")))
+      origin.as("o").join(target.as("t"), "o_orderkey")
+        .select(col("o_orderkey"),
+          coalesce(col("o.o_orderpriority"), col("t.o_orderpriority")).as("o_orderpriority"),
+          col("o.o_orderpriority").isNull.as("was_unset"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // X3 — custom mergeable UDAF (typed Aggregator): stddev via a moments
+    // sketch, grouped; rounded to absorb partial-merge float ordering
+    "udaf_stddev" -> ((s, d) => {
+      val stddevUdaf = udaf(StatsAgg.stddev)
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(round(stddevUdaf(col("o_totalprice")), 2).as("sd"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dual_write" ->
+      """SELECT (SELECT count(*) FROM orders) AS origin_rows,
+                (SELECT count(*) FROM orders) AS target_rows,
+                true AS parity""",
+    "schema_export" ->
+      """SELECT column_name, column_type
+         FROM (DESCRIBE SELECT * FROM orders)
+         ORDER BY column_name""",
+    "null_unset_merge" ->
+      """SELECT o_orderkey,
+                o_orderpriority,
+                o_orderkey % 13 = 0 AS was_unset
+         FROM orders ORDER BY o_orderkey""",
+    "udaf_stddev" ->
+      """SELECT o_orderstatus, round(stddev_samp(o_totalprice), 2) AS sd,
+                count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus"""
+  )
+}

@@ -14,7 +14,8 @@ object Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = spark.read.parquet(
+      sys.env.getOrElse("PROBE_SF_DIR", "/root/testdata/sf0.001") + "/documents.parquet")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
@@ -23,20 +24,16 @@ object Probe {
     time("shingles")(LlmOps.withShingles(LlmOps.withWords(docs)).agg(sum(size(col("shingles")))).count())
     time("sig")(LlmOps.withMinhashSig(LlmOps.withShingles(LlmOps.withWords(docs)), 8).select(col("sig")).count())
     time("bands")(LlmOps.withBandHashes(LlmOps.withMinhashSig(LlmOps.withShingles(LlmOps.withWords(docs)), 8), 4, 2).select(col("bands")).count())
-    time("candidates")(LlmOps.minhashCandidates(docs, "doc_id").count())
-    // variant A: codegen off
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    time("cand nocodegen")(LlmOps.minhashCandidates(docs, "doc_id").count())
-    spark.conf.set("spark.sql.codegen.wholeStage", "true")
-    // variant B: banded side cached before self-join
-    val banded = LlmOps.withBandHashes(
-        LlmOps.withMinhashSig(LlmOps.withShingles(LlmOps.withWords(docs)), 8), 4, 2)
-      .select(col("doc_id"), explode(col("bands")).as("band")).cache()
-    banded.count()
-    time("cand cached")(
-      banded.as("x").join(banded.as("y"), "band")
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct().count())
+    val sh = LlmOps.shingleTable(docs, "doc_id")
+    time("shingleTable mat")(sh.count())
+    time("cache read")(sh.select(sum(size(col("shingles")))).count())
+    time("cache read2")(sh.select(sum(size(col("shingles")))).count())
+    time("sig from cache")(LlmOps.withMinhashSig(sh, 8).select(col("sig")).count())
+    time("banded")(LlmOps.bandedSignatures(sh, "doc_id").count())
+    val shNoCache = LlmOps.withShingles(LlmOps.withWords(docs))
+      .select(col("doc_id"), col("shingles"))
+    time("banded nocache")(LlmOps.bandedSignatures(shNoCache, "doc_id").count())
+    time("candidates")(LlmOps.minhashCandidatesFrom(sh, "doc_id").count())
     spark.stop()
   }
 }

@@ -62,6 +62,16 @@ class PlanSpec extends SparkSpec {
     assert(physical(df).contains("TakeOrderedAndProject"))
   }
 
+  test("pkGroupedLayout = one hash exchange + partition-local sort, no global sort") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val out = graft.core.Ops.pkGroupedLayout(orders, Seq("o_orderkey"), 4)
+    val plan = physical(out)
+    assert(plan.contains("hashpartitioning(o_orderkey"), s"expected hash partitioning:\n$plan")
+    assert(plan.contains("Sort [o_orderkey") && plan.contains("], false"),
+      s"expected partition-local sort:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"global sort must not appear:\n$plan")
+  }
+
   test("diff report shuffles at most once per side (single wide op)") {
     val orders = spark.read.parquet(s"${sf()}/orders.parquet")
     val rep = graft.validate.Diff.classify(orders, Common.ordersTwin(orders),
