@@ -12,6 +12,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up JVM/Hadoop/codegen paths so the first measured query doesn't
+    // absorb session fixed costs (measured ~3s on the first parquet scan).
+    Tables.names.foreach { n =>
+      try spark.read.parquet(s"$sfDir/$n.parquet").limit(1).count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -58,6 +58,41 @@ object MiscQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // counter-table semantics (docs/04-cdm-approach.md:401-411): counters
+    // merge by ADDITION of per-side deltas, never LWW — the documented
+    // carve-out for non-idempotent increments (SURVEY §7.4 risk 2).
+    // Origin counter = events per user; replayed delta = purchases per user.
+    "counter_merge" -> ((s, d) => {
+      val e = events(s, d)
+      val origin = e.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val delta = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      origin.unionByName(delta)
+        .groupBy(col("user_id")).agg(sum(col("cnt")).as("counter"))
+        .orderBy(col("user_id"))
+    }),
+
+    // TTL semantics (docs/04-cdm-approach.md:389-398): each cell carries a
+    // TTL; rows expired at the as-of instant are dropped. TTL derives
+    // deterministically from the event value (seconds).
+    "ttl_filter" -> ((s, d) => {
+      val asOfUs = 1705536000000000L // 2024-01-18T00:00:00Z
+      // floor() explicitly: DuckDB's double→int cast rounds, Spark's truncates
+      events(s, d)
+        .withColumn("ttl_s", floor(abs(col("value")) * 10000).cast("long"))
+        .withColumn("expires_us", col("ts_us") + col("ttl_s") * 1000000L)
+        .filter(col("expires_us") >= asOfUs)
+        .select(col("event_id"), col("ttl_s"), col("expires_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // multimodal decode plumbing: binary payload table → per-partition
+    // decode-stub features (see graft.ext.MultimodalOps)
+    "multimodal_decode" -> ((s, d) =>
+      graft.ext.MultimodalOps.decodeFeatures(
+          graft.ext.MultimodalOps.toBinaryTable(t(s, d, "documents")))
+        .orderBy(col("doc_id"))),
+
     // X3 — custom mergeable UDAF (typed Aggregator): stddev via a moments
     // sketch, grouped; rounded to absorb partial-merge float ordering
     "udaf_stddev" -> ((s, d) => {
@@ -87,6 +122,27 @@ object MiscQueries {
     "udaf_stddev" ->
       """SELECT o_orderstatus, round(stddev_samp(o_totalprice), 2) AS sd,
                 count(*) AS n
-         FROM orders GROUP BY 1 ORDER BY o_orderstatus"""
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
+    "counter_merge" ->
+      """WITH origin AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+          delta AS (SELECT user_id, count(*) AS cnt FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1),
+          u AS (SELECT * FROM origin UNION ALL SELECT * FROM delta)
+          SELECT user_id, CAST(sum(cnt) AS BIGINT) AS counter FROM u
+          GROUP BY 1 ORDER BY user_id""",
+    "ttl_filter" ->
+      """SELECT event_id,
+                CAST(floor(abs(value) * 10000) AS BIGINT) AS ttl_s,
+                epoch_us(ts) + CAST(floor(abs(value) * 10000) AS BIGINT) * 1000000 AS expires_us
+         FROM events
+         WHERE epoch_us(ts) + CAST(floor(abs(value) * 10000) AS BIGINT) * 1000000 >= 1705536000000000
+         ORDER BY event_id""",
+    "multimodal_decode" ->
+      """SELECT doc_id,
+                strlen(text) AS n_bytes,
+                ascii(substr(text, 1, 1)) AS head_byte,
+                md5(text) AS digest,
+                CAST(ceil(strlen(text) / 64.0) AS INTEGER) AS n_frames
+         FROM documents ORDER BY doc_id"""
   )
 }

@@ -71,6 +71,34 @@ class DualWriteSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows close after the gap (W5 streaming twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val out = mem.toDF().toDF("user", "ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    // session windows only support append mode: a session emits once the
+    // watermark passes its close
+    val q = out.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // two events 10min apart (one session), then one 2h later (new session)
+      mem.addData(("u1", ts(10, 0)), ("u1", ts(10, 10)), ("u1", ts(12, 30)))
+      q.processAllAvailable()
+      // advance the watermark far enough to close both u1 sessions
+      mem.addData(("u2", ts(15, 0)))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_out")
+        .filter(col("user") === "u1")
+        .select(col("n")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(sessions == Seq(1L, 2L),
+        s"expected the 10:00+10:10 pair in one session and 12:30 alone, got $sessions")
+    } finally q.stop()
+  }
+
   test("workload sim maps the rate source to the configured op mix (T6)") {
     val df = DualWrite.workloadSim(spark, 10, 0.7)
     assert(df.isStreaming)
