@@ -14,6 +14,7 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS); Spark 4 rejects it unless
       // read as Long (nanos since epoch) — Common.events normalizes to µs.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

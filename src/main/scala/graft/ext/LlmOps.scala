@@ -154,11 +154,13 @@ object LlmOps {
   }
 
   /** Exact dot product of two float-array columns, accumulated in double in
-    * array order (portable across engines).
+    * array order (portable across engines). Uses the native codegen'd
+    * [[graft.functions.DotProduct]] expression (registered by
+    * GraftExtensions) — bit-identical to the HOF formulation
+    * `aggregate(zip_with(a, b, (x, y) -> double(x)*double(y)), 0d, +)` but
+    * evaluated inside whole-stage codegen instead of the interpreter.
     */
-  def dot(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
-                  cast(0.0 as double), (acc2, v) -> acc2 + v)""")
+  def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
   /** Cosine similarity rounded to 6 places (buffers engine-side summation
     * order differences in the last ulps).
