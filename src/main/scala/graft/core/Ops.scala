@@ -70,4 +70,20 @@ object Ops {
     */
   def writetimeIncrement(df: DataFrame, writetimeCol: String, by: Long): DataFrame =
     df.withColumn(writetimeCol, col(writetimeCol) + lit(by))
+
+  /** Skew-salted equi-join: the reference flags >100MB partitions as the
+    * migration bottleneck (docs/04-cdm-approach.md:455-456). A hot join key
+    * on the fact side is spread across `salts` sub-keys; the (small) build
+    * side is replicated once per salt. AQE's skew-join handles the shuffle
+    * tier; salting is for when a single key exceeds what one task should
+    * own even after AQE splitting.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    val salted = fact.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
+    val replicated = dim
+      .withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
 }

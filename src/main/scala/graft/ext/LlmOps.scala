@@ -196,6 +196,42 @@ object LlmOps {
       .filter(col("cos") >= threshold)
   }
 
+  /** IVF index build: per-bucket (cluster label) element-wise centroid.
+    * Sums go through DECIMAL so centroids are exact and partitioning-
+    * independent (float summation order would make the index
+    * nondeterministic); collect_list is sorted by position before assembly.
+    * One shuffle of (label, pos) partial sums — the index build scans the
+    * corpus once.
+    */
+  def ivfCentroids(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") / count(lit(1))).as("cval"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cval))), x -> x.cval)").as("cvec"))
+  }
+
+  /** IVF two-stage search: rank centroids against the (broadcast) query,
+    * probe the best `nprobe` cells, exact-search only inside them. The
+    * corpus is touched once, filtered by a broadcast of the probed labels —
+    * the classic accuracy/cost dial: nprobe=cells gives brute force,
+    * nprobe=1 the cheapest search.
+    */
+  def ivfSearch(emb: DataFrame, query: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val q = query.select(col("embedding").as("qv"))
+    val probed = ivfCentroids(emb).crossJoin(broadcast(q))
+      .select(col("label"),
+        round(expr("graft_dot(cvec, qv)") /
+          (sqrt(expr("graft_dot(cvec, cvec)")) * sqrt(expr("graft_dot(qv, qv)"))), 6)
+          .as("ccos"))
+      .orderBy(col("ccos").desc, col("label")).limit(nprobe)
+    emb.join(broadcast(probed.select(col("label"))), "label")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), cosine("embedding", "qv").as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+  }
+
   /** Per-document text statistics: token counts (whitespace + a BPE-ish
     * regex), stopword ratio, a quality flag, an n-gram language guess, and
     * a minhash fingerprint.

@@ -12,10 +12,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * allocates a zipped array per row; this expression generates a tight
   * primitive loop inside whole-stage codegen.
   *
-  * Semantics match the HOF form exactly: each float is widened to double
+  * Semantics match the HOF form exactly: each element is widened to double
   * BEFORE multiply, accumulation runs in array order — so results are
   * bit-identical to the `zip_with`/`aggregate` formulation and to the DuckDB
-  * oracle's `list_dot_product` on DOUBLE[] casts.
+  * oracle's `list_dot_product` on DOUBLE[] casts. Accepts float or double
+  * arrays on either side (IVF centroids are double, raw embeddings float).
   *
   * Registered as `graft_dot(a, b)` by [[graft.GraftExtensions]]
   * (SparkSessionExtensions.injectFunction).
@@ -23,28 +24,44 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
   // AbstractDataType (ExpectsInputTypes) is private[sql]; check types directly
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_dot requires (array<float>, array<float>), got ($l, $r)")
+    (elemType(left), elemType(right)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot requires array<float|double> args, got (${left.dataType}, ${right.dataType})")
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  private def get(xs: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => xs.getFloat(i).toDouble
+    case _ => xs.getDouble(i)
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
+    val (lt, rt) = (elemType(left).get, elemType(right).get)
     val n = math.min(xs.numElements(), ys.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += xs.getFloat(i).toDouble * ys.getFloat(i).toDouble
+      acc += get(xs, i, lt) * get(ys, i, rt)
       i += 1
     }
     acc
+  }
+
+  private def getter(t: DataType, arr: String, i: String): String = t match {
+    case FloatType => s"((double) $arr.getFloat($i))"
+    case _ => s"$arr.getDouble($i)"
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -52,11 +69,12 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val (lt, rt) = (elemType(left).get, elemType(right).get)
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $acc += ${getter(lt, a, i)} * ${getter(rt, b, i)};
          |}
          |${ev.value} = $acc;
        """.stripMargin

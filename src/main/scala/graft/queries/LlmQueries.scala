@@ -129,6 +129,14 @@ object LlmQueries {
         e.filter(col("vec_id") === 0), 10)
     }),
 
+    // IVF two-stage ANN: centroid build → probe best 2 cells → exact search
+    // inside them (the scale path; brute force is sim_search_topk)
+    "sim_search_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      LlmOps.ivfSearch(e.filter(col("vec_id") =!= 0),
+        e.filter(col("vec_id") === 0), nprobe = 2, k = 10)
+    }),
+
     // per-doc text analysis: token counts, stopword ratio, quality, lang
     // guess, minhash fingerprint
     "text_stats" -> ((s, d) =>
@@ -146,6 +154,30 @@ object LlmQueries {
           size(col("embedding")).as("dim"))
         .orderBy(col("doc_id")))
   )
+
+  /** DuckDB mirror of LlmOps.ivfSearch (nprobe=2, k=10, query = vec 0). */
+  private val simSearchIvfSql: String =
+    """WITH emb AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),
+       parts AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                        unnest(embedding) AS e
+                 FROM emb),
+       cent AS (SELECT label, pos,
+                       CAST(sum(CAST(e AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS cval
+                FROM parts GROUP BY 1, 2),
+       centroids AS (SELECT label, list(cval ORDER BY pos) AS cvec FROM cent GROUP BY 1),
+       q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       probed AS (SELECT label,
+                    round(list_dot_product(cvec, qv::DOUBLE[]) /
+                      (sqrt(list_dot_product(cvec, cvec))
+                       * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS ccos
+                  FROM centroids, q
+                  ORDER BY ccos DESC, label LIMIT 2)
+       SELECT vec_id, e.label,
+              round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[]) /
+                (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS cos
+       FROM emb e JOIN probed USING (label), q
+       ORDER BY cos DESC, vec_id LIMIT 10"""
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -217,6 +249,7 @@ object LlmQueries {
                       6) AS cos
          FROM embeddings, q WHERE vec_id <> 0
          ORDER BY cos DESC, vec_id LIMIT 10""",
+    "sim_search_ivf" -> simSearchIvfSql,
     "text_stats" ->
       s"""WITH docs AS (SELECT * FROM documents),
           $duckShingleCte

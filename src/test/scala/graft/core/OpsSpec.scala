@@ -56,4 +56,27 @@ class OpsSpec extends SparkSpec {
     val out = Ops.writetimeIncrement(df, "wt", 7L)
     assert(out.filter(col("wt") =!= col("c_custkey") + 7L).count() == 0)
   }
+
+  test("saltedJoin produces the same rows as a plain join on skewed keys") {
+    import spark.implicits._
+    // 90% of fact rows share one hot key
+    val fact = spark.range(1000).toDF("id")
+      .withColumn("k", when(col("id") % 10 === 0, col("id") % 3).otherwise(lit(99L)))
+    val dim = Seq((99L, "hot"), (0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    val plain = fact.join(dim, "k").select("id", "k", "v")
+    val salted = Ops.saltedJoin(fact, dim, "k", 8).select("id", "k", "v")
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
+  test("approximate sketch swap-ins track exact results (A8/A7 scale path)") {
+    val events = graft.queries.Common.events(spark, sf())
+    val exact = events.agg(countDistinct(col("user_id"))).collect().head.getLong(0)
+    val approx = events.agg(approx_count_distinct(col("user_id"))).collect().head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx_count_distinct off by >5%: $approx vs $exact")
+    val p = events.agg(
+      expr("percentile(value, 0.95)").as("exact"),
+      expr("percentile_approx(value, 0.95, 10000)").as("approx")).collect().head
+    assert(math.abs(p.getDouble(0) - p.getDouble(1)) / math.abs(p.getDouble(0)) < 0.05)
+  }
 }

@@ -105,6 +105,21 @@ class DualWriteSpec extends SparkSpec {
     assert(df.columns.toSet == Set("ts", "op_id", "op_type"))
   }
 
+  test("periodic validation reports both sides' counts every trigger (T5)") {
+    val base = tmp()
+    val df = spark.read.parquet(s"${sf()}/orders.parquet").limit(50)
+    df.write.parquet(s"$base/origin")
+    df.limit(40).write.parquet(s"$base/target")
+    @volatile var seen: Option[(Long, Long)] = None
+    val q = DualWrite.periodicValidation(spark, s"$base/origin", s"$base/target",
+      s"$base/ckpt", "1 second") { (o, t) => seen = Some((o, t)) }
+    try {
+      var waited = 0
+      while (seen.isEmpty && waited < 100) { Thread.sleep(100); waited += 1 }
+      assert(seen.contains((50L, 40L)), s"expected (50, 40) count gate, got $seen")
+    } finally q.stop()
+  }
+
   test("metrics listener observes batches and rows (T7)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
