@@ -44,8 +44,12 @@ object IoQueries {
     // re-read with the declared schema
     "export_csv" -> ((s, d) => {
       val path = scratch("export_csv", d)
+      // writer-side whitespace trimming is ON by default — disable so COPY
+      // semantics (value fidelity) hold for padded strings
       ordersExportable(s, d).write.mode("overwrite")
         .option("header", "true").option("delimiter", "|")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(path)
       s.read.schema(ordersCsvSchema)
         .option("header", "true").option("delimiter", "|")
@@ -61,6 +65,8 @@ object IoQueries {
       val path = scratch("import_csv", d)
       ordersExportable(s, d).write.mode("overwrite")
         .option("header", "true").option("compression", "gzip")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(path)
       s.read.schema(ordersCsvSchema).option("header", "true").csv(path)
         .agg(count(lit(1)).as("n"),

@@ -12,6 +12,20 @@ class UpperStatusTransformer extends MigrateJob.Transformer {
     df.withColumn("o_orderstatus", upper(col("o_orderstatus")))
 }
 
+/** Throws once the third distinct bucket is processed — simulates a mid-run
+  * failure for the resume test.
+  */
+object FailOnThirdBucket {
+  val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+class FailOnThirdBucket extends MigrateJob.Transformer {
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    if (FailOnThirdBucket.counter.incrementAndGet() >= 3)
+      throw new RuntimeException("injected failure on bucket 3")
+    df
+  }
+}
+
 class MigrateJobSpec extends SparkSpec {
   private lazy val orders = spark.read.parquet(s"${sf()}/orders.parquet")
 
@@ -70,6 +84,24 @@ class MigrateJobSpec extends SparkSpec {
           guardrailMaxRowBytes = Some(1), errorLimit = 10L))
     }
     assert(ex.getMessage.contains("error budget exceeded"))
+  }
+
+  test("resume completes the remaining buckets after a mid-run failure") {
+    val dir = tmp()
+    val cfg = MigrateJob.Config(pkCols = Seq("o_orderkey"), tokenBuckets = 4)
+    // fail partway: transformer that explodes on bucket 2+ via a poisoned
+    // column (planning succeeds; the task throws at execution time)
+    val failing = cfg.copy(transformerClass = Some("graft.migrate.FailOnThirdBucket"))
+    FailOnThirdBucket.counter.set(0)
+    intercept[Exception] {
+      MigrateJob.run(spark, orders, dir, failing)
+    }
+    val done = MigrateJob.completedBuckets(s"$dir/_ledger/run.jsonl")
+    assert(done.nonEmpty && done.size < 4, s"expected a partial ledger, got $done")
+    // resume with the healthy config: only the missing buckets run
+    val second = MigrateJob.run(spark, orders, dir, cfg)
+    assert(second.buckets.toSet == (0 until 4).toSet.diff(done))
+    assert(spark.read.parquet(s"$dir/bucket=*").count() == orders.count())
   }
 
   test("rate limiter throttles throughput") {
