@@ -58,6 +58,26 @@ object MiscQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // the CDM Migrate pipeline end-to-end (MigrateJob.transformOnly → sink →
+    // re-read checksum): column exclusion + transform, narrow plan, written
+    // to parquet and verified by checksum against the source — the
+    // throughput-headline path (BASELINE 50k rows/s; this is a full
+    // scan→transform→write→scan cycle)
+    "migrate_pipeline" -> ((s, d) => {
+      val path = scratch("migrate_pipeline", d)
+      val cfg = graft.migrate.MigrateJob.Config(
+        pkCols = Seq("o_orderkey"),
+        columnsToExclude = Seq("o_orderpriority"))
+      graft.migrate.MigrateJob.transformOnly(t(s, d, "orders"), cfg)
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path).agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+    }),
+
     // counter-table semantics (docs/04-cdm-approach.md:401-411): counters
     // merge by ADDITION of per-side deltas, never LWW — the documented
     // carve-out for non-idempotent increments (SURVEY §7.4 risk 2).
@@ -123,6 +143,11 @@ object MiscQueries {
       """SELECT o_orderstatus, round(stddev_samp(o_totalprice), 2) AS sd,
                 count(*) AS n
          FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
+    "migrate_pipeline" ->
+      """SELECT count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders""",
     "counter_merge" ->
       """WITH origin AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
           delta AS (SELECT user_id, count(*) AS cnt FROM events
