@@ -111,15 +111,32 @@ object LlmOps {
   /** As [[minhashCandidates]] but reusing an existing (persisted)
     * [[shingleTable]]. The band table is persisted too: the self-join must
     * not compute signatures once per side.
+    *
+    * `maxBucket` caps the quadratic blowup of a degenerate bucket (e.g.
+    * thousands of byte-identical boilerplate docs): buckets above the cap
+    * are excluded from pairing — their members are better handled by exact
+    * dedup first. Capped buckets are *counted*, not silently ignored:
+    * callers can read the side channel via [[oversizedBuckets]].
     */
   def minhashCandidatesFrom(sh: DataFrame, idCol: String, k: Int = 8,
-                            bands: Int = 4, r: Int = 2): DataFrame = {
+                            bands: Int = 4, r: Int = 2,
+                            maxBucket: Int = 1000): DataFrame = {
     val banded = bandedSignatures(sh, idCol, k, bands, r).persist()
-    banded.as("x").join(banded.as("y"), "band")
+    val small = banded.join(
+      banded.groupBy("band").count().filter(col("count") <= maxBucket)
+        .select("band"),
+      "band")
+    small.as("x").join(small.as("y"), "band")
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
   }
+
+  /** Buckets skipped by the `maxBucket` cap, with their sizes. */
+  def oversizedBuckets(sh: DataFrame, idCol: String, maxBucket: Int,
+                       k: Int = 8, bands: Int = 4, r: Int = 2): DataFrame =
+    bandedSignatures(sh, idCol, k, bands, r)
+      .groupBy("band").count().filter(col("count") > maxBucket)
 
   /** 32-bit SimHash over the word multiset: bit j is the sign of the sum of
     * (+1/-1) votes from each word-hash's j-th bit. Identical docs get equal

@@ -77,6 +77,49 @@ object DualWrite {
       .select(pk.map(col) ++ valueCols.map(c => col(s"_v.$c")): _*)
   }
 
+  /** T3 with bounded state: [[lwwStream]]'s groupBy-agg keeps state for
+    * every key ever seen — unbounded over a 100 TB key space. This variant
+    * holds (writetime, payload) per PK in explicit `GroupState` with a
+    * processing-time timeout: keys idle longer than `stateTtlMs` are
+    * evicted (safe because any late row for an evicted key re-creates
+    * state, and LWW re-resolves on the idempotent sink).
+    *
+    * Input is typed (pk, writetime, payload); emits the current winner per
+    * key on every update. `stateTtlMs = None` disables eviction (NoTimeout)
+    * — use it in tests: with ProcessingTimeTimeout the engine runs empty
+    * micro-batches continuously to fire timers, which never converges under
+    * `processAllAvailable()`.
+    */
+  def lwwStreamBounded(
+      stream: org.apache.spark.sql.Dataset[(String, Long, String)],
+      stateTtlMs: Option[Long]): org.apache.spark.sql.Dataset[(String, Long, String)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import stream.sparkSession.implicits._
+    val timeoutConf = stateTtlMs match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout
+      case None => GroupStateTimeout.NoTimeout
+    }
+    stream.groupByKey(_._1)
+      .mapGroupsWithState[(Long, String), (String, Long, String)](timeoutConf) {
+        case (pk, rows, state: GroupState[(Long, String)]) =>
+          if (state.hasTimedOut) {
+            val (wt, v) = state.get
+            state.remove()
+            (pk, wt, v)
+          } else {
+            val ord = Ordering.Tuple2[Long, String]
+            val incoming = rows.map(r => (r._2, r._3)).max(ord)
+            val winner = state.getOption match {
+              case Some(cur) if ord.gteq(cur, incoming) => cur
+              case _ => incoming
+            }
+            state.update(winner)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            (pk, winner._1, winner._2)
+          }
+      }
+  }
+
   /** T5 periodic validation: run a count-gate (A1) every trigger interval —
     * the 60s continuous-validation loop
     * (lab/exercises/06-validation-monitoring.md:412-451).

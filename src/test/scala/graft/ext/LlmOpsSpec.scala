@@ -19,6 +19,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("oversized band buckets are capped out of pairing (hot-bucket guard)") {
+    // 6 identical docs → every band bucket has 6 members; cap at 3 excludes
+    // them all from pairing, and the side channel reports the skipped buckets
+    val rows = (1L to 6L).map(i => (i, "the same exact boilerplate text repeated here"))
+    val d = docs(rows: _*)
+    val sh = LlmOps.shingleTable(d, "doc_id")
+    val capped = LlmOps.minhashCandidatesFrom(sh, "doc_id", maxBucket = 3)
+    assert(capped.count() == 0)
+    val skipped = LlmOps.oversizedBuckets(sh, "doc_id", maxBucket = 3).collect()
+    assert(skipped.nonEmpty && skipped.forall(_.getLong(1) == 6L))
+    val uncapped = LlmOps.minhashCandidatesFrom(sh, "doc_id", maxBucket = 1000)
+    assert(uncapped.count() == 15) // 6 choose 2
+  }
+
   test("jaccard(x, x) = 1; jaccard of disjoint sets = 0") {
     val d = LlmOps.withShingles(LlmOps.withWords(docs(
       1L -> "a b c d e f g h", 2L -> "p q r s t u v w")))

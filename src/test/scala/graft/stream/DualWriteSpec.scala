@@ -71,6 +71,27 @@ class DualWriteSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounded LWW state keeps the max-writetime row and ignores older updates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String)]
+    val out = DualWrite.lwwStreamBounded(mem.toDS(), stateTtlMs = None)
+    val q = out.toDF().toDF("pk", "wt", "v")
+      .writeStream.format("memory").queryName("lww_bounded_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(("k1", 100L, "old"), ("k1", 200L, "new"), ("k2", 10L, "x"))
+      q.processAllAvailable()
+      mem.addData(("k1", 150L, "late-loser"))
+      q.processAllAvailable()
+      val last = spark.table("lww_bounded_out")
+        .groupBy("pk").agg(max_by(col("v"), col("wt")).as("v"), max("wt").as("wt"))
+        .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(last("k1") == ("new", 200L), s"late older row must not win: $last")
+      assert(last("k2") == ("x", 10L))
+    } finally q.stop()
+  }
+
   test("streaming session windows close after the gap (W5 streaming twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
