@@ -37,7 +37,15 @@ object MigrateJob {
       guardrailMaxRowBytes: Option[Long] = None,   // guardrail.colSizeInKB analog (P7)
       transformerClass: Option[String] = None,     // transform.custom.class (X1)
       maxRowsPerSecondPerPartition: Option[Int] = None, // ratelimit.target (divided per worker, docs/04-cdm-approach.md:637)
-      errorLimit: Long = 100L)                     // maxErrorCount (cdm.properties:38)
+      errorLimit: Long = 100L) {                   // maxErrorCount (cdm.properties:38)
+    /** CDM divides the global rate limit by worker count
+      * (docs/04-cdm-approach.md:637). Recompute from current parallelism —
+      * under dynamic allocation call again per epoch (SURVEY §7.4 risk 6).
+      */
+    def withGlobalRateLimit(spark: SparkSession, rowsPerSecond: Int): Config =
+      copy(maxRowsPerSecondPerPartition =
+        Some(math.max(1, rowsPerSecond / math.max(1, spark.sparkContext.defaultParallelism))))
+  }
 
   /** CDM custom transformer interface (docs/04-cdm-approach.md:341-349),
     * Spark-shaped: whole-DataFrame transform (declarative, stays in

@@ -104,6 +104,29 @@ class MigrateJobSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/bucket=*").count() == orders.count())
   }
 
+  test("global rate limit divides by current parallelism") {
+    val cfg = MigrateJob.Config(pkCols = Seq("o_orderkey"))
+      .withGlobalRateLimit(spark, 4000)
+    val per = cfg.maxRowsPerSecondPerPartition.get
+    assert(per == math.max(1, 4000 / spark.sparkContext.defaultParallelism))
+  }
+
+  test("expected failure: schema-mismatched CSV import surfaces nulls the count gate catches") {
+    // mirror of the reference's negative tests (02-native-tooling.md:137-146):
+    // import with a wrong declared type must not silently pass validation
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    orders.limit(100)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.option("header", "true").csv(s"$dir/csv")
+    val wrong = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderpriority", LongType)))  // actually a string column
+    val back = spark.read.schema(wrong).option("header", "true").csv(s"$dir/csv")
+    val nullCount = back.filter(col("o_orderpriority").isNull).count()
+    assert(nullCount == 100, "type mismatch must surface as nulls, not silent data")
+  }
+
   test("rate limiter throttles throughput") {
     import spark.implicits._
     val df = spark.range(200).toDF("id").repartition(1)
