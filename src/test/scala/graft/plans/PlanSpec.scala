@@ -72,6 +72,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), s"global sort must not appear:\n$plan")
   }
 
+  test("split sizing: maxPartitionBytes drives scan parallelism (CDM numParts analog)") {
+    val path = s"${sf("sf0.1")}/lineitem.parquet"
+    val f = new java.io.File(path)
+    val bytes =
+      if (f.isDirectory)
+        f.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      else f.length()
+    val coarse = spark.read.option("mergeSchema", "false").parquet(path).rdd.getNumPartitions
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
+    try {
+      val fine = spark.read.parquet(path).rdd.getNumPartitions
+      assert(fine > coarse, s"1MB splits ($fine) should out-parallelize default ($coarse)")
+      assert(fine >= bytes / (1024 * 1024), s"expected ≥${bytes / 1024 / 1024} splits, got $fine")
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
   test("diff report shuffles at most once per side (single wide op)") {
     val orders = spark.read.parquet(s"${sf()}/orders.parquet")
     val rep = graft.validate.Diff.classify(orders, Common.ordersTwin(orders),

@@ -92,6 +92,27 @@ class DualWriteSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups replayed writes (T3 built-in form)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val out = mem.toDF().toDF("pk", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("pk")
+    val q = out.writeStream.format("memory").queryName("ddw_out")
+      .outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      mem.addData(("k1", ts(0)), ("k1", ts(1)), ("k2", ts(2)))
+      q.processAllAvailable()
+      mem.addData(("k1", ts(3)))   // replay within the watermark window
+      q.processAllAvailable()
+      val rows = spark.table("ddw_out").groupBy("pk").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("k1" -> 1L, "k2" -> 1L), s"duplicates leaked: $rows")
+    } finally q.stop()
+  }
+
   test("streaming session windows close after the gap (W5 streaming twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
