@@ -60,8 +60,7 @@ object LlmOps {
     * a_j·h < 2^52 — exact in int64 on every engine.
     */
   def withMinhashSig(df: DataFrame, k: Int): DataFrame =
-    df.withColumn("sh32", expr(
-      "transform(shingles, s -> cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))"))
+    df.withColumn("sh32", expr("graft_hash_array(shingles, '', 8)"))
       .withColumn("sig", expr(
         s"""transform(sequence(0, ${k - 1}),
               j -> aggregate(sh32, 9223372036854775807L,
@@ -145,7 +144,7 @@ object LlmOps {
     * 32 bits keeps birthday collisions negligible at the test corpus size.
     */
   def withSimhash(df: DataFrame): DataFrame =
-    df.withColumn("hs", expr(s"transform(words, w -> ${hashSql("w", "'sim'")})"))
+    df.withColumn("hs", expr("graft_hash_array(words, ':sim', 15)"))
       // Single pass over hs with an array-of-votes accumulator. hs appears
       // exactly once, as an aggregate ARGUMENT (evaluated once per row) —
       // a per-bit formulation would reference hs inside the bit lambda and,
@@ -264,7 +263,6 @@ object LlmOps {
       .withColumn("lang_guess", when(col("stop_hits") > 0, "en").otherwise("unk"))
       .withColumn("quality",
         col("n_tokens").between(10, 1000) && col("stop_ratio") < 0.5)
-      .withColumn("fingerprint", expr(
-        s"""aggregate(shingles, 9223372036854775807L,
-              (facc, fs) -> least(facc, ${hashSql("fs", "'fp'")}))"""))
+      .withColumn("fingerprint",
+        expr("array_min(graft_hash_array(shingles, ':fp', 15))"))
 }

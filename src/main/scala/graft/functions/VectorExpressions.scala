@@ -84,3 +84,103 @@ case class DotProduct(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
+
+/** Static runtime for [[HashArray]]'s generated code. */
+object HashOps {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** First `nibbles` hex chars of md5(s ++ suffix), parsed as an unsigned
+    * long (nibbles ≤ 15 keeps it positive in int64) — byte-for-byte the
+    * value of `conv(substr(md5(concat(s, suffix)), 1, nibbles), 16, 10)`.
+    */
+  def md5Prefix(s: org.apache.spark.unsafe.types.UTF8String,
+                suffix: org.apache.spark.unsafe.types.UTF8String,
+                nibbles: Int): Long = {
+    val d = md.get()
+    d.reset()
+    d.update(s.getBytes)
+    if (suffix.numBytes() > 0) d.update(suffix.getBytes)
+    val digest = d.digest()
+    var acc = 0L
+    var i = 0
+    while (i < nibbles) {
+      val b = digest(i / 2) & 0xff
+      val nib = if (i % 2 == 0) b >>> 4 else b & 0xf
+      acc = (acc << 4) | nib
+      i += 1
+    }
+    acc
+  }
+  // HEX retained for debugging parity checks
+  def hex(digest: Array[Byte], n: Int): String =
+    digest.take((n + 1) / 2).flatMap(b => Array(HEX((b & 0xff) >>> 4), HEX(b & 0xf)))
+      .mkString.take(n)
+}
+
+/** Hashes every element of a string array in one codegen'd loop:
+  * `graft_hash_array(arr, suffix, nibbles)` returns
+  * `array<bigint>` where out(i) = first-`nibbles`-hex-chars of
+  * md5(arr(i) ++ suffix) as an integer — exactly
+  * `transform(arr, s -> conv(substr(md5(concat(s, suffix)), 1, nibbles), 16, 10))`
+  * but evaluated natively: HOF lambdas interpret their body per element,
+  * which dominates the LSH/simhash pipelines (per-element md5 through an
+  * interpreted expression tree).
+  *
+  * suffix and nibbles must be foldable (they parameterize the generated
+  * code); 1 ≤ nibbles ≤ 15 keeps results positive in int64.
+  */
+case class HashArray(child: Expression, suffixExpr: Expression, nibblesExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType, StringType, IntegerType}
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def first: Expression = child
+  override def second: Expression = suffixExpr
+  override def third: Expression = nibblesExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hash_array"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, suffixExpr.dataType, nibblesExpr.dataType) match {
+      case (ArrayType(StringType, _), StringType, IntegerType)
+        if suffixExpr.foldable && nibblesExpr.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_hash_array requires (array<string>, foldable string, foldable int)")
+    }
+
+  override def nullSafeEval(arr: Any, suffix: Any, nibbles: Any): Any = {
+    val xs = arr.asInstanceOf[ArrayData]
+    val suf = suffix.asInstanceOf[UTF8String]
+    val n = nibbles.asInstanceOf[Int]
+    val out = new Array[Long](xs.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = HashOps.md5Prefix(xs.getUTF8String(i), suf, n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, suf, nib) => {
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |long[] $out = new long[$arr.numElements()];
+         |for (int $i = 0; $i < $out.length; $i++) {
+         |  $out[$i] = graft.functions.HashOps.md5Prefix($arr.getUTF8String($i), $suf, $nib);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): HashArray =
+    copy(child = f, suffixExpr = s, nibblesExpr = t)
+}
