@@ -28,6 +28,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("graft_hash_array matches the SQL md5/conv formulation, incl. unicode") {
+    val df = Seq(Seq("abc", "", "héllo wörld", "a|b:c", "x")).toDF("arr")
+    val cmp = df.select(
+      expr("graft_hash_array(arr, ':fp', 15)").as("native"),
+      expr("transform(arr, s -> cast(conv(substr(md5(concat(s, ':fp')), 1, 15), 16, 10) as bigint))").as("sql"))
+      .collect().head
+    assert(cmp.getSeq[Long](0) == cmp.getSeq[Long](1))
+  }
+
+  test("graft_hash_array: empty array and null array") {
+    val df = Seq((1, Seq.empty[String]), (2, null.asInstanceOf[Seq[String]]))
+      .toDF("id", "arr")
+    val out = df.select(col("id"), expr("graft_hash_array(arr, '', 8)").as("h"))
+      .orderBy("id").collect()
+    assert(out(0).getSeq[Long](1).isEmpty)
+    assert(out(1).isNullAt(1))
+  }
+
   test("graft_dot participates in whole-stage codegen") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .select(expr("graft_dot(embedding, embedding)").as("d"))
