@@ -212,6 +212,40 @@ object LlmOps {
       .filter(col("cos") >= threshold)
   }
 
+  /** Connected components over candidate duplicate pairs: every doc gets
+    * `cluster_id` = the smallest doc id reachable through pair edges (its
+    * own id if unpaired). Label propagation to a fixpoint — each round is
+    * one join + min-aggregate (the standard large-scale CC shape; rounds ≈
+    * log of the largest cluster diameter, checked against a hard cap).
+    * Downstream dedup keeps one row per cluster_id.
+    */
+  def duplicateClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
+                        maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+      .persist()
+    var lab = ids.select(col(idCol)).distinct()
+      .withColumn("cluster_id", col(idCol)).persist()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val viaNeighbor = edges
+        .join(lab.select(col(idCol).as("y"), col("cluster_id").as("nl")), "y")
+        .groupBy(col("x").as(idCol)).agg(min(col("nl")).as("nl"))
+      val next = lab.join(viaNeighbor, Seq(idCol), "left_outer")
+        .select(col(idCol),
+          least(col("cluster_id"), coalesce(col("nl"), col("cluster_id"))).as("cluster_id"))
+        .persist()
+      changed = next.join(lab.withColumnRenamed("cluster_id", "old"), idCol)
+        .filter(col("cluster_id") =!= col("old")).count()
+      lab.unpersist()
+      lab = next
+      iters += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $maxIters rounds")
+    lab
+  }
+
   /** IVF index build: per-bucket (cluster label) element-wise centroid.
     * Sums go through DECIMAL so centroids are exact and partitioning-
     * independent (float summation order would make the index

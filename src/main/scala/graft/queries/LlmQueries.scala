@@ -129,6 +129,16 @@ object LlmQueries {
         e.filter(col("vec_id") === 0), 10)
     }),
 
+    // cluster collapse: connected components over the LSH candidate pairs —
+    // the keep-one-per-duplicate-cluster step after candidate generation
+    "dedup_clusters" -> ((s, d) => {
+      val docs = docsWithDups(t(s, d, "documents"))
+      val sh = LlmOps.shingleTable(docs, "doc_id")
+      val pairs = LlmOps.minhashCandidatesFrom(sh, "doc_id").persist()
+      LlmOps.duplicateClusters(docs.select(col("doc_id")), "doc_id", pairs)
+        .orderBy(col("doc_id"))
+    }),
+
     // IVF two-stage ANN: centroid build → probe best 2 cells → exact search
     // inside them (the scale path; brute force is sim_search_topk)
     "sim_search_ivf" -> ((s, d) => {
@@ -250,6 +260,24 @@ object LlmQueries {
          FROM embeddings, q WHERE vec_id <> 0
          ORDER BY cos DESC, vec_id LIMIT 10""",
     "sim_search_ivf" -> simSearchIvfSql,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE docs AS ($docsDupSql),
+          $duckShingleCte,
+          $duckSigCte,
+          $duckBandCte,
+          cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                    FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+          undirected AS (SELECT a AS x, b AS y FROM cands
+                         UNION SELECT b AS x, a AS y FROM cands),
+          reach(x, y) AS (
+            SELECT x, y FROM undirected
+            UNION
+            SELECT r.x, u.y FROM reach r JOIN undirected u ON r.y = u.x)
+          SELECT d.doc_id,
+                 least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS cluster_id
+          FROM docs d LEFT JOIN reach r ON r.x = d.doc_id
+          GROUP BY d.doc_id
+          ORDER BY d.doc_id""",
     "text_stats" ->
       s"""WITH docs AS (SELECT * FROM documents),
           $duckShingleCte

@@ -33,6 +33,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(uncapped.count() == 15) // 6 choose 2
   }
 
+  test("duplicateClusters: chains collapse to the min id, singletons keep their own") {
+    import spark.implicits._
+    // chain 1-2-3 (transitive through 2), pair 5-6, singleton 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val ids = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
+    val lab = LlmOps.duplicateClusters(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
   test("jaccard(x, x) = 1; jaccard of disjoint sets = 0") {
     val d = LlmOps.withShingles(LlmOps.withWords(docs(
       1L -> "a b c d e f g h", 2L -> "p q r s t u v w")))
