@@ -156,6 +156,32 @@ object LlmQueries {
           col("fingerprint"))
         .orderBy(col("doc_id"))),
 
+    // pretraining-style quality gate (Gopher-rule shape): token-count
+    // bounds, mean word length bounds, stopword-ratio and symbol-ratio
+    // caps; emits per-doc pass/fail with the failing rule for auditability
+    "text_quality_filter" -> ((s, d) =>
+      LlmOps.withWords(t(s, d, "documents"))
+        .withColumn("n_tokens", size(col("words")))
+        .withColumn("mean_wlen",
+          round(octet_length(concat_ws("", col("words"))).cast("double") /
+            col("n_tokens").cast("double"), 6))
+        .withColumn("stop_ratio",
+          round(expr("size(filter(words, w -> w in ('the', 'a')))").cast("double") /
+            col("n_tokens").cast("double"), 6))
+        .withColumn("symbol_ratio",
+          round((octet_length(col("text")) -
+            octet_length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).cast("double") /
+            octet_length(col("text")).cast("double"), 6))
+        .withColumn("fail_rule",
+          when(!col("n_tokens").between(20, 90), "token_count")
+            .when(!col("mean_wlen").between(2.0, 12.0), "word_length")
+            .when(col("stop_ratio") > 0.12, "stopword_ratio")
+            .when(col("symbol_ratio") > 0.2, "symbol_ratio"))
+        .select(col("doc_id"), col("n_tokens"), col("mean_wlen"),
+          col("stop_ratio"), col("symbol_ratio"),
+          col("fail_rule").isNull.as("passes"), col("fail_rule"))
+        .orderBy(col("doc_id"))),
+
     // multimodal: text metadata ⋈ vector metadata on the shared id
     "multimodal_cols" -> ((s, d) =>
       t(s, d, "documents")
@@ -294,6 +320,27 @@ object LlmQueries {
                              / len(words)::DOUBLE, 6) < 0.5 AS quality,
                  list_min(list_transform(shingles, fs -> ${duckHash("fs", "'fp'")})) AS fingerprint
           FROM sh ORDER BY doc_id""",
+    "text_quality_filter" ->
+      """WITH base AS (
+           SELECT doc_id, text, string_split(lower(text), ' ') AS words FROM documents),
+         m AS (
+           SELECT doc_id,
+                  len(words) AS n_tokens,
+                  round(strlen(array_to_string(words, ''))::DOUBLE / len(words)::DOUBLE, 6) AS mean_wlen,
+                  round(len(list_filter(words, w -> w IN ('the', 'a')))::DOUBLE
+                        / len(words)::DOUBLE, 6) AS stop_ratio,
+                  round((strlen(text) - strlen(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+                        / strlen(text)::DOUBLE, 6) AS symbol_ratio
+           FROM base),
+         r AS (
+           SELECT *, CASE WHEN n_tokens NOT BETWEEN 20 AND 90 THEN 'token_count'
+                          WHEN mean_wlen NOT BETWEEN 2.0 AND 12.0 THEN 'word_length'
+                          WHEN stop_ratio > 0.12 THEN 'stopword_ratio'
+                          WHEN symbol_ratio > 0.2 THEN 'symbol_ratio' END AS fail_rule
+           FROM m)
+         SELECT doc_id, n_tokens, mean_wlen, stop_ratio, symbol_ratio,
+                fail_rule IS NULL AS passes, fail_rule
+         FROM r ORDER BY doc_id""",
     "multimodal_cols" ->
       """SELECT doc_id, lang, n_chars, label, len(embedding) AS dim
          FROM documents JOIN embeddings ON doc_id = vec_id
