@@ -220,15 +220,59 @@ object LlmOps {
     * Downstream dedup keeps one row per cluster_id.
     */
   def duplicateClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
-                        maxIters: Int = 20): DataFrame = {
+                        maxIters: Int = 20,
+                        driverEdgeLimit: Long = 5000000L): DataFrame = {
+    // Candidate pairs are orders of magnitude smaller than the corpus by
+    // construction (they're the near-duplicates). Below the gate, exact
+    // union-find on the driver + a broadcast label join beats a multi-round
+    // distributed fixpoint (each round is several scheduled jobs); above
+    // it, fall through to the label-propagation loop.
+    if (pairs.count() <= driverEdgeLimit) {
+      val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val next = parent(c); parent(c) = r; c = next }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labels = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(x => (x, find(x)))
+      val spark = ids.sparkSession
+      import spark.implicits._
+      val labDf = labels.toSeq.toDF(idCol, "cluster_id")
+      return ids.select(col(idCol)).distinct()
+        .join(broadcast(labDf), Seq(idCol), "left_outer")
+        .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    }
+    distributedClusters(ids, idCol, pairs, maxIters)
+  }
+
+  /** Distributed fallback: label propagation to a fixpoint. */
+  def distributedClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
+                          maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
       .persist()
-    var lab = ids.select(col(idCol)).distinct()
+    // only docs that appear in a pair can change labels — propagate over
+    // that (typically small) frontier and re-attach the untouched majority
+    // at the end. Convergence check: labels only ever decrease (least of
+    // own and neighbor minimum), so the label sum strictly decreases until
+    // the fixpoint — one cheap agg per round instead of a join-diff.
+    var lab = edges.select(col("x").as(idCol)).distinct()
       .withColumn("cluster_id", col(idCol)).persist()
-    var changed = 1L
+    def labSum(): Long =
+      lab.agg(sum(col("cluster_id"))).collect().head.getLong(0)
+    var prev = labSum()
     var iters = 0
-    while (changed > 0 && iters < maxIters) {
+    var converged = false
+    while (!converged && iters < maxIters) {
       val viaNeighbor = edges
         .join(lab.select(col(idCol).as("y"), col("cluster_id").as("nl")), "y")
         .groupBy(col("x").as(idCol)).agg(min(col("nl")).as("nl"))
@@ -236,14 +280,18 @@ object LlmOps {
         .select(col(idCol),
           least(col("cluster_id"), coalesce(col("nl"), col("cluster_id"))).as("cluster_id"))
         .persist()
-      changed = next.join(lab.withColumnRenamed("cluster_id", "old"), idCol)
-        .filter(col("cluster_id") =!= col("old")).count()
-      lab.unpersist()
+      val old = lab
       lab = next
+      val cur = labSum()  // materializes next BEFORE dropping its parent cache
+      old.unpersist()
+      converged = cur == prev
+      prev = cur
       iters += 1
     }
-    require(changed == 0, s"label propagation did not converge in $maxIters rounds")
-    lab
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    ids.select(col(idCol)).distinct()
+      .join(lab, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
   }
 
   /** IVF index build: per-bucket (cluster label) element-wise centroid.

@@ -182,6 +182,14 @@ object LlmQueries {
           col("fail_rule").isNull.as("passes"), col("fail_rule"))
         .orderBy(col("doc_id"))),
 
+    // language distribution (the corpus-level half of text_stats)
+    "lang_dist" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy(col("lang"))),
+
     // multimodal: text metadata ⋈ vector metadata on the shared id
     "multimodal_cols" -> ((s, d) =>
       t(s, d, "documents")
@@ -341,6 +349,9 @@ object LlmQueries {
          SELECT doc_id, n_tokens, mean_wlen, stop_ratio, symbol_ratio,
                 fail_rule IS NULL AS passes, fail_rule
          FROM r ORDER BY doc_id""",
+    "lang_dist" ->
+      """SELECT lang, count(*) AS n, round(avg(n_chars), 4) AS avg_chars
+         FROM documents GROUP BY 1 ORDER BY lang""",
     "multimodal_cols" ->
       """SELECT doc_id, lang, n_chars, label, len(embedding) AS dim
          FROM documents JOIN embeddings ON doc_id = vec_id

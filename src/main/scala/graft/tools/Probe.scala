@@ -12,6 +12,7 @@ object Probe {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(
@@ -34,6 +35,10 @@ object Probe {
       .select(col("doc_id"), col("shingles"))
     time("banded nocache")(LlmOps.bandedSignatures(shNoCache, "doc_id").count())
     time("candidates")(LlmOps.minhashCandidatesFrom(sh, "doc_id").count())
+    val pairs = LlmOps.minhashCandidatesFrom(sh, "doc_id").persist()
+    time("pairs mat")(pairs.count())
+    time("clusters loop")(
+      LlmOps.duplicateClusters(docs.select(col("doc_id")), "doc_id", pairs).count())
     spark.stop()
   }
 }

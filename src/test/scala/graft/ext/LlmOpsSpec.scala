@@ -38,9 +38,15 @@ class LlmOpsSpec extends SparkSpec {
     // chain 1-2-3 (transitive through 2), pair 5-6, singleton 9
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
     val ids = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
-    val lab = LlmOps.duplicateClusters(ids, "doc_id", pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L)
+    // driver union-find path
+    val uf = LlmOps.duplicateClusters(ids, "doc_id", pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(lab == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+    assert(uf == expected)
+    // distributed label-propagation path (forced via a zero edge gate)
+    val dist = LlmOps.duplicateClusters(ids, "doc_id", pairs, driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
   }
 
   test("jaccard(x, x) = 1; jaccard of disjoint sets = 0") {
