@@ -37,6 +37,16 @@ class DiffSpec extends SparkSpec {
     assert(counts.keySet == Set("valid", "missing", "mismatch", "extra_in_target"))
   }
 
+  test("classifyByHash agrees with column-wise classify on the twin") {
+    val byCols = Diff.classify(orders, twin, pk, compare)
+      .groupBy(Diff.StatusCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byHash = Diff.classifyByHash(orders, twin, pk, compare)
+      .groupBy(Diff.StatusCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCols == byHash)
+  }
+
   test("missing ∪ target-pks covers origin exactly") {
     val missing = Diff.missing(orders, twin, pk).count()
     val overlap = orders.join(twin.select(pk.map(col): _*), pk, "left_semi").count()
