@@ -47,7 +47,8 @@ object Ops {
     * (GuardrailCheck job, docs/04-cdm-approach.md:444-447).
     */
   def guardrailFlag(df: DataFrame, maxRowBytes: Long, flagCol: String = "guardrail_oversize"): DataFrame =
-    df.withColumn(flagCol, octet_length(to_json(struct(df.columns.map(col): _*))) > lit(maxRowBytes))
+    df.withColumn(flagCol,
+      octet_length(to_json(struct(df.columns.toIndexedSeq.map(col): _*))) > lit(maxRowBytes))
 
   /** S6 — partition-key-grouped write layout (dsbulk
     * `batch.mode=PARTITION_KEY`, reference: docs/03-dse-tooling.md:138,186-189):

@@ -81,7 +81,7 @@ object Common {
     val extra = ord
       .filter(col("o_orderkey") % 101 === 0)
       .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
-    base.unionByName(extra.select(base.columns.map(col): _*))
+    base.unionByName(extra.select(base.columns.toIndexedSeq.map(col): _*))
   }
 
   /** DuckDB CTE body mirroring [[ordersTwin]] exactly. Use as

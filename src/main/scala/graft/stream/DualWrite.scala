@@ -69,7 +69,7 @@ object DualWrite {
     */
   def lwwStream(stream: DataFrame, pk: Seq[String], tsCol: String,
                 writetimeCol: String, lateness: String): DataFrame = {
-    val valueCols = stream.columns.filterNot(c => pk.contains(c))
+    val valueCols = stream.columns.toIndexedSeq.filterNot(c => pk.contains(c))
     stream
       .withWatermark(tsCol, lateness)
       .groupBy(pk.map(col): _*)
