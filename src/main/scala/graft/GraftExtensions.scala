@@ -1,31 +1,18 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, HashArray}
+import graft.functions.GraftFunctions
 
 /** Engine extension point (SparkSessionExtensions): registers graft's native
   * expressions so `expr("graft_dot(a, b)")` works in any query. Activated
   * with `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
   * standard library-injection mechanism, no spark-submit flags needed.
+  *
+  * Sessions built *without* this conf still work: query closures invoke
+  * [[graft.functions.GraftFunctions.ensure]] as a runtime fallback, which
+  * installs the same builders into the session's FunctionRegistry.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "graft_dot takes exactly 2 array<float> arguments")
-        DotProduct(args.head, args(1))
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("graft_hash_array"),
-      new ExpressionInfo(classOf[HashArray].getName, "graft_hash_array"),
-      (args: Seq[Expression]) => {
-        require(args.length == 3,
-          "graft_hash_array takes (array<string>, suffix, nibbles)")
-        HashArray(args(0), args(1), args(2))
-      }))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
 }

@@ -11,10 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS); Spark 4 rejects it unless
-      // read as Long (nanos since epoch) — Common.events normalizes to µs.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Deliberately NO spark.sql.extensions and NO nanosAsLong flag: this
+      // is the "external driver with a vanilla session" posture — graft_*
+      // functions self-register at query time (GraftFunctions.ensure) and
+      // events reads via an explicit schema (Common.eventsSchema).
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object LlmOps {
 
+  /** Runtime fallback registration of graft_dot/graft_hash_array, so these
+    * operators work on any session — not only ones built with
+    * spark.sql.extensions=graft.GraftExtensions. No-op once registered.
+    */
+  private def ensureFns(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensure(df.sparkSession)
+    df
+  }
+
   /** Portable 60-bit hash of a SQL string expression with a seed expression:
     * first 15 hex chars of md5 → BIGINT. Collision prob ~2^-60 per pair.
     */
@@ -60,7 +69,7 @@ object LlmOps {
     * a_j·h < 2^52 — exact in int64 on every engine.
     */
   def withMinhashSig(df: DataFrame, k: Int): DataFrame =
-    df.withColumn("sh32", expr("graft_hash_array(shingles, '', 8)"))
+    ensureFns(df).withColumn("sh32", expr("graft_hash_array(shingles, '', 8)"))
       .withColumn("sig", expr(
         s"""transform(sequence(0, ${k - 1}),
               j -> aggregate(sh32, 9223372036854775807L,
@@ -144,7 +153,7 @@ object LlmOps {
     * 32 bits keeps birthday collisions negligible at the test corpus size.
     */
   def withSimhash(df: DataFrame): DataFrame =
-    df.withColumn("hs", expr("graft_hash_array(words, ':sim', 15)"))
+    ensureFns(df).withColumn("hs", expr("graft_hash_array(words, ':sim', 15)"))
       // Single pass over hs with an array-of-votes accumulator. hs appears
       // exactly once, as an aggregate ARGUMENT (evaluated once per row) —
       // a per-bit formulation would reference hs inside the bit lambda and,
@@ -190,7 +199,7 @@ object LlmOps {
     * embeddingNearDups.
     */
   def cosineTopK(embeddings: DataFrame, query: DataFrame, k: Int): DataFrame =
-    embeddings.crossJoin(broadcast(query.select(col("embedding").as("q"))))
+    ensureFns(embeddings).crossJoin(broadcast(query.select(col("embedding").as("q"))))
       .select(col("vec_id"), col("label"), cosine("embedding", "q").as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
@@ -202,7 +211,7 @@ object LlmOps {
     * three (HOF evaluation is interpreted — per-pair work is the budget).
     */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    val e = ensureFns(embeddings).select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("nrm", sqrt(dot("embedding", "embedding")))
       .persist()
     e.as("x").join(e.as("y"),
@@ -316,7 +325,8 @@ object LlmOps {
     * the classic accuracy/cost dial: nprobe=cells gives brute force,
     * nprobe=1 the cheapest search.
     */
-  def ivfSearch(emb: DataFrame, query: DataFrame, nprobe: Int, k: Int): DataFrame = {
+  def ivfSearch(emb0: DataFrame, query: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val emb = ensureFns(emb0)
     val q = query.select(col("embedding").as("qv"))
     val probed = ivfCentroids(emb).crossJoin(broadcast(q))
       .select(col("label"),
@@ -335,7 +345,7 @@ object LlmOps {
     * a minhash fingerprint.
     */
   def textStats(docs: DataFrame): DataFrame =
-    withShingles(withWords(docs))
+    withShingles(withWords(ensureFns(docs)))
       .withColumn("n_tokens", size(col("words")))
       .withColumn("n_tokens_re",
         size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)")))

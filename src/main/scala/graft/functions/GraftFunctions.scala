@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Single source of truth for graft's native SQL functions, shared by the
+  * two registration paths:
+  *
+  *  1. [[graft.GraftExtensions]] (SparkSessionExtensions) — the blessed
+  *     library-injection route for sessions built with
+  *     `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  *  2. [[ensure]] — a runtime fallback that registers straight into the
+  *     session's FunctionRegistry. Query closures call this before using
+  *     `expr("graft_dot(...)")` so an *external* driver that builds a plain
+  *     SparkSession (no extensions conf) still runs every query instead of
+  *     failing with "undefined function".
+  *
+  * Both routes install identical builders, so a session that went through
+  * the extensions path makes [[ensure]] a no-op (functionExists short-circuit).
+  */
+object GraftFunctions {
+
+  /** (name, info, builder) triples in SparkSessionExtensions.injectFunction
+    * shape — consumed verbatim by GraftExtensions and by [[ensure]].
+    */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot takes exactly 2 array<float|double> arguments")
+        DotProduct(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_hash_array"),
+      new ExpressionInfo(classOf[HashArray].getName, "graft_hash_array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_hash_array takes (array<string>, suffix, nibbles)")
+        HashArray(args(0), args(1), args(2))
+      }))
+
+  /** Idempotently register graft's functions in `spark`'s session-local
+    * FunctionRegistry. Safe to call per-query: the common case is one
+    * hashmap lookup per function. Synchronized so concurrent first callers
+    * on a shared session don't race the read-then-register.
+    */
+  def ensure(spark: SparkSession): Unit = synchronized {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    all.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident))
+        registry.registerFunction(ident, info, builder)
+    }
+  }
+}

@@ -12,14 +12,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * allocates a zipped array per row; this expression generates a tight
   * primitive loop inside whole-stage codegen.
   *
-  * Semantics match the HOF form exactly: each element is widened to double
-  * BEFORE multiply, accumulation runs in array order — so results are
-  * bit-identical to the `zip_with`/`aggregate` formulation and to the DuckDB
-  * oracle's `list_dot_product` on DOUBLE[] casts. Accepts float or double
-  * arrays on either side (IVF centroids are double, raw embeddings float).
+  * Semantics match the HOF form exactly, including the degenerate cases:
+  * each element is widened to double BEFORE multiply, accumulation runs in
+  * array order, mismatched lengths yield NULL (zip_with pads the short side
+  * with nulls, so the aggregate sum nulls out), and a null element on either
+  * side yields NULL. Results are bit-identical to the `zip_with`/`aggregate`
+  * formulation and to the DuckDB oracle's `list_dot_product` on DOUBLE[]
+  * casts. Accepts float or double arrays on either side (IVF centroids are
+  * double, raw embeddings float).
   *
-  * Registered as `graft_dot(a, b)` by [[graft.GraftExtensions]]
-  * (SparkSessionExtensions.injectFunction).
+  * Registered as `graft_dot(a, b)` by [[graft.GraftExtensions]] or at
+  * runtime by [[GraftFunctions.ensure]].
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,7 +41,14 @@ case class DotProduct(left: Expression, right: Expression)
         s"graft_dot requires array<float|double> args, got (${left.dataType}, ${right.dataType})")
     }
   override def dataType: DataType = DoubleType
+  // NULL also on length mismatch / null element, not only on null inputs
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
+
+  private def mayHaveNullElems: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+    case _ => true
+  }
 
   private def get(xs: ArrayData, i: Int, t: DataType): Double = t match {
     case FloatType => xs.getFloat(i).toDouble
@@ -48,11 +58,13 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     val (lt, rt) = (elemType(left).get, elemType(right).get)
-    val n = math.min(xs.numElements(), ys.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       acc += get(xs, i, lt) * get(ys, i, rt)
       i += 1
     }
@@ -70,13 +82,25 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val (lt, rt) = (elemType(left).get, elemType(right).get)
+      // element null checks only generated when the schema admits nulls —
+      // parquet embeddings are containsNull=false, so the hot loop stays
+      // branch-free
+      val nullCheck =
+        if (mayHaveNullElems)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${getter(lt, a, i)} * ${getter(rt, b, i)};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += ${getter(lt, a, i)} * ${getter(rt, b, i)};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -128,10 +152,12 @@ object HashOps {
   * `transform(arr, s -> conv(substr(md5(concat(s, suffix)), 1, nibbles), 16, 10))`
   * but evaluated natively: HOF lambdas interpret their body per element,
   * which dominates the LSH/simhash pipelines (per-element md5 through an
-  * interpreted expression tree).
+  * interpreted expression tree). Null elements hash to null, matching the
+  * `transform` formulation (concat propagates the null).
   *
   * suffix and nibbles must be foldable (they parameterize the generated
-  * code); 1 ≤ nibbles ≤ 15 keeps results positive in int64.
+  * code); both are validated at type-check time — suffix non-null and
+  * 1 ≤ nibbles ≤ 15 (which keeps results positive in int64).
   */
 case class HashArray(child: Expression, suffixExpr: Expression, nibblesExpr: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
@@ -142,14 +168,29 @@ case class HashArray(child: Expression, suffixExpr: Expression, nibblesExpr: Exp
   override def first: Expression = child
   override def second: Expression = suffixExpr
   override def third: Expression = nibblesExpr
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def childContainsNull: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = childContainsNull)
   override def prettyName: String = "graft_hash_array"
 
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, suffixExpr.dataType, nibblesExpr.dataType) match {
       case (ArrayType(StringType, _), StringType, IntegerType)
         if suffixExpr.foldable && nibblesExpr.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // both args are foldable constants — validate their values here so
+        // misuse fails at analysis, not as garbage hashes or an AIOOBE at
+        // execution (nibbles > 32 would index past the md5 digest; 16–32
+        // would silently overflow into negative space)
+        val nib = nibblesExpr.eval()
+        if (nib == null || nib.asInstanceOf[Int] < 1 || nib.asInstanceOf[Int] > 15)
+          TypeCheckResult.TypeCheckFailure(
+            s"graft_hash_array nibbles must be in [1, 15], got $nib")
+        else if (suffixExpr.eval() == null)
+          TypeCheckResult.TypeCheckFailure("graft_hash_array suffix must be non-null")
+        else TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         "graft_hash_array requires (array<string>, foldable string, foldable int)")
     }
@@ -158,26 +199,47 @@ case class HashArray(child: Expression, suffixExpr: Expression, nibblesExpr: Exp
     val xs = arr.asInstanceOf[ArrayData]
     val suf = suffix.asInstanceOf[UTF8String]
     val n = nibbles.asInstanceOf[Int]
-    val out = new Array[Long](xs.numElements())
-    var i = 0
-    while (i < out.length) {
-      out(i) = HashOps.md5Prefix(xs.getUTF8String(i), suf, n)
-      i += 1
+    if (!childContainsNull) {
+      val out = new Array[Long](xs.numElements())
+      var i = 0
+      while (i < out.length) {
+        out(i) = HashOps.md5Prefix(xs.getUTF8String(i), suf, n)
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](xs.numElements())
+      var i = 0
+      while (i < out.length) {
+        out(i) = if (xs.isNullAt(i)) null else HashOps.md5Prefix(xs.getUTF8String(i), suf, n)
+        i += 1
+      }
+      new GenericArrayData(out)
     }
-    new GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (arr, suf, nib) => {
       val i = ctx.freshName("i")
       val out = ctx.freshName("out")
-      s"""
-         |long[] $out = new long[$arr.numElements()];
-         |for (int $i = 0; $i < $out.length; $i++) {
-         |  $out[$i] = graft.functions.HashOps.md5Prefix($arr.getUTF8String($i), $suf, $nib);
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-       """.stripMargin
+      if (!childContainsNull)
+        // containsNull=false input: primitive long[] fast path
+        s"""
+           |long[] $out = new long[$arr.numElements()];
+           |for (int $i = 0; $i < $out.length; $i++) {
+           |  $out[$i] = graft.functions.HashOps.md5Prefix($arr.getUTF8String($i), $suf, $nib);
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      else
+        s"""
+           |Object[] $out = new Object[$arr.numElements()];
+           |for (int $i = 0; $i < $out.length; $i++) {
+           |  $out[$i] = $arr.isNullAt($i) ? null
+           |    : (Object) graft.functions.HashOps.md5Prefix($arr.getUTF8String($i), $suf, $nib);
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
     })
 
   override protected def withNewChildrenInternal(

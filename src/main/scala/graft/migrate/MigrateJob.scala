@@ -90,8 +90,25 @@ object MigrateJob {
 
   /** The narrow transform chain (no scan, no sink): everything between
     * CDM's read and write stages (docs/04-cdm-approach.md 3.2 §4).
+    *
+    * Stage order (and its two contracts):
+    * bucket slice → writetime filter → projection/exclusion → custom
+    * transformer → writetime increment. The custom [[Transformer]] sees the
+    * POST-projection schema — like CDM, where column selection is resolved
+    * before the row reaches the transform hook. Because the writetime
+    * increment runs last, a `columnsToTarget`/`columnsToExclude` set that
+    * drops `writetimeCol` is rejected up front (clear error instead of an
+    * AnalysisException deep in the chain) — CDM itself cannot write
+    * writetimes it no longer carries.
     */
   def transformOnly(df: DataFrame, cfg: Config, errors: Option[LongAccumulator] = None): DataFrame = {
+    for (wt <- cfg.writetimeCol) {
+      val droppedByProjection =
+        cfg.columnsToTarget.nonEmpty && !cfg.columnsToTarget.contains(wt)
+      require(!droppedByProjection && !cfg.columnsToExclude.contains(wt),
+        s"writetimeCol '$wt' is dropped by columnsToTarget/columnsToExclude; " +
+          "keep it in the projection or unset writetime handling")
+    }
     var out = df
     cfg.bucketRange.foreach { case (lo, hi) =>
       out = Ops.tokenRange(out, cfg.pkCols, cfg.tokenBuckets, lo, hi)

@@ -10,28 +10,54 @@ import org.apache.spark.sql.functions._
   *    and the oracle SQL carries the same ORDER BY;
   *  - aggregates over doubles are cast to DECIMAL *before* summing (decimal
   *    addition is exact and associative; double addition is order-dependent);
-  *  - `events.ts` is nanosecond-precision parquet which Spark truncates to
-  *    micros on read — any ts-derived output or sort key goes through
-  *    unix_micros (Spark) / epoch_us (DuckDB) so both engines see the same
-  *    int64.
+  *  - `events.ts` is nanosecond-precision parquet, read as raw int64 nanos
+  *    via an explicit schema ([[Common.eventsSchema]]) — any ts-derived
+  *    output or sort key goes through unix_micros (Spark) / epoch_us
+  *    (DuckDB) so both engines see the same int64.
   */
 object Common {
   type Q = (SparkSession, String) => DataFrame
 
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-
-  /** events with `ts` normalized. The parquet column is TIMESTAMP(NANOS),
-    * which Spark 4 only reads as a Long of nanos-since-epoch
-    * (spark.sql.legacy.parquet.nanosAsLong=true, set by Verify/Bench/tests).
-    * Exposes `ts_us` (epoch micros, matches DuckDB epoch_us(ts)) and `ts`
-    * re-typed as a µs TimestampType for window()/to_date(). `div` (integer
-    * division) — a double division would lose precision above 2^53 ns.
+  /** Every registry query reads tables through here, so this is also where
+    * the graft_* native functions get their runtime-registration fallback —
+    * an external driver with a plain SparkSession (no spark.sql.extensions
+    * conf) still resolves `expr("graft_dot(...)")` (one hashmap lookup per
+    * call once registered).
     */
-  def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events.parquet schema, declared explicitly because `ts` is
+    * TIMESTAMP(NANOS) — a parquet type Spark 4's schema inference rejects
+    * outright (PARQUET_TYPE_ILLEGAL) unless the session-wide
+    * spark.sql.legacy.parquet.nanosAsLong flag is set. Declaring `ts` as
+    * LongType reads the raw nanos int64 directly, with no session conf
+    * required — an external driver's vanilla SparkSession works as-is.
+    */
+  val eventsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // TIMESTAMP(NANOS) read as nanos-since-epoch
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
+
+  /** events with `ts` normalized: `ts_us` (epoch micros, matches DuckDB
+    * epoch_us(ts)) and `ts` re-typed as a µs TimestampType for
+    * window()/to_date(). `div` (integer division) — a double division would
+    * lose precision above 2^53 ns.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    s.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
 
   /** Epoch-micros of a TIMESTAMP_NTZ column (testdata dates are NTZ;
     * unix_micros only takes TIMESTAMP — with the session in UTC the cast is

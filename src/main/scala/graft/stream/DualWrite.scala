@@ -19,6 +19,8 @@ object DualWrite {
 
   /** T1/S7 batch form — one materialization, two sinks (the proxy sends
     * every write to both clusters, docs/05-zdm-approach.md:392-396).
+    * One-shot/ad-hoc use only: append is NOT replay-safe. The streaming
+    * path goes through [[dualWriteMicroBatch]], which is.
     */
   def dualWriteBatch(df: DataFrame, originPath: String, targetPath: String): Unit = {
     df.persist()
@@ -28,6 +30,23 @@ object DualWrite {
     } finally df.unpersist()
   }
 
+  /** Idempotent micro-batch dual-sink body: batch N lands in `batch=N`
+    * subdirectories with overwrite, so an at-least-once replay of the same
+    * batchId (foreachBatch's contract after a failure) REWRITES its own
+    * slice instead of appending duplicates — the "idempotent sink"
+    * assumption the LWW state eviction relies on holds for real. Readers
+    * `spark.read.parquet(originPath)` see the union of all batches plus a
+    * `batch` partition column (standard partition discovery).
+    */
+  def dualWriteMicroBatch(batch: DataFrame, batchId: Long,
+                          originPath: String, targetPath: String): Unit = {
+    batch.persist()
+    try {
+      batch.write.mode("overwrite").parquet(s"$originPath/batch=$batchId")
+      batch.write.mode("overwrite").parquet(s"$targetPath/batch=$batchId")
+    } finally batch.unpersist()
+  }
+
   /** T1 streaming form: micro-batch dual-sink via foreachBatch. */
   def dualWriteStream(stream: DataFrame, originPath: String, targetPath: String,
                       checkpoint: String,
@@ -35,8 +54,8 @@ object DualWrite {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        dualWriteBatch(batch, originPath, targetPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dualWriteMicroBatch(batch, batchId, originPath, targetPath)
       }
       .start()
 

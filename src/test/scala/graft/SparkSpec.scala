@@ -16,8 +16,10 @@ object SparkSpec {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.extensions", "graft.GraftExtensions")
+    // Vanilla session (no spark.sql.extensions, no nanosAsLong): the suite
+    // runs through the same runtime-fallback path an external driver hits.
+    // Specs that use graft_* outside the query registry call
+    // GraftFunctions.ensure themselves, as an external app would.
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

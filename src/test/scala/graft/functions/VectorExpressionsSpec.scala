@@ -5,6 +5,9 @@ import graft.SparkSpec
 
 class VectorExpressionsSpec extends SparkSpec {
   import spark.implicits._
+  // The suite session is vanilla (no spark.sql.extensions) — register the
+  // native functions the way an external app would.
+  GraftFunctions.ensure(spark)
 
   test("graft_dot matches the HOF formulation bit-for-bit") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
@@ -28,6 +31,40 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("graft_dot degenerate cases match the HOF formulation: mismatch + null elems") {
+    val hof = """aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)),
+                 cast(0.0 as double), (acc, v) -> acc + v)"""
+    // length mismatch: zip_with pads with null -> sum nulls out
+    val mism = Seq((Seq(1.0f, 2.0f), Seq(3.0f))).toDF("a", "b")
+      .select(expr("graft_dot(a, b)").as("native"), expr(hof).as("hof")).collect().head
+    assert(mism.isNullAt(0) && mism.isNullAt(1))
+    // null element on one side -> null, like the HOF form
+    val withNullElem = Seq((Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](3.0f, 4.0f)))
+      .toDF("a", "b")
+      .select(expr("graft_dot(a, b)").as("native"), expr(hof).as("hof")).collect().head
+    assert(withNullElem.isNullAt(0) && withNullElem.isNullAt(1))
+  }
+
+  test("graft_hash_array: null elements hash to null, like the transform form") {
+    val df = Seq(Seq[String]("abc", null, "xyz")).toDF("arr")
+    val cmp = df.select(
+      expr("graft_hash_array(arr, ':fp', 15)").as("native"),
+      expr("transform(arr, s -> cast(conv(substr(md5(concat(s, ':fp')), 1, 15), 16, 10) as bigint))").as("sql"))
+      .collect().head
+    assert(cmp.getSeq[Any](0) == cmp.getSeq[Any](1))
+    assert(cmp.getSeq[Any](0)(1) == null)
+  }
+
+  test("graft_hash_array rejects out-of-range nibbles at analysis time") {
+    val df = Seq(Seq("a")).toDF("arr")
+    for (bad <- Seq("0", "16", "33")) {
+      val e = intercept[Exception] {
+        df.select(expr(s"graft_hash_array(arr, '', $bad)")).collect()
+      }
+      assert(e.getMessage.contains("nibbles"), s"nibbles=$bad: ${e.getMessage.take(120)}")
+    }
+  }
+
   test("graft_hash_array matches the SQL md5/conv formulation, incl. unicode") {
     val df = Seq(Seq("abc", "", "héllo wörld", "a|b:c", "x")).toDF("arr")
     val cmp = df.select(
@@ -44,6 +81,24 @@ class VectorExpressionsSpec extends SparkSpec {
       .orderBy("id").collect()
     assert(out(0).getSeq[Long](1).isEmpty)
     assert(out(1).isNullAt(1))
+  }
+
+  test("GraftFunctions.ensure self-heals a session without the extensions conf") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    // simulate the external-driver session: functions absent
+    GraftFunctions.all.foreach { case (ident, _, _) => registry.dropFunction(ident) }
+    assert(!registry.functionExists(FunctionIdentifier("graft_dot")))
+    intercept[Exception] {
+      Seq((Seq(1.0f), Seq(1.0f))).toDF("a", "b")
+        .select(expr("graft_dot(a, b)")).collect()
+    }
+    GraftFunctions.ensure(spark)
+    val out = Seq((Seq(2.0f, 3.0f), Seq(4.0f, 5.0f))).toDF("a", "b")
+      .select(expr("graft_dot(a, b)").as("d")).collect()
+    assert(out.head.getDouble(0) == 23.0)
+    assert(registry.functionExists(FunctionIdentifier("graft_hash_array")))
   }
 
   test("graft_dot participates in whole-stage codegen") {

@@ -64,6 +64,32 @@ class MigrateJobSpec extends SparkSpec {
     assert(out.filter(col("o_orderstatus") =!= upper(col("o_orderstatus"))).count() == 0)
   }
 
+  test("projection that drops writetimeCol is rejected up front") {
+    val wt = orders.withColumn("writetime", lit(1000L))
+    // survives: increment applies
+    val ok = MigrateJob.transformOnly(wt, MigrateJob.Config(
+      pkCols = Seq("o_orderkey"),
+      columnsToTarget = Seq("o_orderkey", "writetime"),
+      writetimeCol = Some("writetime"), writetimeIncrementBy = 5L))
+    assert(ok.select(max(col("writetime"))).collect().head.getLong(0) == 1005L)
+    // dropped by projection: clear error, not an AnalysisException mid-chain
+    val e1 = intercept[IllegalArgumentException] {
+      MigrateJob.transformOnly(wt, MigrateJob.Config(
+        pkCols = Seq("o_orderkey"),
+        columnsToTarget = Seq("o_orderkey"),
+        writetimeCol = Some("writetime"), writetimeIncrementBy = 5L))
+    }
+    assert(e1.getMessage.contains("writetimeCol"))
+    // dropped by exclusion: same
+    val e2 = intercept[IllegalArgumentException] {
+      MigrateJob.transformOnly(wt, MigrateJob.Config(
+        pkCols = Seq("o_orderkey"),
+        columnsToExclude = Seq("writetime"),
+        writetimeCol = Some("writetime"), writetimeIncrementBy = 5L))
+    }
+    assert(e2.getMessage.contains("writetimeCol"))
+  }
+
   test("guardrail routes oversize rows to the error sink and counts them") {
     val dir = tmp()
     // ~everything serializes > 40 bytes except nothing — pick a mid threshold

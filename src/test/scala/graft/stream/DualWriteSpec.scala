@@ -38,6 +38,21 @@ class DualWriteSpec extends SparkSpec {
     assert(o.exceptAll(t).isEmpty)
   }
 
+  test("micro-batch replay with the same batchId does not duplicate rows") {
+    import spark.implicits._
+    val base = tmp()
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    DualWrite.dualWriteMicroBatch(b0, 0L, s"$base/origin", s"$base/target")
+    // at-least-once replay of batch 0 (e.g. driver died before checkpoint commit)
+    DualWrite.dualWriteMicroBatch(b0, 0L, s"$base/origin", s"$base/target")
+    DualWrite.dualWriteMicroBatch(Seq((3L, "c")).toDF("id", "v"),
+      1L, s"$base/origin", s"$base/target")
+    val o = spark.read.parquet(s"$base/origin")
+    assert(o.count() == 3, "replayed batch must overwrite, not append")
+    assert(o.select("batch").distinct().count() == 2)
+    assert(spark.read.parquet(s"$base/target").count() == 3)
+  }
+
   test("routedRead: DUAL returns primary plus a comparison report") {
     val orders = spark.read.parquet(s"${sf()}/orders.parquet")
     val (primary, cmp) = DualWrite.routedRead(DualWrite.Dual,
