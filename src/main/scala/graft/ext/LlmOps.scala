@@ -221,6 +221,56 @@ object LlmOps {
       .filter(col("cos") >= threshold)
   }
 
+  /** k-NN join: the top-k cosine neighbors of EVERY vector, restricted to
+    * its coarse bucket (cluster label) — the batch form of similarity
+    * search a dedup/retrieval pipeline runs corpus-wide, vs the single-
+    * query [[cosineTopK]]. One shuffle on the label to co-locate each cell,
+    * pairwise dots inside the cell only (never all-pairs across cells),
+    * then a per-source window to keep k. At 100 TB the label plays the IVF
+    * cell id: cells bound the quadratic term, and the window's partition
+    * key (a) is already co-located by the pair join's label shuffle.
+    */
+  def knnJoin(embeddings: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = ensureFns(embeddings).select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", sqrt(dot("embedding", "embedding")))
+      .persist()
+    val pairs = e.as("x").join(e.as("y"),
+        col("x.label") === col("y.label") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(dot("x.embedding", "y.embedding") / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
+    val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Winnowing document fingerprints (the MOSS scheme, Schleimer et al.
+    * SIGMOD'03): hash every char k-gram, then keep the minimum hash of each
+    * sliding window of `w` consecutive gram-hashes; the distinct window
+    * minima are the document's fingerprint set. Guarantees any shared
+    * substring of length ≥ k + w - 1 yields a shared fingerprint.
+    * Fixed here: k=5 (char 5-grams), w=4.
+    *
+    * Shapes: the gram hash runs through the codegen'd graft_hash_array; the
+    * sliding minima come from zip_with over four shifted slices — slices
+    * are HOF *arguments* (evaluated per row, not per element), so the work
+    * stays linear in text length (the element_at-in-lambda form would
+    * re-evaluate `hs` per window → quadratic). Narrow per-row map, no
+    * shuffle.
+    */
+  def withWinnowFingerprints(df: DataFrame): DataFrame =
+    ensureFns(df)
+      .withColumn("grams",
+        expr("transform(sequence(1, length(text) - 4), i -> substr(text, i, 5))"))
+      .withColumn("hs", expr("graft_hash_array(grams, ':wn', 15)"))
+      .withColumn("wins", expr(
+        """zip_with(
+             zip_with(slice(hs, 1, size(hs) - 3), slice(hs, 2, size(hs) - 3),
+                      (x, y) -> least(x, y)),
+             zip_with(slice(hs, 3, size(hs) - 3), slice(hs, 4, size(hs) - 3),
+                      (x, y) -> least(x, y)),
+             (p, q) -> least(p, q))"""))
+      .withColumn("fps", array_distinct(col("wins")))
+
   /** Connected components over candidate duplicate pairs: every doc gets
     * `cluster_id` = the smallest doc id reachable through pair edges (its
     * own id if unpaired). Label propagation to a fixpoint — each round is

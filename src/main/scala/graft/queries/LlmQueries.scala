@@ -147,6 +147,37 @@ object LlmQueries {
         e.filter(col("vec_id") === 0), nprobe = 2, k = 10)
     }),
 
+    // the end product of dedup: the surviving corpus — one canonical
+    // (min-id) doc per duplicate cluster, non-duplicates untouched
+    "dedup_corpus" -> ((s, d) => {
+      val docs = docsWithDups(t(s, d, "documents"))
+      val sh = LlmOps.shingleTable(docs, "doc_id")
+      val pairs = LlmOps.minhashCandidatesFrom(sh, "doc_id").persist()
+      val clusters =
+        LlmOps.duplicateClusters(docs.select(col("doc_id")), "doc_id", pairs)
+      docs.join(clusters, "doc_id")
+        .filter(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // k-NN join: top-3 neighbors of EVERY vector within its bucket (the
+    // corpus-wide batch form of similarity search; sim_search_topk is the
+    // single-query form)
+    "sim_knn_join" -> ((s, d) =>
+      LlmOps.knnJoin(t(s, d, "embeddings"), 3)
+        .orderBy(col("a"), col("rank"))),
+
+    // winnowing fingerprints (MOSS): per-doc fingerprint-set summary
+    "text_winnow" -> ((s, d) =>
+      LlmOps.withWinnowFingerprints(t(s, d, "documents"))
+        .select(col("doc_id"),
+          size(col("wins")).as("n_windows"),
+          size(col("fps")).as("n_fp"),
+          array_min(col("fps")).as("fp_min"),
+          array_max(col("fps")).as("fp_max"))
+        .orderBy(col("doc_id"))),
+
     // per-doc text analysis: token counts, stopword ratio, quality, lang
     // guess, minhash fingerprint
     "text_stats" -> ((s, d) =>
@@ -312,6 +343,59 @@ object LlmQueries {
           FROM docs d LEFT JOIN reach r ON r.x = d.doc_id
           GROUP BY d.doc_id
           ORDER BY d.doc_id""",
+    "dedup_corpus" ->
+      s"""WITH RECURSIVE docs AS ($docsDupSql),
+          $duckShingleCte,
+          $duckSigCte,
+          $duckBandCte,
+          cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                    FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+          undirected AS (SELECT a AS x, b AS y FROM cands
+                         UNION SELECT b AS x, a AS y FROM cands),
+          reach(x, y) AS (
+            SELECT x, y FROM undirected
+            UNION
+            SELECT r.x, u.y FROM reach r JOIN undirected u ON r.y = u.x),
+          clusters AS (
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS cluster_id
+            FROM docs d LEFT JOIN reach r ON r.x = d.doc_id
+            GROUP BY d.doc_id)
+          SELECT d.doc_id, d.lang, d.n_chars
+          FROM docs d JOIN clusters c ON d.doc_id = c.doc_id
+          WHERE c.doc_id = c.cluster_id
+          ORDER BY d.doc_id""",
+    "sim_knn_join" ->
+      """WITH p AS (
+           SELECT x.vec_id AS a, y.vec_id AS b,
+                  round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+                        / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))),
+                        6) AS cos
+           FROM embeddings x JOIN embeddings y
+             ON x.label = y.label AND x.vec_id <> y.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rank
+               FROM p)
+         SELECT a, b, cos, rank FROM r WHERE rank <= 3 ORDER BY a, rank""",
+    "text_winnow" ->
+      """WITH g AS (
+           SELECT doc_id,
+                  list_transform(generate_series(1, length(text) - 4),
+                                 i -> substr(text, i, 5)) AS grams
+           FROM documents),
+         h AS (SELECT doc_id,
+                      list_transform(grams,
+                        gm -> ('0x' || substr(md5(gm || ':wn'), 1, 15))::BIGINT) AS hs
+               FROM g),
+         w AS (SELECT doc_id, len(hs) - 3 AS n_windows,
+                      list_transform(generate_series(1, len(hs) - 3),
+                        j -> least(hs[j], hs[j+1], hs[j+2], hs[j+3])) AS wins
+               FROM h)
+         SELECT doc_id, n_windows,
+                len(list_distinct(wins)) AS n_fp,
+                list_min(list_distinct(wins)) AS fp_min,
+                list_max(list_distinct(wins)) AS fp_max
+         FROM w ORDER BY doc_id""",
     "text_stats" ->
       s"""WITH docs AS (SELECT * FROM documents),
           $duckShingleCte

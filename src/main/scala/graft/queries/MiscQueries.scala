@@ -28,10 +28,14 @@ object MiscQueries {
       df.write.mode("overwrite").parquet(s"$base/target")
       val o = s.read.parquet(s"$base/origin")
       val tg = s.read.parquet(s"$base/target")
+      // multiset parity needs only ONE exceptAll: |o| = |t| ∧ o∖t = ∅ ⟹
+      // t∖o = ∅ (equal cardinalities with one-sided containment), so the
+      // second full-table except pass is provably redundant
       o.agg(count(lit(1)).as("origin_rows"))
         .crossJoin(tg.agg(count(lit(1)).as("target_rows")))
-        .withColumn("parity",
-          lit(o.exceptAll(tg).isEmpty && tg.exceptAll(o).isEmpty))
+        .select(col("origin_rows"), col("target_rows"),
+          (col("origin_rows") === col("target_rows") &&
+            lit(o.exceptAll(tg).isEmpty)).as("parity"))
     }),
 
     // S9 — schema export (DESC KEYSPACE analog, 06-validation-monitoring.md:198-200):
@@ -113,6 +117,35 @@ object MiscQueries {
           graft.ext.MultimodalOps.toBinaryTable(t(s, d, "documents")))
         .orderBy(col("doc_id"))),
 
+    // multimodal frame sampling: every 2nd fixed-size (64-unit) frame of
+    // each payload, one output row per sampled frame with its digest — the
+    // video frame-sample analog, fully declarative (explode of a stride
+    // sequence; narrow, no shuffle)
+    "multimodal_frames" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          ceil(length(col("text")) / lit(64.0)).cast("int").as("n_frames"))
+        .select(col("doc_id"), col("n_frames"),
+          explode(expr("sequence(0, n_frames - 1, 2)")).as("frame_ix"), col("text"))
+        .select(col("doc_id"), col("n_frames"), col("frame_ix"),
+          md5(expr("substr(text, frame_ix * 64 + 1, 64)")).as("frame_md5"),
+          length(expr("substr(text, frame_ix * 64 + 1, 64)")).as("frame_chars"))
+        .orderBy(col("doc_id"), col("frame_ix"))),
+
+    // multimodal resize: average-pool each 64-dim embedding to 8 buckets
+    // (the thumbnail/downsample analog on the numeric grid), one row per
+    // (vector, bucket); pooling accumulates in double in array order so
+    // both engines agree bit-for-bit at round-6
+    "multimodal_resize" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(expr(
+          """transform(sequence(0, 7), j ->
+               round(aggregate(slice(embedding, j * 8 + 1, 8),
+                               cast(0.0 as double),
+                               (acc, v) -> acc + cast(v as double)) / 8.0, 6))"""))
+          .as(Seq("chunk", "pooled")))
+        .orderBy(col("vec_id"), col("chunk"))),
+
     // X3 — custom mergeable UDAF (typed Aggregator): stddev via a moments
     // sketch, grouped; rounded to absorb partial-merge float ordering
     "udaf_stddev" -> ((s, d) => {
@@ -162,6 +195,23 @@ object MiscQueries {
          FROM events
          WHERE epoch_us(ts) + CAST(floor(abs(value) * 10000) AS BIGINT) * 1000000 >= 1705536000000000
          ORDER BY event_id""",
+    "multimodal_frames" ->
+      """WITH f AS (SELECT doc_id, text,
+                           CAST(ceil(length(text) / 64.0) AS INTEGER) AS n_frames
+                    FROM documents)
+         SELECT doc_id, n_frames,
+                unnest(generate_series(0, n_frames - 1, 2)) AS frame_ix,
+                unnest(list_transform(generate_series(0, n_frames - 1, 2),
+                  ix -> md5(substr(text, ix * 64 + 1, 64)))) AS frame_md5,
+                unnest(list_transform(generate_series(0, n_frames - 1, 2),
+                  ix -> length(substr(text, ix * 64 + 1, 64)))) AS frame_chars
+         FROM f ORDER BY doc_id, frame_ix""",
+    "multimodal_resize" ->
+      """SELECT vec_id,
+                unnest(generate_series(0, 7)) AS chunk,
+                unnest(list_transform(generate_series(0, 7),
+                  j -> round(list_sum(embedding[j*8+1 : j*8+8]::DOUBLE[]) / 8.0, 6))) AS pooled
+         FROM embeddings ORDER BY vec_id, chunk""",
     "multimodal_decode" ->
       """SELECT doc_id,
                 strlen(text) AS n_bytes,

@@ -106,4 +106,39 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet == Set((1L, 2L)))
   }
+
+  test("knnJoin: every vector gets ≤k in-bucket neighbors ranked by cosine") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.1f), 0), (3L, Seq(0.0f, 1.0f), 0),
+      (4L, Seq(1.0f, 0.0f), 1)) // other bucket — must never pair with 1-3
+      .toDF("vec_id", "embedding", "label")
+    val out = LlmOps.knnJoin(e, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val byA = out.groupBy(_._1)
+    assert(!byA.contains(4L), "a singleton bucket has no neighbors")
+    // vector 1's nearest is 2 (cos ~0.995), then 3 (cos 0)
+    assert(byA(1L).sortBy(_._3).map(_._2).toSeq == Seq(2L, 3L))
+    // ranks are 1..k per source
+    byA.values.foreach(rs => assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq))
+  }
+
+  test("winnowing: shared substring of length >= k+w-1 shares a fingerprint") {
+    // k=5, w=4 → guarantee threshold is 8 chars; give the docs a long
+    // common run with different surroundings
+    val common = "abcdefghijklmnopqrstuvwxyz0123456789abcdefghij"
+    val d = docs(
+      1L -> s"XXXXXXXX$common",
+      2L -> s"YYYYYYYY$common",
+      3L -> "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")
+    val fps = LlmOps.withWinnowFingerprints(d)
+      .select(col("doc_id"), col("fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "docs sharing a 46-char run must share fingerprints")
+    assert((fps(1L) & fps(3L)).isEmpty, "disjoint docs must not share fingerprints")
+    // fingerprint count is far below gram count (that's the point of winnowing)
+    val n = LlmOps.withWinnowFingerprints(d)
+      .select(size(col("grams")).as("g"), size(col("fps")).as("f"))
+      .collect()
+    n.foreach(r => assert(r.getInt(1) < r.getInt(0) / 2))
+  }
 }
