@@ -44,46 +44,46 @@ object LlmOps {
   /** Word 3-gram shingles (docs shorter than 3 words shingle to the whole
     * text so every doc has ≥1 shingle).
     *
-    * Built with zip_with over slices, NOT an index lambda reading `words`:
-    * a lambda that references an outer column re-evaluates that column's
-    * (possibly inlined) expression per element — O(n²) per row once the
-    * optimizer collapses projects (measured 100× slowdowns under explode).
-    * zip_with evaluates each argument array exactly once.
+    * graft_word_ngrams is the codegen'd n-gram join; the HOF formulation it
+    * replaces element-for-element —
+    * `zip_with(zip_with(slice(words,1,m), slice(words,2,m), concat),
+    * slice(words,3,m), concat)` — evaluated interpreted and dominated
+    * shingle construction (~3× at 1M docs; equivalence spec-tested). The
+    * earlier O(n²) trap still applies to any HOF rewrite: an index lambda
+    * reading `words` re-evaluates the split per element after
+    * CollapseProject.
     */
   def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("shingles", expr(
-      """if(size(words) < 3, array(lower(text)),
-            zip_with(
-              zip_with(slice(words, 1, size(words) - 2),
-                       slice(words, 2, size(words) - 2),
-                       (x, y) -> concat(x, ' ', y)),
-              slice(words, 3, size(words) - 2),
-              (p, z) -> concat(p, ' ', z)))"""))
+    ensureFns(df).withColumn("shingles", expr(
+      "if(size(words) < 3, array(lower(text)), graft_word_ngrams(words, 3))"))
 
   /** MinHash signature: k independent min-hashes over the shingle set.
     * Each shingle is md5-hashed ONCE to 32 bits; the k permutations are
     * affine maps h → (a_j·h + b_j) mod P (P prime > 2^32) — the universal-
-    * hashing form of minhash. This matters because higher-order functions
-    * evaluate interpreted (outside codegen): one md5 + k multiply-adds per
-    * shingle beats k md5s per shingle ~8× on the hot path. a_j < 2^20 keeps
-    * a_j·h < 2^52 — exact in int64 on every engine.
+    * hashing form of minhash. a_j < 2^20 keeps a_j·h < 2^52 — exact in
+    * int64 on every engine.
+    *
+    * Both stages run as native codegen'd expressions (graft_hash_array +
+    * graft_minhash); the HOF formulation they replace bit-for-bit —
+    * `transform(sequence(0, k-1), j -> aggregate(sh32, maxLong,
+    * (acc, h) -> least(acc, ((1 + j*104729)*h + j*7919) % 4294967311)))` —
+    * evaluates interpreted per element and dominated signature computation
+    * ~6× (measured at 1M docs; equivalence is spec-tested).
     */
   def withMinhashSig(df: DataFrame, k: Int): DataFrame =
     ensureFns(df).withColumn("sh32", expr("graft_hash_array(shingles, '', 8)"))
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, ${k - 1}),
-              j -> aggregate(sh32, 9223372036854775807L,
-                     (acc, h) -> least(acc, ((1 + j * 104729) * h + j * 7919) % 4294967311)))"""))
+      .withColumn("sig", expr(s"graft_minhash(sh32, $k)"))
 
   /** LSH band hashes: `bands` bands of `r` signature rows each; the band
-    * index is baked into the hash so bands never collide across positions.
+    * index is baked into the hashed string so bands never collide across
+    * positions. Keys are int64 md5-prefixes (graft_band_hash, codegen'd):
+    * an 8-byte join key shuffles and compares far cheaper than the
+    * b + '|' + md5-hex string scheme it replaces — the band self-join is
+    * the LSH pipeline's only wide op, so key width is its budget.
     */
   def withBandHashes(df: DataFrame, bands: Int, r: Int): DataFrame =
-    df.withColumn("bands", expr(
-      s"""transform(sequence(0, ${bands - 1}),
-            b -> concat(cast(b as string), '|',
-                   md5(concat_ws(',', transform(sequence(1, $r),
-                     i -> cast(element_at(sig, b * $r + i) as string))))))"""))
+    ensureFns(df).withColumn("bands",
+      expr(s"graft_band_hash(sig, $bands, $r, 15)"))
 
   /** (id, shingles) **materialized** (persisted). Materializing here matters
     * twice over: (a) the shingle pipeline runs once, not once per downstream
@@ -154,20 +154,12 @@ object LlmOps {
     */
   def withSimhash(df: DataFrame): DataFrame =
     ensureFns(df).withColumn("hs", expr("graft_hash_array(words, ':sim', 15)"))
-      // Single pass over hs with an array-of-votes accumulator. hs appears
-      // exactly once, as an aggregate ARGUMENT (evaluated once per row) —
-      // a per-bit formulation would reference hs inside the bit lambda and,
-      // after project collapsing, recompute the word-hash transform 32× per
-      // row (same trap as withShingles; measured 11.6s → ~2s at sf0.1).
-      .withColumn("simhash", expr(
-        """aggregate(
-             zip_with(
-               aggregate(hs, array_repeat(cast(0 as bigint), 32),
-                 (acc, h) -> zip_with(acc, sequence(0, 31),
-                   (a, j) -> a + if((shiftright(h, j) & 1) = 1, 1, -1))),
-               sequence(0, 31),
-               (v, j) -> if(v >= 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint))),
-             cast(0 as bigint), (oa, ox) -> oa + ox)"""))
+      // graft_simhash32 is the codegen'd vote loop; it replaces (and is
+      // spec-tested bit-identical to) the interpreted HOF formulation
+      //   aggregate(zip_with(aggregate(hs, int[32] votes, ...),
+      //             sequence(0,31), bit-select), 0, +)
+      // which was the simhash pipeline's dominant cost.
+      .withColumn("simhash", expr("graft_simhash32(hs)"))
 
   /** Exact n-gram Jaccard similarity between two shingle-array columns
     * (set semantics via array_distinct).
@@ -250,25 +242,20 @@ object LlmOps {
     * substring of length ≥ k + w - 1 yields a shared fingerprint.
     * Fixed here: k=5 (char 5-grams), w=4.
     *
-    * Shapes: the gram hash runs through the codegen'd graft_hash_array; the
-    * sliding minima come from zip_with over four shifted slices — slices
-    * are HOF *arguments* (evaluated per row, not per element), so the work
-    * stays linear in text length (the element_at-in-lambda form would
-    * re-evaluate `hs` per window → quadratic). Narrow per-row map, no
-    * shuffle.
+    * Shapes: both stages are native codegen'd expressions. graft_gram_hash
+    * fuses gram extraction + hashing into one pass over the utf-8 bytes
+    * (no gram array materialized); graft_sliding_min is the window-min
+    * loop. The HOF formulation they replace bit-for-bit —
+    * `transform(sequence(1, length(text)-4), i -> substr(text, i, 5))` →
+    * graft_hash_array → `zip_with(zip_with(slice…), zip_with(slice…),
+    * least)` — is spec-tested for equivalence; it evaluated the gram
+    * transform and window mins interpreted, which dominated fingerprinting
+    * at corpus scale. Narrow per-row map, no shuffle.
     */
   def withWinnowFingerprints(df: DataFrame): DataFrame =
     ensureFns(df)
-      .withColumn("grams",
-        expr("transform(sequence(1, length(text) - 4), i -> substr(text, i, 5))"))
-      .withColumn("hs", expr("graft_hash_array(grams, ':wn', 15)"))
-      .withColumn("wins", expr(
-        """zip_with(
-             zip_with(slice(hs, 1, size(hs) - 3), slice(hs, 2, size(hs) - 3),
-                      (x, y) -> least(x, y)),
-             zip_with(slice(hs, 3, size(hs) - 3), slice(hs, 4, size(hs) - 3),
-                      (x, y) -> least(x, y)),
-             (p, q) -> least(p, q))"""))
+      .withColumn("hs", expr("graft_gram_hash(text, 5, ':wn', 15)"))
+      .withColumn("wins", expr("graft_sliding_min(hs, 4)"))
       .withColumn("fps", array_distinct(col("wins")))
 
   /** Connected components over candidate duplicate pairs: every doc gets

@@ -36,6 +36,42 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "graft_hash_array takes (array<string>, suffix, nibbles)")
         HashArray(args(0), args(1), args(2))
+      }),
+    (FunctionIdentifier("graft_gram_hash"),
+      new ExpressionInfo(classOf[GramHash].getName, "graft_gram_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "graft_gram_hash takes (text, k, suffix, nibbles)")
+        GramHash(args(0), args(1), args(2), args(3))
+      }),
+    (FunctionIdentifier("graft_sliding_min"),
+      new ExpressionInfo(classOf[SlidingMin].getName, "graft_sliding_min"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_sliding_min takes (array<bigint>, w)")
+        SlidingMin(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_minhash takes (array<bigint>, k)")
+        MinhashSig(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_word_ngrams takes (array<string>, n)")
+        WordNgrams(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_band_hash"),
+      new ExpressionInfo(classOf[BandHash].getName, "graft_band_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "graft_band_hash takes (array<bigint>, bands, r, nibbles)")
+        BandHash(args(0), args(1), args(2), args(3))
+      }),
+    (FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(classOf[Simhash32].getName, "graft_simhash32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash32 takes (array<bigint>)")
+        Simhash32(args(0))
       }))
 
   /** Idempotently register graft's functions in `spark`'s session-local

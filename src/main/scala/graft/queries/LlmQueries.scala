@@ -70,11 +70,13 @@ object LlmQueries {
                           h -> ((1 + j * 104729) * h + j * 7919) % 4294967311))) AS sig
                FROM sh)"""
 
+  // int64 band keys mirroring graft_band_hash: md5-prefix-15 of
+  // "b|s(b*2+1),s(b*2+2)" over decimal renderings
   private val duckBandCte =
     """bands AS (SELECT doc_id,
                   unnest(list_transform([0, 1, 2, 3],
-                    b -> b::VARCHAR || '|' ||
-                         md5(sig[b*2+1]::VARCHAR || ',' || sig[b*2+2]::VARCHAR))) AS band
+                    b -> ('0x' || substr(md5(b::VARCHAR || '|' ||
+                           sig[b*2+1]::VARCHAR || ',' || sig[b*2+2]::VARCHAR), 1, 15))::BIGINT)) AS band
                 FROM sig)"""
 
   val qs: Map[String, Q] = Map(

@@ -137,7 +137,7 @@ class LlmOpsSpec extends SparkSpec {
     assert((fps(1L) & fps(3L)).isEmpty, "disjoint docs must not share fingerprints")
     // fingerprint count is far below gram count (that's the point of winnowing)
     val n = LlmOps.withWinnowFingerprints(d)
-      .select(size(col("grams")).as("g"), size(col("fps")).as("f"))
+      .select(size(col("hs")).as("g"), size(col("fps")).as("f"))
       .collect()
     n.foreach(r => assert(r.getInt(1) < r.getInt(0) / 2))
   }

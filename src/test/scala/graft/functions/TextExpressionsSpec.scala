@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The four text-pipeline expressions are drop-in replacements for HOF
+  * formulations that also back the DuckDB oracles — each test pins the
+  * native result to its HOF twin bit-for-bit, so oracle parity is
+  * transitive.
+  */
+class TextExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+  GraftFunctions.ensure(spark)
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "héllo wörld — unicode grams: ño, ü, 漢字 here",
+    "tiny",          // shorter than k=5 → no grams
+    "exact", "12345678")
+
+  test("graft_gram_hash equals transform(substr) + graft_hash_array, incl. unicode") {
+    // texts with ≥ k chars: the HOF twin itself misbehaves below k because
+    // sequence(1, 0) DESCENDS — the native form defines that case as empty
+    val df = texts.filter(_.length >= 5).toDF("text")
+    val cmp = df.select(
+      expr("graft_gram_hash(text, 5, ':wn', 15)").as("native"),
+      expr("""graft_hash_array(
+                transform(sequence(1, length(text) - 4),
+                          i -> substr(text, i, 5)), ':wn', 15)""").as("hof"))
+      .collect()
+    cmp.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // shorter than k ⇒ empty gram set (no descending-sequence artifact)
+    val short = Seq("tiny").toDF("text")
+      .select(expr("graft_gram_hash(text, 5, '', 8)").as("g")).collect()
+    assert(short.head.getSeq[Long](0).isEmpty)
+  }
+
+  test("graft_sliding_min equals the zip_with-over-shifted-slices form") {
+    val df = Seq(
+      Seq(5L, 3L, 8L, 1L, 9L, 2L, 7L),
+      Seq(1L, 2L, 3L, 4L),
+      Seq(4L, 3L, 2L),    // shorter than w → empty
+      Seq.empty[Long])
+      .toDF("hs")
+    val cmp = df.select(
+      expr("graft_sliding_min(hs, 4)").as("native"),
+      expr("""zip_with(
+                zip_with(slice(hs, 1, greatest(size(hs) - 3, 0)),
+                         slice(hs, 2, greatest(size(hs) - 3, 0)), (x, y) -> least(x, y)),
+                zip_with(slice(hs, 3, greatest(size(hs) - 3, 0)),
+                         slice(hs, 4, greatest(size(hs) - 3, 0)), (x, y) -> least(x, y)),
+                (p, q) -> least(p, q))""").as("hof"))
+      .collect()
+    cmp.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    assert(cmp(0).getSeq[Long](0) == Seq(1L, 1L, 1L, 1L))
+  }
+
+  test("graft_minhash equals the transform-of-aggregates affine form") {
+    val df = Seq(
+      Seq(123456L, 987654L, 42L, 4294967295L),
+      Seq(7L),
+      Seq.empty[Long])   // empty → Long.MaxValue per band
+      .toDF("sh32")
+    val cmp = df.select(
+      expr("graft_minhash(sh32, 8)").as("native"),
+      expr("""transform(sequence(0, 7),
+                j -> aggregate(sh32, 9223372036854775807L,
+                       (acc, h) -> least(acc, ((1 + j * 104729) * h + j * 7919) % 4294967311)))""")
+        .as("hof"))
+      .collect()
+    cmp.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    assert(cmp(2).getSeq[Long](0).forall(_ == Long.MaxValue))
+  }
+
+  test("graft_simhash32 equals the vote-aggregate form") {
+    val df = Seq(
+      Seq(0xFFFFFFFFL, 0x0L, 0xAAAAAAAAL),
+      Seq(1L, 3L, 7L),
+      Seq.empty[Long])   // zero votes → all bits "≥ 0" → all 32 bits set
+      .toDF("hs")
+    val cmp = df.select(
+      expr("graft_simhash32(hs)").as("native"),
+      expr("""aggregate(
+                zip_with(
+                  aggregate(hs, array_repeat(cast(0 as bigint), 32),
+                    (acc, h) -> zip_with(acc, sequence(0, 31),
+                      (a, j) -> a + if((shiftright(h, j) & 1) = 1, 1, -1))),
+                  sequence(0, 31),
+                  (v, j) -> if(v >= 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint))),
+                cast(0 as bigint), (oa, ox) -> oa + ox)""").as("hof"))
+      .collect()
+    cmp.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(cmp(2).getLong(0) == 0xFFFFFFFFL)
+  }
+
+  test("graft_word_ngrams equals the zip_with-concat chain; null word nulls its grams") {
+    val df = Seq(
+      Seq("the", "quick", "brown", "fox"),
+      Seq("a", "b", "c"),
+      Seq("too", "short"),
+      Seq.empty[String]).toDF("words")
+    val cmp = df.select(
+      expr("graft_word_ngrams(words, 3)").as("native"),
+      expr("""zip_with(
+                zip_with(slice(words, 1, greatest(size(words) - 2, 0)),
+                         slice(words, 2, greatest(size(words) - 2, 0)),
+                         (x, y) -> concat(x, ' ', y)),
+                slice(words, 3, greatest(size(words) - 2, 0)),
+                (p, z) -> concat(p, ' ', z))""").as("hof"))
+      .collect()
+    cmp.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    assert(cmp(0).getSeq[String](0) == Seq("the quick brown", "quick brown fox"))
+    assert(cmp(2).getSeq[String](0).isEmpty)
+    val withNull = Seq(Seq[String]("a", null, "c", "d")).toDF("words")
+      .select(expr("graft_word_ngrams(words, 3)").as("g")).collect().head.getSeq[Any](0)
+    assert(withNull == Seq(null, null)) // both windows touch the null word
+  }
+
+  test("graft_band_hash equals the md5-prefix SQL formulation") {
+    val df = Seq(Seq(123456789L, 42L, 4294967295L, 0L, 7L, 8L, 99L, 100L))
+      .toDF("sig")
+    val cmp = df.select(
+      expr("graft_band_hash(sig, 4, 2, 15)").as("native"),
+      expr("""transform(sequence(0, 3),
+                b -> cast(conv(substr(md5(concat(
+                       cast(b as string), '|',
+                       cast(element_at(sig, b * 2 + 1) as string), ',',
+                       cast(element_at(sig, b * 2 + 2) as string))), 1, 15), 16, 10) as bigint))""")
+        .as("hof"))
+      .collect().head
+    assert(cmp.getSeq[Long](0) == cmp.getSeq[Long](1))
+    // distinct bands produce distinct keys even over equal signature slices
+    val eq = Seq(Seq(5L, 5L, 5L, 5L)).toDF("sig")
+      .select(expr("graft_band_hash(sig, 2, 2, 15)").as("b")).collect().head.getSeq[Long](0)
+    assert(eq.distinct.length == 2)
+  }
+
+  test("new expressions run inside whole-stage codegen") {
+    // parquet-backed input so the projection can't constant-fold away
+    val plan = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(expr("graft_sliding_min(graft_gram_hash(text, 5, '', 8), 4)").as("w"))
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[graft_sliding_min\(graft_gram_hash""".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("validation: bad k / w / nibbles fail at analysis") {
+    val df = Seq("abc").toDF("text")
+    intercept[Exception] { df.select(expr("graft_gram_hash(text, 0, '', 8)")).collect() }
+    intercept[Exception] { df.select(expr("graft_gram_hash(text, 3, '', 99)")).collect() }
+    val arr = Seq(Seq(1L, 2L)).toDF("a")
+    intercept[Exception] { arr.select(expr("graft_sliding_min(a, 0)")).collect() }
+    intercept[Exception] { arr.select(expr("graft_minhash(a, 0)")).collect() }
+  }
+}
