@@ -8,12 +8,35 @@ import graft.queries.{DiffQueries, LlmQueries}
   */
 class PlanAuditSpec extends SparkSpec {
   test("audit: key plans contain no cartesian products or unexpected sorts") {
-    for (name <- Seq("diff_full_outer", "dedup_minhash", "sim_search_topk")) {
+    for (name <- Seq("diff_full_outer", "dedup_minhash", "sim_search_topk",
+                     "sim_knn_join", "dedup_corpus")) {
       val plan = (DiffQueries.qs ++ LlmQueries.qs)(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin") || name == "sim_search_topk",
         s"$name has a nested-loop join:\n$plan")
     }
+  }
+
+  test("audit: winnow evaluates the gram-hash array exactly once") {
+    // CollapseProject must not duplicate the expensive multi-referenced
+    // array (regression guard for the O(n×refs) inlining trap)
+    val plan = LlmQueries.qs("text_winnow")(spark, sf())
+      .queryExecution.optimizedPlan.toString
+    val n = "graft_gram_hash".r.findAllIn(plan).length
+    assert(n == 1, s"expected one graft_gram_hash occurrence, got $n:\n$plan")
+  }
+
+  test("audit: LSH band join key is int64, not string") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val sh = graft.ext.LlmOps.shingleTable(docs, "doc_id")
+    try {
+      val banded = graft.ext.LlmOps.bandedSignatures(sh, "doc_id")
+      assert(banded.schema("band").dataType ==
+        org.apache.spark.sql.types.LongType,
+        "the LSH self-join key must be an 8-byte integer, not a hex string")
+      assert(banded.select(col("band")).distinct().count() > 1)
+    } finally { sh.unpersist(); () }
   }
 }
