@@ -50,6 +50,33 @@ object JoinQueries {
         .orderBy(col("p_id"))
     }),
 
+    // J7b (extension) — interval join via time-bucketing: for each purchase,
+    // count same-user events in the hour after it. A naive range join plans
+    // as a nested loop (quadratic per user at scale); bucketing the window
+    // start into hour cells and exploding each probe into the ≤2 cells its
+    // window can span turns it into a plain equi-join on (user, bucket) —
+    // one shuffle, linear in matches. The range predicate rides inside the
+    // join condition so left-outer semantics keep 0-match purchases.
+    "join_range_bucketed" -> ((s, d) => {
+      val hourUs = 3600000000L
+      val e = events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts_us").as("p_ts"))
+        .withColumn("p_bucket", explode(array(
+          expr("p_ts div 3600000000"), expr("p_ts div 3600000000 + 1"))))
+      val follows = e.select(col("event_id").as("e_id"),
+          col("user_id").as("e_user"), col("ts_us").as("e_ts"))
+        .withColumn("e_bucket", expr("e_ts div 3600000000"))
+      purchases.join(follows,
+          col("p_user") === col("e_user") && col("p_bucket") === col("e_bucket") &&
+            col("e_ts") >= col("p_ts") && col("e_ts") <= col("p_ts") + hourUs &&
+            col("e_id") =!= col("p_id"), "left_outer")
+        .groupBy(col("p_id"))
+        .agg(count(col("e_id")).as("n_following"))
+        .orderBy(col("p_id"))
+    }),
+
     // S10 — seeded synthetic generator (generate_data.py:29-158): names from
     // pools, bounded randoms, derived email — all functions of the row id,
     // so no RNG at query time and the oracle reproduces every value.
@@ -106,6 +133,14 @@ object JoinQueries {
           AND c.event_type = 'click'
          WHERE p.event_type = 'purchase'
          GROUP BY 1, 2, 3 ORDER BY p_id""",
+    "join_range_bucketed" ->
+      """SELECT p.event_id AS p_id, count(e.event_id) AS n_following
+         FROM events p LEFT JOIN events e
+           ON e.user_id = p.user_id AND e.event_id <> p.event_id
+          AND epoch_us(e.ts) >= epoch_us(p.ts)
+          AND epoch_us(e.ts) <= epoch_us(p.ts) + 3600000000
+         WHERE p.event_type = 'purchase'
+         GROUP BY 1 ORDER BY p_id""",
     "gen_users" ->
       """SELECT id AS user_id,
                 (['john','jane','bob','alice','carol'])[(id % 5 + 1)::INT] AS first_name,

@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.SparkSpec
-import graft.queries.{DiffQueries, LlmQueries}
+import graft.queries.{DiffQueries, JoinQueries, LlmQueries}
 
 /** Prints formatted plans for the expensive queries (manual audit aid;
   * assertions live in PlanSpec).
@@ -9,8 +9,8 @@ import graft.queries.{DiffQueries, LlmQueries}
 class PlanAuditSpec extends SparkSpec {
   test("audit: key plans contain no cartesian products or unexpected sorts") {
     for (name <- Seq("diff_full_outer", "dedup_minhash", "sim_search_topk",
-                     "sim_knn_join", "dedup_corpus")) {
-      val plan = (DiffQueries.qs ++ LlmQueries.qs)(name)(spark, sf())
+                     "sim_knn_join", "dedup_corpus", "join_range_bucketed")) {
+      val plan = (DiffQueries.qs ++ LlmQueries.qs ++ JoinQueries.qs)(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin") || name == "sim_search_topk",
