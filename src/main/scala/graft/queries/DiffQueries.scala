@@ -68,6 +68,20 @@ object DiffQueries {
         .limit(100)
     }),
 
+    // J2/J3 writeback product — autocorrect (docs/04-cdm-approach.md:358-369):
+    // the corrected target after re-inserting missing rows and resolving
+    // mismatches by LWW; target-only rows kept (CDM never deletes, :367)
+    "autocorrect_merge" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      val o = ord.withColumn("writetime", usOf(col("o_orderdate")))
+      val tw = ordersTwin(ord)
+        .withColumn("writetime",
+          usOf(col("o_orderdate")) +
+            when(col("o_orderkey") % 89 === 0, lit(1L)).otherwise(lit(0L)))
+      Diff.autocorrect(o, tw, ordPk, Seq("o_totalprice"), "writetime")
+        .orderBy(col("o_orderkey"))
+    }),
+
     // T3 — last-write-wins merge of origin+target versions; mutated target
     // rows carry a newer writetime and must win (docs/04-cdm-approach.md:837-841)
     "lww_merge" -> ((s, d) => {
@@ -145,6 +159,22 @@ object DiffQueries {
           md5(${parts.mkString(" || ")}) AS row_md5
           FROM orders ORDER BY o_orderkey LIMIT 100"""
     },
+    "autocorrect_merge" ->
+      s"""WITH twin AS ($twinSql),
+          versions AS (
+            SELECT o_orderkey, o_totalprice,
+                   epoch_us(o_orderdate) AS writetime, 0 AS src FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_totalprice,
+                   epoch_us(o_orderdate) + CASE WHEN o_orderkey % 89 = 0 THEN 1 ELSE 0 END AS writetime,
+                   1 AS src FROM twin),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                         ORDER BY writetime DESC, src DESC) AS rn
+            FROM versions)
+          SELECT o_orderkey, o_totalprice, writetime
+          FROM ranked WHERE rn = 1
+          ORDER BY o_orderkey""",
     "lww_merge" ->
       s"""WITH twin AS ($twinSql),
           versions AS (

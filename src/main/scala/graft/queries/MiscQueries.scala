@@ -28,14 +28,21 @@ object MiscQueries {
       df.write.mode("overwrite").parquet(s"$base/target")
       val o = s.read.parquet(s"$base/origin")
       val tg = s.read.parquet(s"$base/target")
-      // multiset parity needs only ONE exceptAll: |o| = |t| ∧ o∖t = ∅ ⟹
-      // t∖o = ∅ (equal cardinalities with one-sided containment), so the
-      // second full-table except pass is provably redundant
-      o.agg(count(lit(1)).as("origin_rows"))
-        .crossJoin(tg.agg(count(lit(1)).as("target_rows")))
+      // Parity check the way the reference validates (count gate + row-hash
+      // compare, 06-validation-monitoring.md:36-151), made scale-safe: an
+      // order-independent multiset fingerprint — count + exact decimal SUM
+      // of per-row xxhash64 (int64 sum would overflow under ANSI) — needs
+      // only a narrow scan + 1-row agg per side. The exceptAll formulation
+      // is exact but shuffles BOTH full tables; at 100 TB that is the whole
+      // job's cost. Collision probability ~2^-64 per comparison.
+      def fingerprint(df: org.apache.spark.sql.DataFrame, pfx: String) =
+        df.agg(count(lit(1)).as(s"${pfx}_rows"),
+          sum(xxhash64(df.columns.toIndexedSeq.map(col): _*)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"${pfx}_sum"))
+      fingerprint(o, "origin").crossJoin(fingerprint(tg, "target"))
         .select(col("origin_rows"), col("target_rows"),
           (col("origin_rows") === col("target_rows") &&
-            lit(o.exceptAll(tg).isEmpty)).as("parity"))
+            col("origin_sum") <=> col("target_sum")).as("parity"))
     }),
 
     // S9 — schema export (DESC KEYSPACE analog, 06-validation-monitoring.md:198-200):
