@@ -58,7 +58,20 @@ object Hashing {
     md5(concat(parts: _*))
   }
 
-  /** Engine-internal 64-bit row hash (whole-stage-codegen friendly). */
-  def fastRowHash(cols: Seq[String]): Column =
-    xxhash64(cols.sorted.map(col): _*)
+  /** Engine-internal 64-bit row hash (whole-stage-codegen friendly).
+    *
+    * Null columns are a structural trap: Spark's xxhash64 SKIPS null
+    * children (the running seed passes through unchanged), so without
+    * anchoring, rows that differ only in WHICH column holds a null hash
+    * identically with probability 1 — e.g. (a="x", b=null) vs (a=null,
+    * b="x"). Interleaving each column with its ordinal literal pins every
+    * value to its position: the ordinals always fold, so the two rows above
+    * fold [0, "x", 1] vs [0, 1, "x"] and diverge.
+    */
+  def fastRowHash(cols: Seq[String]): Column = {
+    val anchored = cols.sorted.zipWithIndex.flatMap {
+      case (c, i) => Seq(lit(i), col(c))
+    }
+    xxhash64(anchored: _*)
+  }
 }

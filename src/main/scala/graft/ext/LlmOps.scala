@@ -198,14 +198,14 @@ object LlmOps {
 
   /** Embedding near-duplicate pairs *within a coarse bucket* (here: the
     * cluster label — the IVF posture: compare only within a cell, shuffle on
-    * the bucket key, never all-pairs). Norms are precomputed per vector and
-    * the table persisted, so each pair costs one dot product instead of
-    * three (HOF evaluation is interpreted — per-pair work is the budget).
+    * the bucket key, never all-pairs). Norms are precomputed per vector on
+    * each join side, so each pair costs one dot product instead of three
+    * (no persist — one extra norm pass per side beats leaving cached state
+    * behind).
     */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
     val e = ensureFns(embeddings).select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("nrm", sqrt(dot("embedding", "embedding")))
-      .persist()
     e.as("x").join(e.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
@@ -224,9 +224,11 @@ object LlmOps {
     */
   def knnJoin(embeddings: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // norms are attached per SIDE (each side recomputes its own — one
+    // 64-mult pass per vector, trivial next to the pairwise stage); no
+    // persist, so the operator leaves no cached state behind
     val e = ensureFns(embeddings).select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("nrm", sqrt(dot("embedding", "embedding")))
-      .persist()
     val pairs = e.as("x").join(e.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),

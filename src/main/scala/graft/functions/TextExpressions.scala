@@ -210,6 +210,12 @@ object TextOps {
     * hex-string keys it replaces.
     */
   def bandHashes(sig: ArrayData, bands: Int, r: Int, nibbles: Int): Array[Long] = {
+    // fail loudly on a too-short signature: UnsafeArrayData.getLong past
+    // numElements has NO bounds check and would silently hash adjacent row
+    // memory into nondeterministic band keys
+    require(sig.numElements() >= bands * r,
+      s"graft_band_hash needs a signature of >= ${bands * r} elements " +
+        s"(bands=$bands x r=$r), got ${sig.numElements()}")
     val md = digest.get()
     val out = new Array[Long](bands)
     val sb = new java.lang.StringBuilder(8 + 24 * r)
@@ -231,24 +237,11 @@ object TextOps {
     out
   }
 
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
-  /** First `nibbles` hex digits of the digest as an unsigned int64
-    * (same convention as HashOps.md5Prefix).
-    */
-  def prefixOf(digest: Array[Byte], nibbles: Int): Long = {
-    var acc = 0L
-    var i = 0
-    while (i < nibbles) {
-      val b = digest(i / 2) & 0xff
-      acc = (acc << 4) | (if (i % 2 == 0) b >>> 4 else b & 0xf)
-      i += 1
-    }
-    acc
-  }
+  // digest pool and md5-prefix convention live in HashOps — one home, so
+  // gram/band hashes can never desync from graft_hash_array
+  private def digest = HashOps.digest
+  private def prefixOf(d: Array[Byte], nibbles: Int): Long =
+    HashOps.prefixOf(d, nibbles)
 }
 
 /** `graft_gram_hash(text, k, suffix, nibbles)` → array<bigint>: the hash of

@@ -109,35 +109,48 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Static runtime for [[HashArray]]'s generated code. */
+/** Static runtime for the hash expressions' generated code: the single
+  * home of the md5-prefix convention (TextOps borrows [[digest]] and
+  * [[prefixOf]] so gram/band hashes can never desync from
+  * graft_hash_array).
+  */
 object HashOps {
-  private val md = new ThreadLocal[java.security.MessageDigest] {
+  /** Per-thread MD5 instance — MessageDigest is stateful and not
+    * thread-safe; reset() per use.
+    */
+  val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
   private val HEX = "0123456789abcdef".toCharArray
 
-  /** First `nibbles` hex chars of md5(s ++ suffix), parsed as an unsigned
-    * long (nibbles ≤ 15 keeps it positive in int64) — byte-for-byte the
-    * value of `conv(substr(md5(concat(s, suffix)), 1, nibbles), 16, 10)`.
+  /** First `nibbles` hex digits of a digest as an unsigned int64
+    * (nibbles ≤ 15 keeps it positive) — the integer value of
+    * `conv(substr(hex(digest), 1, nibbles), 16, 10)`.
     */
-  def md5Prefix(s: org.apache.spark.unsafe.types.UTF8String,
-                suffix: org.apache.spark.unsafe.types.UTF8String,
-                nibbles: Int): Long = {
-    val d = md.get()
-    d.reset()
-    d.update(s.getBytes)
-    if (suffix.numBytes() > 0) d.update(suffix.getBytes)
-    val digest = d.digest()
+  def prefixOf(digest: Array[Byte], nibbles: Int): Long = {
     var acc = 0L
     var i = 0
     while (i < nibbles) {
       val b = digest(i / 2) & 0xff
-      val nib = if (i % 2 == 0) b >>> 4 else b & 0xf
-      acc = (acc << 4) | nib
+      acc = (acc << 4) | (if (i % 2 == 0) b >>> 4 else b & 0xf)
       i += 1
     }
     acc
+  }
+
+  /** First `nibbles` hex chars of md5(s ++ suffix), parsed as an unsigned
+    * long — byte-for-byte the value of
+    * `conv(substr(md5(concat(s, suffix)), 1, nibbles), 16, 10)`.
+    */
+  def md5Prefix(s: org.apache.spark.unsafe.types.UTF8String,
+                suffix: org.apache.spark.unsafe.types.UTF8String,
+                nibbles: Int): Long = {
+    val d = digest.get()
+    d.reset()
+    d.update(s.getBytes)
+    if (suffix.numBytes() > 0) d.update(suffix.getBytes)
+    prefixOf(d.digest(), nibbles)
   }
   // HEX retained for debugging parity checks
   def hex(digest: Array[Byte], n: Int): String =

@@ -102,12 +102,16 @@ object MigrateJob {
     * writetimes it no longer carries.
     */
   def transformOnly(df: DataFrame, cfg: Config, errors: Option[LongAccumulator] = None): DataFrame = {
-    for (wt <- cfg.writetimeCol) {
+    // Only the increment references writetimeCol AFTER projection — a
+    // filter-only config (minWritetime with incrementBy=0) may freely
+    // project the column away, since the filter runs first.
+    for (wt <- cfg.writetimeCol if cfg.writetimeIncrementBy != 0L) {
       val droppedByProjection =
         cfg.columnsToTarget.nonEmpty && !cfg.columnsToTarget.contains(wt)
       require(!droppedByProjection && !cfg.columnsToExclude.contains(wt),
-        s"writetimeCol '$wt' is dropped by columnsToTarget/columnsToExclude; " +
-          "keep it in the projection or unset writetime handling")
+        s"writetimeCol '$wt' is dropped by columnsToTarget/columnsToExclude " +
+          "but writetimeIncrementBy needs it post-projection; keep it in the " +
+          "projection or unset the increment")
     }
     var out = df
     cfg.bucketRange.foreach { case (lo, hi) =>

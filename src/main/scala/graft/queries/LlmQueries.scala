@@ -137,8 +137,10 @@ object LlmQueries {
       val docs = docsWithDups(t(s, d, "documents"))
       val sh = LlmOps.shingleTable(docs, "doc_id")
       val pairs = LlmOps.minhashCandidatesFrom(sh, "doc_id").persist()
-      LlmOps.duplicateClusters(docs.select(col("doc_id")), "doc_id", pairs)
-        .orderBy(col("doc_id"))
+      val clusters =
+        LlmOps.duplicateClusters(docs.select(col("doc_id")), "doc_id", pairs)
+      pairs.unpersist() // materialized inside duplicateClusters; see dedup_corpus
+      clusters.orderBy(col("doc_id"))
     }),
 
     // IVF two-stage ANN: centroid build → probe best 2 cells → exact search
@@ -157,6 +159,9 @@ object LlmQueries {
       val pairs = LlmOps.minhashCandidatesFrom(sh, "doc_id").persist()
       val clusters =
         LlmOps.duplicateClusters(docs.select(col("doc_id")), "doc_id", pairs)
+      // duplicateClusters materializes pairs eagerly (count + collect /
+      // label-prop rounds); its result no longer references them
+      pairs.unpersist()
       docs.join(clusters, "doc_id")
         .filter(col("doc_id") === col("cluster_id"))
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -389,7 +394,7 @@ object LlmQueries {
                       list_transform(grams,
                         gm -> ('0x' || substr(md5(gm || ':wn'), 1, 15))::BIGINT) AS hs
                FROM g),
-         w AS (SELECT doc_id, len(hs) - 3 AS n_windows,
+         w AS (SELECT doc_id, greatest(len(hs) - 3, 0) AS n_windows,
                       list_transform(generate_series(1, len(hs) - 3),
                         j -> least(hs[j], hs[j+1], hs[j+2], hs[j+3])) AS wins
                FROM h)

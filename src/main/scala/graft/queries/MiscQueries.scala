@@ -31,13 +31,15 @@ object MiscQueries {
       // Parity check the way the reference validates (count gate + row-hash
       // compare, 06-validation-monitoring.md:36-151), made scale-safe: an
       // order-independent multiset fingerprint — count + exact decimal SUM
-      // of per-row xxhash64 (int64 sum would overflow under ANSI) — needs
+      // of per-row hashes (int64 sum would overflow under ANSI) — needs
       // only a narrow scan + 1-row agg per side. The exceptAll formulation
       // is exact but shuffles BOTH full tables; at 100 TB that is the whole
-      // job's cost. Collision probability ~2^-64 per comparison.
+      // job's cost. Hashing.fastRowHash anchors null columns to their
+      // ordinal (raw xxhash64 skips nulls, colliding rows that differ only
+      // in which column is null); residual collision ~2^-64 per comparison.
       def fingerprint(df: org.apache.spark.sql.DataFrame, pfx: String) =
         df.agg(count(lit(1)).as(s"${pfx}_rows"),
-          sum(xxhash64(df.columns.toIndexedSeq.map(col): _*)
+          sum(graft.core.Hashing.fastRowHash(df.columns.toIndexedSeq)
             .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"${pfx}_sum"))
       fingerprint(o, "origin").crossJoin(fingerprint(tg, "target"))
         .select(col("origin_rows"), col("target_rows"),
@@ -128,8 +130,12 @@ object MiscQueries {
     // each payload, one output row per sampled frame with its digest — the
     // video frame-sample analog, fully declarative (explode of a stride
     // sequence; narrow, no shuffle)
+    // empty payloads are filtered on BOTH sides (a 0-frame doc has no rows
+    // to emit; Spark's sequence(0, -1, 2) would throw where DuckDB's
+    // generate_series returns empty)
     "multimodal_frames" -> ((s, d) =>
       t(s, d, "documents")
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"), col("text"),
           ceil(length(col("text")) / lit(64.0)).cast("int").as("n_frames"))
         .select(col("doc_id"), col("n_frames"),
@@ -205,7 +211,7 @@ object MiscQueries {
     "multimodal_frames" ->
       """WITH f AS (SELECT doc_id, text,
                            CAST(ceil(length(text) / 64.0) AS INTEGER) AS n_frames
-                    FROM documents)
+                    FROM documents WHERE length(text) > 0)
          SELECT doc_id, n_frames,
                 unnest(generate_series(0, n_frames - 1, 2)) AS frame_ix,
                 unnest(list_transform(generate_series(0, n_frames - 1, 2),
