@@ -23,11 +23,16 @@ object Bench {
     // best-of-2 per query: absorbs scheduler/JIT noise (±15% observed on
     // single runs); all side-effecting queries are idempotent (overwrite
     // sinks), and in-session cache reuse across attempts is the same reuse
-    // any repeated production run gets
+    // any repeated production run gets.
+    // Materialize through the noop sink, NOT count(): a count lets Catalyst
+    // prune every unused column, optimizing away the very expressions the
+    // query exists to compute — noop evaluates all output columns with no
+    // I/O, so the measured time is the query's real cost.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
