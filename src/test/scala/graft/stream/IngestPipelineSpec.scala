@@ -1,0 +1,65 @@
+package graft.stream
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import java.nio.file.Files
+
+class IngestPipelineSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graft-ingest").toString
+
+  private val good =
+    "the quick brown fox jumps over a lazy dog and then the fox rests a while longer today"
+  private val short_ = "too short"
+  private val stopHeavy = "the a the a the a the a the a the a"
+
+  test("ingest: gate drops low-quality docs, dedup keeps one copy, sinks agree") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmp()
+    val cfg = IngestPipeline.Config(
+      originPath = s"$base/origin", targetPath = s"$base/target",
+      checkpoint = s"$base/ckpt")
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = IngestPipeline.start(mem.toDF().toDF("doc_id", "text", "ts"), "ts", cfg)
+    try {
+      mem.addData(
+        (1L, good, ts(0)),
+        (2L, short_, ts(1)),        // fails token-count gate
+        (3L, stopHeavy, ts(2)),     // fails stopword-ratio gate
+        (4L, good, ts(3)))          // exact duplicate of 1
+      q.processAllAvailable()
+      mem.addData((5L, good + " extended with more unique words", ts(4)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val o = spark.read.parquet(s"$base/origin")
+    val t = spark.read.parquet(s"$base/target")
+    val keptIds = o.select("doc_id").collect().map(_.getLong(0)).toSet
+    // one of {1, 4} (whichever the dedup state saw first) plus 5
+    assert(keptIds.size == 2, s"kept=$keptIds")
+    assert((keptIds & Set(1L, 4L)).size == 1)
+    assert(keptIds.contains(5L))
+    assert(!keptIds.contains(2L) && !keptIds.contains(3L))
+    // both sinks identical; fingerprints present and non-null
+    assert(o.exceptAll(t).isEmpty && t.exceptAll(o).isEmpty)
+    assert(o.filter(col("fingerprint").isNull).count() == 0)
+  }
+
+  test("gateAndFingerprint is batch/stream agnostic and deterministic") {
+    import spark.implicits._
+    val cfg = IngestPipeline.Config(originPath = "", targetPath = "", checkpoint = "")
+    val batch = IngestPipeline.gateAndFingerprint(
+      Seq((1L, good), (2L, short_)).toDF("doc_id", "text"), cfg)
+      .select("doc_id", "passes", "fingerprint").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(batch(1L)._1 && !batch(2L)._1)
+    // same text → same fingerprint, every time
+    val again = IngestPipeline.gateAndFingerprint(
+      Seq((9L, good)).toDF("doc_id", "text"), cfg)
+      .select("fingerprint").collect().head.getLong(0)
+    assert(again == batch(1L)._2)
+  }
+}
