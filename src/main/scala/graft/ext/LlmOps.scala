@@ -100,6 +100,10 @@ object LlmOps {
     * The signature column is materialized before banding+explode: Generate
     * (explode) triggers project collapsing that would otherwise inline the
     * whole signature expression into the per-band output.
+    *
+    * Ad-hoc/probe use only — the internal signature cache lives until
+    * session end. The pipeline entry points ([[minhashCandidatesFrom]],
+    * [[oversizedBuckets]]) manage and release their caches themselves.
     */
   def bandedSignatures(sh: DataFrame, idCol: String, k: Int = 8,
                        bands: Int = 4, r: Int = 2): DataFrame = {
@@ -129,22 +133,45 @@ object LlmOps {
   def minhashCandidatesFrom(sh: DataFrame, idCol: String, k: Int = 8,
                             bands: Int = 4, r: Int = 2,
                             maxBucket: Int = 1000): DataFrame = {
-    val banded = bandedSignatures(sh, idCol, k, bands, r).persist()
+    // the signature and band tables are orders of magnitude larger than
+    // the candidate pairs (per-doc arrays vs the near-dup subset) —
+    // materialize the pairs eagerly so both intermediates can be RELEASED
+    // here instead of squatting on executor storage until session end
+    // (measured: at 5M docs the leaked caches caused eviction thrash and
+    // ~50% run-to-run variance). Callers get a small persisted result.
+    val sigT = withMinhashSig(sh, k).select(col(idCol), col("sig")).persist()
+    val banded = withBandHashes(sigT, bands, r)
+      .select(col(idCol), explode(col("bands")).as("band")).persist()
     val small = banded.join(
       banded.groupBy("band").count().filter(col("count") <= maxBucket)
         .select("band"),
       "band")
-    small.as("x").join(small.as("y"), "band")
+    val pairs = small.as("x").join(small.as("y"), "band")
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
+      .persist()
+    pairs.count() // materialize BEFORE dropping the caches it derives from
+    banded.unpersist()
+    sigT.unpersist()
+    pairs
   }
 
-  /** Buckets skipped by the `maxBucket` cap, with their sizes. */
+  /** Buckets skipped by the `maxBucket` cap, with their sizes. Eagerly
+    * materialized (tiny by construction) so the signature cache it derives
+    * from is released before returning.
+    */
   def oversizedBuckets(sh: DataFrame, idCol: String, maxBucket: Int,
-                       k: Int = 8, bands: Int = 4, r: Int = 2): DataFrame =
-    bandedSignatures(sh, idCol, k, bands, r)
+                       k: Int = 8, bands: Int = 4, r: Int = 2): DataFrame = {
+    val sigT = withMinhashSig(sh, k).select(col(idCol), col("sig")).persist()
+    val out = withBandHashes(sigT, bands, r)
+      .select(col(idCol), explode(col("bands")).as("band"))
       .groupBy("band").count().filter(col("count") > maxBucket)
+      .persist()
+    out.count()
+    sigT.unpersist()
+    out
+  }
 
   /** 32-bit SimHash over the word multiset: bit j is the sign of the sum of
     * (+1/-1) votes from each word-hash's j-th bit. Identical docs get equal
