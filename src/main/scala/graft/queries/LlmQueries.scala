@@ -185,6 +185,19 @@ object LlmQueries {
           array_max(col("fps")).as("fp_max"))
         .orderBy(col("doc_id"))),
 
+    // the streaming ingest pipeline's stateless stage, batch-checked: the
+    // same gateAndFingerprint that runs on the unbounded source (quality
+    // gate + winnow fingerprint + content hash) — IngestPipelineSpec
+    // proves batch/stream agnosticism, this row proves the values
+    "ingest_gate" -> ((s, d) =>
+      graft.stream.IngestPipeline.gateAndFingerprint(
+          t(s, d, "documents"),
+          graft.stream.IngestPipeline.Config(
+            originPath = "", targetPath = "", checkpoint = ""))
+        .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+          col("passes"), col("fingerprint"), col("content_h"))
+        .orderBy(col("doc_id"))),
+
     // per-doc text analysis: token counts, stopword ratio, quality, lang
     // guess, minhash fingerprint
     "text_stats" -> ((s, d) =>
@@ -403,6 +416,27 @@ object LlmQueries {
                 list_min(list_distinct(wins)) AS fp_min,
                 list_max(list_distinct(wins)) AS fp_max
          FROM w ORDER BY doc_id""",
+    "ingest_gate" ->
+      """WITH base AS (
+           SELECT doc_id, text, string_split(lower(text), ' ') AS words FROM documents),
+         m AS (
+           SELECT doc_id, text, len(words) AS n_tokens,
+                  round(len(list_filter(words, w -> w IN ('the', 'a')))::DOUBLE
+                        / len(words)::DOUBLE, 6) AS stop_ratio
+           FROM base),
+         h AS (SELECT doc_id, text, n_tokens, stop_ratio,
+                      list_transform(
+                        list_transform(generate_series(1, length(text) - 4),
+                                       i -> substr(text, i, 5)),
+                        gm -> ('0x' || substr(md5(gm || ':wn'), 1, 15))::BIGINT) AS hs
+               FROM m)
+         SELECT doc_id, n_tokens, stop_ratio,
+                n_tokens BETWEEN 10 AND 1000 AND stop_ratio < 0.5 AS passes,
+                list_min(list_distinct(
+                  list_transform(generate_series(1, len(hs) - 3),
+                    j -> least(hs[j], hs[j+1], hs[j+2], hs[j+3])))) AS fingerprint,
+                md5(text) AS content_h
+         FROM h ORDER BY doc_id""",
     "text_stats" ->
       s"""WITH docs AS (SELECT * FROM documents),
           $duckShingleCte
