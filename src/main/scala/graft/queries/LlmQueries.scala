@@ -241,6 +241,29 @@ object LlmQueries {
           round(avg(col("n_chars")), 4).as("avg_chars"))
         .orderBy(col("lang"))),
 
+    // int8 scalar quantization of embeddings (per-vector max-abs scale) —
+    // the 4x storage/bandwidth saver an ANN index applies before sharding;
+    // emits the scale, a code checksum and the max reconstruction error.
+    // floor(x + 0.5) instead of round(): Spark rounds HALF_UP, DuckDB
+    // differs — floor is portable. `scale` is deliberately also in the
+    // output so CollapseProject keeps it an attribute (a computed column
+    // referenced inside a lambda body would otherwise be re-inlined per
+    // element).
+    "embed_quantize" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .withColumn("scale", expr(
+          "greatest(array_max(transform(embedding, v -> abs(cast(v as double)))) / 127.0, 1e-30d)"))
+        .withColumn("codes", expr(
+          "transform(embedding, v -> cast(floor(cast(v as double) / scale + 0.5d) as int))"))
+        .select(col("vec_id"),
+          round(col("scale"), 9).as("scale_r"),
+          expr("aggregate(codes, 0, (acc, c) -> acc + c)").as("code_sum"),
+          round(expr(
+            "array_max(zip_with(codes, embedding, (c, v) -> abs(c * scale - cast(v as double))))"),
+            9).as("max_err"),
+          size(col("codes")).as("dim"))
+        .orderBy(col("vec_id"))),
+
     // multimodal: text metadata ⋈ vector metadata on the shared id
     "multimodal_cols" -> ((s, d) =>
       t(s, d, "documents")
@@ -477,6 +500,24 @@ object LlmQueries {
     "lang_dist" ->
       """SELECT lang, count(*) AS n, round(avg(n_chars), 4) AS avg_chars
          FROM documents GROUP BY 1 ORDER BY lang""",
+    "embed_quantize" ->
+      """WITH s AS (
+           SELECT vec_id, embedding,
+                  greatest(list_max(list_transform(embedding, v -> abs(v::DOUBLE))) / 127.0,
+                           1e-30) AS scale
+           FROM embeddings),
+         q AS (
+           SELECT vec_id, scale, embedding,
+                  list_transform(embedding,
+                    v -> CAST(floor(v::DOUBLE / scale + 0.5) AS INTEGER)) AS codes
+           FROM s)
+         SELECT vec_id,
+                round(scale, 9) AS scale_r,
+                CAST(list_sum(codes) AS INTEGER) AS code_sum,
+                round(list_max(list_transform(generate_series(1, len(codes)),
+                        i -> abs(codes[i] * scale - embedding[i]::DOUBLE))), 9) AS max_err,
+                len(codes) AS dim
+         FROM q ORDER BY vec_id""",
     "multimodal_cols" ->
       """SELECT doc_id, lang, n_chars, label, len(embedding) AS dim
          FROM documents JOIN embeddings ON doc_id = vec_id
