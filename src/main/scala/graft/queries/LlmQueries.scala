@@ -106,6 +106,31 @@ object LlmQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // SimHash near-dups within hamming radius 2 — the block-pigeonhole
+    // search the equality bucket (dedup_simhash) can't express: split the
+    // 32-bit simhash into 3 blocks (radius+1, so any pair within distance
+    // 2 agrees on >= 1 whole block), equi-join on (block_ix, block_value),
+    // then filter bit_count(xor) <= 2. Still an equi-join on a bucket key
+    // — never all-pairs — with the hamming check narrow on candidates.
+    "dedup_simhash_hamming" -> ((s, d) => {
+      val sh = LlmOps.withSimhash(LlmOps.withWords(docsWithDups(t(s, d, "documents"))))
+        .select(col("doc_id"), col("simhash"))
+        .persist()
+      // blocks of 11/11/10 bits: block b = bits [b*11, min((b+1)*11, 32))
+      val blocked = sh.select(col("doc_id"), col("simhash"),
+        explode(expr(
+          """transform(sequence(0, 2), b -> concat(cast(b as string), ':',
+               cast((simhash div shiftleft(1L, b * 11)) % shiftleft(1L, if(b = 2, 10, 11)) as string)))"""))
+          .as("blk"))
+      blocked.as("x").join(blocked.as("y"),
+          col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+        .filter(col("hamming") <= 2)
+        .distinct()
+        .orderBy(col("a"), col("b"))
+    }),
+
     // exact n-gram Jaccard over LSH candidates (verify step after banding)
     "dedup_ngram_jaccard" -> ((s, d) => {
       val docs = docsWithDups(t(s, d, "documents"))
@@ -324,6 +349,30 @@ object LlmQueries {
                    FROM hashed)
           SELECT x.doc_id AS a, y.doc_id AS b, x.simhash
           FROM simh x JOIN simh y ON x.simhash = y.simhash AND x.doc_id < y.doc_id
+          ORDER BY a, b""",
+    "dedup_simhash_hamming" ->
+      s"""WITH docs AS ($docsDupSql),
+          base AS (SELECT doc_id, $duckWords AS words FROM docs),
+          hashed AS (SELECT doc_id,
+                       list_transform(words, w -> ${duckHash("w", "'sim'")}) AS hs
+                     FROM base),
+          simh AS (SELECT doc_id,
+                     CAST(list_sum(list_transform(generate_series(0, 31),
+                       j -> CASE WHEN list_sum(list_transform(hs,
+                                    h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                                 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+                   FROM hashed),
+          blocked AS (SELECT doc_id, simhash,
+                        unnest(list_transform([0, 1, 2],
+                          b -> b::VARCHAR || ':' ||
+                               ((simhash // (1::BIGINT << (b * 11))) %
+                                (1::BIGINT << CASE WHEN b = 2 THEN 10 ELSE 11 END))::VARCHAR)) AS blk
+                      FROM simh)
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                 CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+          FROM blocked x JOIN blocked y
+            ON x.blk = y.blk AND x.doc_id < y.doc_id
+          WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
           ORDER BY a, b""",
     "dedup_ngram_jaccard" ->
       s"""WITH docs AS ($docsDupSql),
