@@ -29,6 +29,37 @@ class PlanSpec extends SparkSpec {
     assert(!hasShuffle(out), s"migrate plan must not shuffle:\n${physical(out)}")
   }
 
+  test("pre-bucketed tables diff without ANY exchange (SURVEY §7.4 risk 5)") {
+    // the 100 TB claim made concrete: when both sides are bucketed+sorted
+    // on the PK (Spark bucketing ≈ Cassandra's co-located token ranges),
+    // the reconciliation SMJ needs no shuffle at all — the one wide op of
+    // the whole surface disappears
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    spark.sql("DROP TABLE IF EXISTS g_diff_origin")
+    spark.sql("DROP TABLE IF EXISTS g_diff_target")
+    try {
+      orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("g_diff_origin")
+      Common.ordersTwin(orders).write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("g_diff_target")
+      val joined = graft.validate.Diff.classify(
+        spark.table("g_diff_origin"), spark.table("g_diff_target"),
+        Seq("o_orderkey"), Common.ordCompare)
+      val plan = physical(joined)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed diff must not shuffle either side:\n$plan")
+      // and it still computes the right thing
+      val counts = joined.groupBy(graft.validate.Diff.StatusCol).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts.contains("missing") && counts.contains("mismatch") &&
+        counts.contains("extra_in_target") && counts("valid") > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS g_diff_origin")
+      spark.sql("DROP TABLE IF EXISTS g_diff_target")
+    }
+  }
+
   test("validate_sample broadcasts the sample, not the target") {
     val plan = physical(DiffQueries.qs("validate_sample")(spark, sf()))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
