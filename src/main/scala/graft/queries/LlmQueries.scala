@@ -112,6 +112,10 @@ object LlmQueries {
     // 2 agrees on >= 1 whole block), equi-join on (block_ix, block_value),
     // then filter bit_count(xor) <= 2. Still an equi-join on a bucket key
     // — never all-pairs — with the hamming check narrow on candidates.
+    // Scale note: ~11-bit blocks bound buckets only while corpus << 2^11
+    // per block value; at millions of docs use a 64-bit simhash (21-bit
+    // blocks) so expected bucket size stays O(N / 2M) — same plan shape,
+    // wider hash.
     "dedup_simhash_hamming" -> ((s, d) => {
       val sh = LlmOps.withSimhash(LlmOps.withWords(docsWithDups(t(s, d, "documents"))))
         .select(col("doc_id"), col("simhash"))
