@@ -28,14 +28,22 @@ object Bench {
     // prune every unused column, optimizing away the very expressions the
     // query exists to compute — noop evaluates all output columns with no
     // I/O, so the measured time is the query's real cost.
+    // failures must be VISIBLE, not folded into best-of-2 as a near-zero
+    // "fast" time: a failed attempt is excluded, and a query with no
+    // successful attempt reports -1.0 (an impossible duration) + stderr
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
+        }
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

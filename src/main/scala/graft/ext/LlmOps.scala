@@ -96,29 +96,43 @@ object LlmOps {
   def shingleTable(docs: DataFrame, idCol: String): DataFrame =
     withShingles(withWords(docs)).select(col(idCol), col("shingles")).persist()
 
+  /** Single home of the sig→band→explode construction: returns the
+    * PERSISTED signature table (caller must unpersist once its consumer
+    * materializes) and the lazy banded frame built on it. The signature
+    * column is materialized before banding+explode: Generate (explode)
+    * triggers project collapsing that would otherwise inline the whole
+    * signature expression into the per-band output.
+    */
+  private def sigAndBanded(sh: DataFrame, idCol: String, k: Int,
+                           bands: Int, r: Int): (DataFrame, DataFrame) = {
+    val sigT = withMinhashSig(sh, k).select(col(idCol), col("sig")).persist()
+    val banded = withBandHashes(sigT, bands, r)
+      .select(col(idCol), explode(col("bands")).as("band"))
+    (sigT, banded)
+  }
+
   /** (id, band-hash) pairs, one row per band, built from a [[shingleTable]].
-    * The signature column is materialized before banding+explode: Generate
-    * (explode) triggers project collapsing that would otherwise inline the
-    * whole signature expression into the per-band output.
     *
     * Ad-hoc/probe use only — the internal signature cache lives until
     * session end. The pipeline entry points ([[minhashCandidatesFrom]],
     * [[oversizedBuckets]]) manage and release their caches themselves.
     */
   def bandedSignatures(sh: DataFrame, idCol: String, k: Int = 8,
-                       bands: Int = 4, r: Int = 2): DataFrame = {
-    val sigT = withMinhashSig(sh, k).select(col(idCol), col("sig")).persist()
-    withBandHashes(sigT, bands, r)
-      .select(col(idCol), explode(col("bands")).as("band"))
-  }
+                       bands: Int = 4, r: Int = 2): DataFrame =
+    sigAndBanded(sh, idCol, k, bands, r)._2
 
   /** Candidate near-duplicate pairs: docs sharing ≥1 LSH band. Equi-join of
     * the band table with itself — shuffle on the band hash, linear in
     * bucket sizes, no cartesian product.
     */
   def minhashCandidates(docs: DataFrame, idCol: String, k: Int = 8,
-                        bands: Int = 4, r: Int = 2): DataFrame =
-    minhashCandidatesFrom(shingleTable(docs, idCol), idCol, k, bands, r)
+                        bands: Int = 4, r: Int = 2): DataFrame = {
+    // the shingle table — the largest LSH intermediate — is released as
+    // soon as the (eagerly materialized) pairs no longer need it
+    val sh = shingleTable(docs, idCol)
+    try minhashCandidatesFrom(sh, idCol, k, bands, r)
+    finally { sh.unpersist(); () }
+  }
 
   /** As [[minhashCandidates]] but reusing an existing (persisted)
     * [[shingleTable]]. The band table is persisted too: the self-join must
@@ -132,25 +146,28 @@ object LlmOps {
     */
   def minhashCandidatesFrom(sh: DataFrame, idCol: String, k: Int = 8,
                             bands: Int = 4, r: Int = 2,
-                            maxBucket: Int = 1000): DataFrame = {
+                            maxBucket: Int = 1000,
+                            materialize: Boolean = true): DataFrame = {
     // the signature and band tables are orders of magnitude larger than
     // the candidate pairs (per-doc arrays vs the near-dup subset) —
     // materialize the pairs eagerly so both intermediates can be RELEASED
     // here instead of squatting on executor storage until session end
     // (measured: at 5M docs the leaked caches caused eviction thrash and
     // ~50% run-to-run variance). Callers get a small persisted result.
-    val sigT = withMinhashSig(sh, k).select(col(idCol), col("sig")).persist()
-    val banded = withBandHashes(sigT, bands, r)
-      .select(col(idCol), explode(col("bands")).as("band")).persist()
+    // materialize=false returns the LAZY plan (for plan audits/explain —
+    // the intermediates then live until session end, probe use only).
+    val (sigT, banded0) = sigAndBanded(sh, idCol, k, bands, r)
+    val banded = banded0.persist()
     val small = banded.join(
       banded.groupBy("band").count().filter(col("count") <= maxBucket)
         .select("band"),
       "band")
-    val pairs = small.as("x").join(small.as("y"), "band")
+    val pairs0 = small.as("x").join(small.as("y"), "band")
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
-      .persist()
+    if (!materialize) return pairs0
+    val pairs = pairs0.persist()
     pairs.count() // materialize BEFORE dropping the caches it derives from
     banded.unpersist()
     sigT.unpersist()
@@ -163,10 +180,8 @@ object LlmOps {
     */
   def oversizedBuckets(sh: DataFrame, idCol: String, maxBucket: Int,
                        k: Int = 8, bands: Int = 4, r: Int = 2): DataFrame = {
-    val sigT = withMinhashSig(sh, k).select(col(idCol), col("sig")).persist()
-    val out = withBandHashes(sigT, bands, r)
-      .select(col(idCol), explode(col("bands")).as("band"))
-      .groupBy("band").count().filter(col("count") > maxBucket)
+    val (sigT, banded) = sigAndBanded(sh, idCol, k, bands, r)
+    val out = banded.groupBy("band").count().filter(col("count") > maxBucket)
       .persist()
     out.count()
     sigT.unpersist()

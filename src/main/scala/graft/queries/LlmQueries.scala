@@ -52,6 +52,21 @@ object LlmQueries {
 
   private val duckWords = "string_split(lower(text), ' ')"
 
+  /** words → per-word hash → 32-bit vote simhash, shared by both simhash
+    * oracles (expects a `docs` CTE in scope).
+    */
+  private val duckSimhashCte =
+    s"""base AS (SELECT doc_id, $duckWords AS words FROM docs),
+        hashed AS (SELECT doc_id,
+                     list_transform(words, w -> ${duckHash("w", "'sim'")}) AS hs
+                   FROM base),
+        simh AS (SELECT doc_id,
+                   CAST(list_sum(list_transform(generate_series(0, 31),
+                     j -> CASE WHEN list_sum(list_transform(hs,
+                                  h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                               THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+                 FROM hashed)"""
+
   private val duckShingleCte =
     s"""base AS (SELECT doc_id, text, lang, $duckWords AS words FROM docs),
         sh AS (SELECT doc_id, text, lang, words,
@@ -94,16 +109,20 @@ object LlmQueries {
         .orderBy(col("a"), col("b"))),
 
     // SimHash bucket pairs (equal 32-bit simhash); simhash table
-    // materialized before the self-join (same rationale as bandedSignatures)
+    // materialized before the self-join, released once the (small) pair
+    // set is computed — same cache policy as minhashCandidatesFrom
     "dedup_simhash" -> ((s, d) => {
       val sh = LlmOps.withSimhash(LlmOps.withWords(docsWithDups(t(s, d, "documents"))))
         .select(col("doc_id"), col("simhash"))
         .persist()
-      sh.as("x").join(sh.as("y"),
+      val pairs = sh.as("x").join(sh.as("y"),
           col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
           col("x.simhash").as("simhash"))
-        .orderBy(col("a"), col("b"))
+        .persist()
+      pairs.count()
+      sh.unpersist()
+      pairs.orderBy(col("a"), col("b"))
     }),
 
     // SimHash near-dups within hamming radius 2 — the block-pigeonhole
@@ -126,13 +145,16 @@ object LlmQueries {
           """transform(sequence(0, 2), b -> concat(cast(b as string), ':',
                cast((simhash div shiftleft(1L, b * 11)) % shiftleft(1L, if(b = 2, 10, 11)) as string)))"""))
           .as("blk"))
-      blocked.as("x").join(blocked.as("y"),
+      val pairs = blocked.as("x").join(blocked.as("y"),
           col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
           expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
         .filter(col("hamming") <= 2)
         .distinct()
-        .orderBy(col("a"), col("b"))
+        .persist()
+      pairs.count()
+      sh.unpersist()
+      pairs.orderBy(col("a"), col("b"))
     }),
 
     // exact n-gram Jaccard over LSH candidates (verify step after banding)
@@ -341,31 +363,13 @@ object LlmQueries {
           ORDER BY a, b""",
     "dedup_simhash" ->
       s"""WITH docs AS ($docsDupSql),
-          base AS (SELECT doc_id, $duckWords AS words FROM docs),
-          hashed AS (SELECT doc_id,
-                       list_transform(words, w -> ${duckHash("w", "'sim'")}) AS hs
-                     FROM base),
-          simh AS (SELECT doc_id,
-                     CAST(list_sum(list_transform(generate_series(0, 31),
-                       j -> CASE WHEN list_sum(list_transform(hs,
-                                    h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
-                                 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
-                   FROM hashed)
+          $duckSimhashCte
           SELECT x.doc_id AS a, y.doc_id AS b, x.simhash
           FROM simh x JOIN simh y ON x.simhash = y.simhash AND x.doc_id < y.doc_id
           ORDER BY a, b""",
     "dedup_simhash_hamming" ->
       s"""WITH docs AS ($docsDupSql),
-          base AS (SELECT doc_id, $duckWords AS words FROM docs),
-          hashed AS (SELECT doc_id,
-                       list_transform(words, w -> ${duckHash("w", "'sim'")}) AS hs
-                     FROM base),
-          simh AS (SELECT doc_id,
-                     CAST(list_sum(list_transform(generate_series(0, 31),
-                       j -> CASE WHEN list_sum(list_transform(hs,
-                                    h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
-                                 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
-                   FROM hashed),
+          $duckSimhashCte,
           blocked AS (SELECT doc_id, simhash,
                         unnest(list_transform([0, 1, 2],
                           b -> b::VARCHAR || ':' ||
@@ -493,8 +497,8 @@ object LlmQueries {
                 list_max(list_distinct(wins)) AS fp_max
          FROM w ORDER BY doc_id""",
     "ingest_gate" ->
-      """WITH base AS (
-           SELECT doc_id, text, string_split(lower(text), ' ') AS words FROM documents),
+      s"""WITH base AS (
+           SELECT doc_id, text, $duckWords AS words FROM documents),
          m AS (
            SELECT doc_id, text, len(words) AS n_tokens,
                   round(len(list_filter(words, w -> w IN ('the', 'a')))::DOUBLE
@@ -508,9 +512,8 @@ object LlmQueries {
                FROM m)
          SELECT doc_id, n_tokens, stop_ratio,
                 n_tokens BETWEEN 10 AND 1000 AND stop_ratio < 0.5 AS passes,
-                list_min(list_distinct(
-                  list_transform(generate_series(1, len(hs) - 3),
-                    j -> least(hs[j], hs[j+1], hs[j+2], hs[j+3])))) AS fingerprint,
+                list_min(list_transform(generate_series(1, len(hs) - 3),
+                    j -> least(hs[j], hs[j+1], hs[j+2], hs[j+3]))) AS fingerprint,
                 md5(text) AS content_h
          FROM h ORDER BY doc_id""",
     "text_stats" ->

@@ -49,8 +49,10 @@ object IngestPipeline {
       .withColumn("passes",
         col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
           col("stop_ratio") < cfg.maxStopRatio)
+      // min of the window minima IS the fingerprint-set minimum — no
+      // array_distinct pass needed (min(distinct(x)) == min(x))
       .withColumn("fingerprint",
-        expr("array_min(array_distinct(graft_sliding_min(graft_gram_hash(text, 5, ':wn', 15), 4)))"))
+        expr("array_min(graft_sliding_min(graft_gram_hash(text, 5, ':wn', 15), 4))"))
       .withColumn("content_h", md5(col("text")))
       .drop("words")
   }
@@ -58,16 +60,13 @@ object IngestPipeline {
   /** Start the full ingest: gate → keep passing docs → dedup within the
     * watermark → dual-write each micro-batch idempotently.
     */
-  def start(docs: DataFrame, tsCol: String, cfg: Config): StreamingQuery =
-    gateAndFingerprint(docs, cfg)
+  def start(docs: DataFrame, tsCol: String, cfg: Config): StreamingQuery = {
+    val deduped = gateAndFingerprint(docs, cfg)
       .filter(col("passes"))
       .withWatermark(tsCol, cfg.dedupLateness)
       .dropDuplicatesWithinWatermark("content_h")
-      .writeStream
-      .option("checkpointLocation", cfg.checkpoint)
-      .trigger(cfg.trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        DualWrite.dualWriteMicroBatch(batch, batchId, cfg.originPath, cfg.targetPath)
-      }
-      .start()
+    // the sink IS the ZDM dual-writer — one wiring, shared with DualWrite
+    DualWrite.dualWriteStream(deduped, cfg.originPath, cfg.targetPath,
+      cfg.checkpoint, cfg.trigger)
+  }
 }

@@ -8,15 +8,30 @@ import graft.queries.{DiffQueries, JoinQueries, LlmQueries}
   */
 class PlanAuditSpec extends SparkSpec {
   test("audit: key plans contain no cartesian products or unexpected sorts") {
-    for (name <- Seq("diff_full_outer", "dedup_minhash", "sim_search_topk",
-                     "sim_knn_join", "dedup_corpus", "join_range_bucketed",
-                     "dedup_simhash_hamming")) {
+    for (name <- Seq("diff_full_outer", "sim_search_topk",
+                     "sim_knn_join", "join_range_bucketed")) {
       val plan = (DiffQueries.qs ++ LlmQueries.qs ++ JoinQueries.qs)(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin") || name == "sim_search_topk",
         s"$name has a nested-loop join:\n$plan")
     }
+  }
+
+  test("audit: the LIVE LSH candidate join is an equi-join, no cartesian") {
+    // the registry queries eagerly materialize pairs (cache-release
+    // policy), so their executedPlan shows a cached scan — audit the lazy
+    // plan instead via materialize=false
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val sh = graft.ext.LlmOps.shingleTable(docs, "doc_id")
+    try {
+      val plan = graft.ext.LlmOps
+        .minhashCandidatesFrom(sh, "doc_id", materialize = false)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("band"), plan)
+    } finally { sh.unpersist(); () }
   }
 
   test("audit: winnow evaluates the gram-hash array exactly once") {

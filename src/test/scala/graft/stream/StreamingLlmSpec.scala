@@ -20,7 +20,7 @@ class StreamingLlmSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String)]
     val docs = mem.toDF().toDF("doc_id", "text")
     val out = LlmOps.withSimhash(LlmOps.withWords(docs))
-      .withColumn("fp", expr("array_min(array_distinct(graft_sliding_min(graft_gram_hash(text, 5, ':wn', 15), 4)))"))
+      .withColumn("fp", expr("array_min(graft_sliding_min(graft_gram_hash(text, 5, ':wn', 15), 4))"))
       .select("doc_id", "simhash", "fp")
     assert(out.isStreaming)
     val q = out.writeStream.format("memory").queryName("llm_stream_out")
