@@ -34,6 +34,18 @@ object DiffQueries {
       Diff.report(ord, ordersTwin(ord), ordPk, ordCompare)
     }),
 
+    // J1 fast tier — same DiffData report via the engine-internal 64-bit
+    // row hash (classifyByHash): only (pk, hash) shuffles instead of every
+    // compare column — half the exchange width on wide tables. Counts
+    // equal the column-wise classify up to a ~2^-64 collision, so the
+    // diff_full_outer oracle applies verbatim.
+    "diff_fast_hash" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      Diff.classifyByHash(ord, ordersTwin(ord), ordPk, ordCompare)
+        .groupBy(col(Diff.StatusCol)).agg(count(lit(1)).as("n"))
+        .orderBy(Diff.StatusCol)
+    }),
+
     // J2 — missing-row detection (autocorrect.missing feed)
     "diff_missing_anti" -> ((s, d) => {
       val ord = t(s, d, "orders")
@@ -107,6 +119,16 @@ object DiffQueries {
                  (SELECT count(*) FROM twin) AS target_rows,
                  (SELECT count(*) FROM orders) = (SELECT count(*) FROM twin) AS counts_match""",
     "diff_full_outer" ->
+      s"""WITH twin AS ($twinSql)
+          SELECT CASE WHEN o.o_orderkey IS NULL THEN 'extra_in_target'
+                      WHEN t.o_orderkey IS NULL THEN 'missing'
+                      WHEN $eqSql THEN 'valid'
+                      ELSE 'mismatch' END AS diff_status,
+                 count(*) AS n
+          FROM orders o FULL OUTER JOIN twin t
+            ON o.o_orderkey = t.o_orderkey
+          GROUP BY 1 ORDER BY diff_status""",
+    "diff_fast_hash" ->
       s"""WITH twin AS ($twinSql)
           SELECT CASE WHEN o.o_orderkey IS NULL THEN 'extra_in_target'
                       WHEN t.o_orderkey IS NULL THEN 'missing'
