@@ -33,7 +33,14 @@ object Ops {
     */
   def tokenRange(df: DataFrame, pkCols: Seq[String], buckets: Int,
                  lo: Int, hi: Int): DataFrame =
-    df.filter(pmod(xxhash64(pkCols.map(col): _*), lit(buckets.toLong)).between(lo, hi))
+    df.filter(tokenBucket(pkCols, buckets).between(lo, hi))
+
+  /** The bucket id itself (the value [[tokenRange]] filters on) — exposed so
+    * a single-pass writer can carry it as a partition column instead of
+    * re-filtering the source once per bucket.
+    */
+  def tokenBucket(pkCols: Seq[String], buckets: Int): Column =
+    pmod(xxhash64(pkCols.map(col): _*), lit(buckets.toLong)).cast("int")
 
   /** Incremental (writetime >= min) re-migration filter
     * (reference: docs/04-cdm-approach.md:320-329).

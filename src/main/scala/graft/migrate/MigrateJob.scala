@@ -1,6 +1,6 @@
 package graft.migrate
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.LongAccumulator
 import java.nio.file.{Files, Paths, StandardOpenOption}
@@ -31,6 +31,7 @@ object MigrateJob {
       pkCols: Seq[String] = Nil,
       tokenBuckets: Int = 8,                       // numParts analog
       bucketRange: Option[(Int, Int)] = None,      // partition.min/max (P4)
+      bucketsPerScan: Int = Int.MaxValue,          // buckets committed per source scan (see run)
       minWritetime: Option[Long] = None,           // filter.writetime.min (P5)
       writetimeCol: Option[String] = None,
       writetimeIncrementBy: Long = 0L,             // transform.custom.writetime.incrementBy (X2)
@@ -148,62 +149,157 @@ object MigrateJob {
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
-  /** Buckets already marked done in the ledger (trackRun resume,
-    * docs/04-cdm-approach.md:422-434).
+  /** Latest ledger status per bucket (last entry wins, so a bucket that
+    * failed and was later re-driven to `done` reads as done).
     */
-  def completedBuckets(ledgerPath: String): Set[Int] =
-    if (!Files.exists(Paths.get(ledgerPath))) Set.empty
+  def bucketStatus(ledgerPath: String): Map[Int, String] =
+    if (!Files.exists(Paths.get(ledgerPath))) Map.empty
     else {
       import scala.jdk.CollectionConverters._
-      Files.readAllLines(Paths.get(ledgerPath)).asScala
-        .filter(_.contains("\"status\":\"done\""))
-        .flatMap(l => "\"bucket\":(\\d+)".r.findFirstMatchIn(l).map(_.group(1).toInt))
-        .toSet
+      val bucketRe = "\"bucket\":(\\d+)".r
+      val statusRe = "\"status\":\"(\\w+)\"".r
+      Files.readAllLines(Paths.get(ledgerPath)).asScala.iterator
+        .flatMap { l =>
+          for (b <- bucketRe.findFirstMatchIn(l); s <- statusRe.findFirstMatchIn(l))
+            yield b.group(1).toInt -> s.group(1)
+        }
+        .toMap // iterator.toMap keeps the LAST entry per key
     }
 
-  /** Run the migration bucket-by-bucket with ledgered resume. Re-running
-    * after a partial failure skips completed buckets; each bucket write is
-    * idempotent (overwrite of its own partition dir) — mirroring CDM's
-    * "migrate is idempotent" contract (lab/exercises/04-cdm-migration.md:417).
+  /** Buckets already marked done in the ledger (trackRun resume,
+    * docs/04-cdm-approach.md:422-434). A bucket whose latest entry is
+    * `failed` is NOT done — resume re-drives it, CDM `trackRun.autoRerun`
+    * semantics (docs/04-cdm-approach.md:422-434).
+    */
+  def completedBuckets(ledgerPath: String): Set[Int] =
+    bucketStatus(ledgerPath).collect { case (b, "done") => b }.toSet
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+
+  /** Run the migration with ledgered resume — ONE source scan for all
+    * pending buckets (CDM's `numParts` are physical slices of one pass,
+    * docs/04-cdm-approach.md:280-315,459 — NOT N re-reads):
+    *
+    *   scan → transform → tag `bucket = pmod(xxhash64(pk), n)` →
+    *   guardrail flag → observe() per-bucket row counts →
+    *   write.partitionBy("bucket") with DYNAMIC partition overwrite.
+    *
+    * Dynamic overwrite makes resume idempotent (a re-run rewrites exactly
+    * its own bucket partitions, never touching done buckets or the ledger
+    * dir) — CDM's "migrate is idempotent" contract
+    * (lab/exercises/04-cdm-migration.md:417). Per-bucket row counts for the
+    * ledger come from the write pass's own `observe()` metrics — the old
+    * per-bucket re-read of the output is gone (it added a full extra pass
+    * over everything written).
+    *
+    * Failure semantics (trackRun.autoRerun): if a scan-wave fails, every
+    * bucket in it gets a `failed` ledger row carrying the error; a file-
+    * source write commits no partition on job failure, so "failed" is
+    * accurate for all of them. Resume re-drives failed and never-run
+    * buckets, skips done ones ([[completedBuckets]] is latest-entry-wins).
+    *
+    * `bucketsPerScan` trades read amplification for commit granularity:
+    * the default (MaxValue) migrates all pending buckets in one scan
+    * (1× read, all-or-nothing commit); `bucketsPerScan = 1` reproduces
+    * CDM's per-split commit (N× read — only worth it when single-bucket
+    * retry cost dominates a re-scan, e.g. a flaky sink).
+    *
+    * Guardrail: oversize rows are counted in the same observe() pass; the
+    * rows themselves are persisted to `_errors/` via a second scan that
+    * runs ONLY when the count is non-zero — the happy path stays 1× read,
+    * and the error budget (maxErrorCount) bounds how much a tripped
+    * guardrail can cost before the run aborts anyway.
     */
   def run(spark: SparkSession, source: DataFrame, targetDir: String,
           cfg: Config): Result = {
     require(cfg.pkCols.nonEmpty, "pkCols required for token bucketing")
+    require(!source.columns.contains("bucket"),
+      "source already has a 'bucket' column; it would collide with the partition tag")
     val ledger = s"$targetDir/_ledger/run.jsonl"
-    val done = completedBuckets(ledger)
+    val status = bucketStatus(ledger)
+    val (lo, hi) = cfg.bucketRange.getOrElse((0, cfg.tokenBuckets - 1))
+    val pending = (lo to hi).filterNot(b => status.get(b).contains("done"))
     val errors = spark.sparkContext.longAccumulator("migrate_errors")
     val budget = new ErrorBudget(errors, cfg.errorLimit)
     var migrated = 0L
     var skipped = 0L
     val ran = scala.collection.mutable.ArrayBuffer[Int]()
-    for (b <- 0 until cfg.tokenBuckets if !done.contains(b)) {
+    val waveSize = math.max(1, math.min(cfg.bucketsPerScan, cfg.tokenBuckets))
+    for (wave <- pending.grouped(waveSize)) {
       val t0 = System.nanoTime()
-      val slice = transformOnly(source, cfg.copy(bucketRange = Some((b, b))))
-      val (pass0, oversize) = cfg.guardrailMaxRowBytes match {
-        case Some(max) => guardrailSplit(slice, max)
-        case None => (slice, null)
-      }
-      val pass = cfg.maxRowsPerSecondPerPartition match {
-        case Some(r) => rateLimited(pass0, r)
-        case None => pass0
-      }
-      pass.write.mode("overwrite").parquet(s"$targetDir/bucket=$b")
-      val n = spark.read.parquet(s"$targetDir/bucket=$b").count()
-      val nSkip = if (oversize != null) {
-        val c = oversize.count()
-        if (c > 0) {
-          oversize.write.mode("overwrite").parquet(s"$targetDir/_errors/bucket=$b")
-          errors.add(c)
+      try {
+        val (rowsPerBucket, skipPerBucket) = runWave(spark, source, targetDir, cfg, wave, errors)
+        // budget check BEFORE the done rows: an aborted run must leave its
+        // wave re-drivable (the wave's writes are idempotent to redo)
+        budget.check()
+        wave.foreach { b =>
+          appendLedger(ledger,
+            s"""{"bucket":$b,"rows":${rowsPerBucket(b)},"skipped":${skipPerBucket(b)},"millis":${(System.nanoTime() - t0) / 1000000},"status":"done"}""")
         }
-        c
-      } else 0L
-      budget.check()
-      migrated += n
-      skipped += nSkip
-      ran += b
-      appendLedger(ledger,
-        s"""{"bucket":$b,"rows":$n,"skipped":$nSkip,"millis":${(System.nanoTime() - t0) / 1000000},"status":"done"}""")
+        migrated += rowsPerBucket.values.sum
+        skipped += skipPerBucket.values.sum
+        ran ++= wave
+      } catch {
+        case e: Throwable =>
+          wave.foreach { b =>
+            appendLedger(ledger,
+              s"""{"bucket":$b,"status":"failed","error":${jsonStr(String.valueOf(e.getMessage).take(500))}}""")
+          }
+          throw e
+      }
     }
     Result(migrated, skipped, ran.toSeq, ledger)
+  }
+
+  /** One scan-wave: migrate `wave`'s buckets in a single source pass and
+    * return (rows written per bucket, oversize rows per bucket routed to
+    * `_errors/`).
+    */
+  private def runWave(spark: SparkSession, source: DataFrame, targetDir: String,
+                      cfg: Config, wave: Seq[Int],
+                      errors: LongAccumulator): (Map[Int, Long], Map[Int, Long]) = {
+    val transformed = transformOnly(source, cfg.copy(bucketRange = None))
+    val tagged0 = transformed.withColumn("bucket",
+      Ops.tokenBucket(cfg.pkCols, cfg.tokenBuckets))
+    // the wave filter is a no-op when every bucket is pending — skip it so
+    // the common full-run plan is scan → transform → tag → write, nothing else
+    val tagged =
+      if (wave.size == cfg.tokenBuckets) tagged0
+      else tagged0.filter(col("bucket").isInCollection(wave))
+    def flag(df: DataFrame): DataFrame = cfg.guardrailMaxRowBytes match {
+      case Some(max) => Ops.guardrailFlag(df, max, "_gr")
+      case None => df.withColumn("_gr", lit(false))
+    }
+    val obs = Observation()
+    val counters = wave.map(b =>
+      count(when(col("bucket") === b && !col("_gr"), 1)).as(s"b$b")) ++
+      wave.map(b => count(when(col("bucket") === b && col("_gr"), 1)).as(s"o$b"))
+    val observed = flag(tagged).observe(obs, counters.head, counters.tail: _*)
+      .filter(!col("_gr")).drop("_gr")
+    val pass = cfg.maxRowsPerSecondPerPartition match {
+      case Some(r) => rateLimited(observed, r)
+      case None => observed
+    }
+    pass.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(targetDir)
+    val metrics = obs.get
+    val rowsPerBucket = wave.map(b => b -> metrics(s"b$b").asInstanceOf[Long]).toMap
+    val skipPerBucket = wave.map(b => b -> metrics(s"o$b").asInstanceOf[Long]).toMap
+    val oversize = skipPerBucket.values.sum
+    if (oversize > 0) {
+      // rare path: the guardrail tripped, so pay one extra scan to persist
+      // the offending rows (bounded by the error budget)
+      flag(tagged).filter(col("_gr")).drop("_gr")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(s"$targetDir/_errors")
+      errors.add(oversize)
+    }
+    (rowsPerBucket, skipPerBucket)
   }
 }

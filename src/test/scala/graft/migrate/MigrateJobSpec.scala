@@ -112,22 +112,66 @@ class MigrateJobSpec extends SparkSpec {
     assert(ex.getMessage.contains("error budget exceeded"))
   }
 
-  test("resume completes the remaining buckets after a mid-run failure") {
+  test("resume re-drives failed buckets after a mid-run failure") {
     val dir = tmp()
-    val cfg = MigrateJob.Config(pkCols = Seq("o_orderkey"), tokenBuckets = 4)
-    // fail partway: transformer that explodes on bucket 2+ via a poisoned
-    // column (planning succeeds; the task throws at execution time)
+    // bucketsPerScan = 1: per-bucket commit granularity, so the injected
+    // failure lands on exactly one bucket's wave
+    val cfg = MigrateJob.Config(pkCols = Seq("o_orderkey"), tokenBuckets = 4,
+      bucketsPerScan = 1)
     val failing = cfg.copy(transformerClass = Some("graft.migrate.FailOnThirdBucket"))
     FailOnThirdBucket.counter.set(0)
     intercept[Exception] {
       MigrateJob.run(spark, orders, dir, failing)
     }
-    val done = MigrateJob.completedBuckets(s"$dir/_ledger/run.jsonl")
-    assert(done.nonEmpty && done.size < 4, s"expected a partial ledger, got $done")
-    // resume with the healthy config: only the missing buckets run
+    val ledger = s"$dir/_ledger/run.jsonl"
+    val done = MigrateJob.completedBuckets(ledger)
+    assert(done == Set(0, 1), s"expected buckets 0,1 done, got $done")
+    // the failed bucket is ledgered as failed, with the error captured
+    val status = MigrateJob.bucketStatus(ledger)
+    assert(status.get(2).contains("failed"), s"bucket 2 should be failed, got $status")
+    val failedLine = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(ledger)).toArray.map(_.toString)
+      .find(l => l.contains("\"bucket\":2") && l.contains("\"failed\""))
+    assert(failedLine.exists(_.contains("injected failure")),
+      s"failed ledger row must carry the error, got $failedLine")
+    // resume with the healthy config: exactly the failed + never-run
+    // buckets re-execute (trackRun.autoRerun), done ones are skipped
     val second = MigrateJob.run(spark, orders, dir, cfg)
-    assert(second.buckets.toSet == (0 until 4).toSet.diff(done))
+    assert(second.buckets.toSet == Set(2, 3))
+    assert(MigrateJob.completedBuckets(ledger) == Set(0, 1, 2, 3),
+      "latest-entry-wins: the re-driven bucket reads done after resume")
     assert(spark.read.parquet(s"$dir/bucket=*").count() == orders.count())
+    // a third run finds nothing pending
+    assert(MigrateJob.run(spark, orders, dir, cfg).buckets.isEmpty)
+  }
+
+  test("N-bucket run scans the source ONCE (no per-bucket read amplification)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val dir = tmp()
+    val nRows = orders.count()
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recordsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      MigrateJob.run(spark, orders, dir,
+        MigrateJob.Config(pkCols = Seq("o_orderkey"), tokenBuckets = 8))
+      // listener bus is async: poll until the counter goes stable
+      var prev = -1L
+      var tries = 0
+      while (recordsRead.get() != prev && tries < 50) {
+        prev = recordsRead.get(); Thread.sleep(100); tries += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val total = recordsRead.get()
+    // old shape read the source once per bucket PLUS re-read each bucket's
+    // output for the ledger: >= 16x rows for 8 buckets. Single-pass = 1x.
+    assert(total <= nRows * 3 / 2,
+      s"8-bucket migrate read $total records; single-pass bound is ~$nRows")
+    assert(spark.read.parquet(s"$dir/bucket=*").count() == nRows)
   }
 
   test("global rate limit divides by current parallelism") {
