@@ -20,19 +20,23 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$n.parquet").limit(1).count()
       catch { case _: Throwable => () }
     }
-    // best-of-2 per query: absorbs scheduler/JIT noise (±15% observed on
-    // single runs); all side-effecting queries are idempotent (overwrite
-    // sinks), and in-session cache reuse across attempts is the same reuse
+    // median-of-3 per query: a single run carries ±15% scheduler/JIT noise
+    // and the first attempt additionally pays plan compilation — the r4
+    // artifact showed 2-7x phantom "regressions" on sub-second queries from
+    // exactly this. The median absorbs both tails without hiding a real
+    // slowdown the way min would. All side-effecting queries are idempotent
+    // (overwrite sinks); in-session reuse across attempts is the same reuse
     // any repeated production run gets.
     // Materialize through the noop sink, NOT count(): a count lets Catalyst
     // prune every unused column, optimizing away the very expressions the
     // query exists to compute — noop evaluates all output columns with no
     // I/O, so the measured time is the query's real cost.
-    // failures must be VISIBLE, not folded into best-of-2 as a near-zero
+    // failures must be VISIBLE, not folded into the median as a near-zero
     // "fast" time: a failed attempt is excluded, and a query with no
     // successful attempt reports -1.0 (an impossible duration) + stderr
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to iterations).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -43,12 +47,20 @@ object Bench {
             None
         }
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      val median =
+        if (times.isEmpty) -1.0
+        else times.sorted.apply((times.length - 1) / 2)
+      System.err.println(f"[bench] $name%-28s $median%.4f s (${times.length}/$iterations ok)")
+      name -> median
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ONE compact line on stdout, nothing else: the r4 artifact was lost to
+    // output-tail truncation, so keep the line small (4-decimal times) and
+    // make it the only stdout the driver has to find.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    Console.out.flush()
     spark.stop()
   }
 }
