@@ -203,6 +203,18 @@ object LlmOps {
       // which was the simhash pipeline's dominant cost.
       .withColumn("simhash", expr("graft_simhash32(hs)"))
 
+  /** 64-lane SimHash — the scale form of [[withSimhash]]: with 20-bit
+    * hamming-search blocks, expected equal-block bucket size is N/2^20
+    * (vs N/2^11 for the 32-bit form), keeping the candidate self-join
+    * linear well past 100M docs. Element hashes are 15-nibble md5 prefixes
+    * (60 bits), so lanes 60-63 are structurally zero — every pair agrees on
+    * them, which leaves the radius-2 pigeonhole argument over the 60 live
+    * bits intact (2 differing bits can spoil at most 2 of the 3 blocks).
+    */
+  def withSimhash64(df: DataFrame): DataFrame =
+    ensureFns(df).withColumn("hs", expr("graft_hash_array(words, ':sim', 15)"))
+      .withColumn("simhash64", expr("graft_simhash64(hs)"))
+
   /** Exact n-gram Jaccard similarity between two shingle-array columns
     * (set semantics via array_distinct).
     */

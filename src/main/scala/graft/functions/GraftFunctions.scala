@@ -72,6 +72,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_simhash32 takes (array<bigint>)")
         Simhash32(args(0))
+      }),
+    (FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[Simhash64].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash64 takes (array<bigint>)")
+        Simhash64(args(0))
       }))
 
   /** Idempotently register graft's functions in `spark`'s session-local

@@ -137,8 +137,19 @@ object TextOps {
     * ≥ 0 — the vote formulation of LlmOps.withSimhash, evaluated in one
     * pass with an int[32] accumulator.
     */
-  def simhash32(arr: ArrayData): Long = {
-    val votes = new Array[Int](32)
+  def simhash32(arr: ArrayData): Long = simhashW(arr, 32)
+
+  /** 64-lane variant for corpora where 32 bits go quadratic in the hamming
+    * block search (expected equal-block bucket size N/2^blockBits — see
+    * LlmQueries dedup_simhash_hamming64). With md5-prefix element hashes of
+    * 15 nibbles the top 4 lanes are structurally zero (votes stay negative),
+    * so the effective hash is 60 bits — still 2^28 more block-value space
+    * than the 32-bit/11-bit-block form.
+    */
+  def simhash64(arr: ArrayData): Long = simhashW(arr, 64)
+
+  private def simhashW(arr: ArrayData, w: Int): Long = {
+    val votes = new Array[Int](w)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
@@ -146,7 +157,7 @@ object TextOps {
       // if((shiftright(null, j) & 1) = 1, 1, -1) takes the else branch
       val h = if (arr.isNullAt(i)) 0L else arr.getLong(i)
       var j = 0
-      while (j < 32) {
+      while (j < w) {
         votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
         j += 1
       }
@@ -154,7 +165,7 @@ object TextOps {
     }
     var acc = 0L
     var j = 0
-    while (j < 32) {
+    while (j < w) {
       if (votes(j) >= 0) acc |= (1L << j)
       j += 1
     }
@@ -510,5 +521,32 @@ case class Simhash32(child: Expression)
     defineCodeGen(ctx, ev, arr => s"graft.functions.TextOps.simhash32($arr)")
 
   override protected def withNewChildInternal(newChild: Expression): Simhash32 =
+    copy(child = newChild)
+}
+
+/** `graft_simhash64(arr)` → bigint: 64-lane vote simhash (see
+  * TextOps.simhash64) — the scale form for the hamming-radius block search,
+  * where bucket sizes are O(N / 2^blockBits) and 32-bit hashes leave only
+  * ~11-bit blocks. Same null semantics as [[Simhash32]].
+  */
+case class Simhash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash64 requires array<bigint>, got $t")
+  }
+
+  override def nullSafeEval(arr: Any): Any =
+    TextOps.simhash64(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, arr => s"graft.functions.TextOps.simhash64($arr)")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
     copy(child = newChild)
 }

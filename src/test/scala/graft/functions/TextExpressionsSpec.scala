@@ -93,6 +93,29 @@ class TextExpressionsSpec extends SparkSpec {
     assert(cmp(2).getLong(0) == 0xFFFFFFFFL)
   }
 
+  test("graft_simhash64 equals the vote-aggregate form") {
+    val df = Seq(
+      Seq(0xFFFFFFFFFFFFFFFL, 0x0L, 0xAAAAAAAAAAAAAAL), // 60-bit lanes
+      Seq(1L, 3L, 7L),
+      Seq.empty[Long])   // zero votes → all 64 bits set → -1
+      .toDF("hs")
+    val cmp = df.select(
+      expr("graft_simhash64(hs)").as("native"),
+      expr("""aggregate(
+                zip_with(
+                  aggregate(hs, array_repeat(cast(0 as bigint), 64),
+                    (acc, h) -> zip_with(acc, sequence(0, 63),
+                      (a, j) -> a + if((shiftright(h, j) & 1) = 1, 1, -1))),
+                  sequence(0, 63),
+                  (v, j) -> if(v >= 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint))),
+                cast(0 as bigint), (oa, ox) -> oa + ox)""").as("hof"))
+      .collect()
+    cmp.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(cmp(2).getLong(0) == -1L)
+    // 60-bit element hashes: lanes 60-63 vote negative → result < 2^60
+    assert(cmp(0).getLong(0) >= 0 && cmp(0).getLong(0) < (1L << 60))
+  }
+
   test("graft_word_ngrams equals the zip_with-concat chain; null word nulls its grams") {
     val df = Seq(
       Seq("the", "quick", "brown", "fox"),

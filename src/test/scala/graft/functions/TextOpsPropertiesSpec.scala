@@ -88,6 +88,17 @@ class TextOpsPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash64 of a multiset equals simhash64 with votes computed naively") {
+    val gen = Gen.listOf(Gen.choose(0L, (1L << 60) - 1))
+    for (xs <- samples(gen, 200)) {
+      val naive = (0 until 64).map { j =>
+        val votes = xs.map(h => if (((h >>> j) & 1L) == 1L) 1 else -1).sum
+        if (votes >= 0) 1L << j else 0L
+      }.sum
+      assert(TextOps.simhash64(arr(xs)) == naive, s"xs=$xs")
+    }
+  }
+
   test("bandHashes rejects short signatures instead of reading out of bounds") {
     val e = intercept[IllegalArgumentException] {
       TextOps.bandHashes(arr(Seq(1L, 2L, 3L)), 4, 2, 15)
