@@ -156,22 +156,47 @@ object LlmOps {
     // ~50% run-to-run variance). Callers get a small persisted result.
     // materialize=false returns the LAZY plan (for plan audits/explain —
     // the intermediates then live until session end, probe use only).
-    val (sigT, banded0) = sigAndBanded(sh, idCol, k, bands, r)
-    val banded = banded0.persist()
+    if (materialize) candidatesWithCoverage(sh, idCol, k, bands, r, maxBucket)._1
+    else {
+      val (_, banded) = sigAndBanded(sh, idCol, k, bands, r)
+      pairsPlan(banded, banded.groupBy("band").count(), idCol, maxBucket)
+    }
+  }
+
+  /** The candidate self-join over the non-capped band buckets: equi-join on
+    * the band key, linear in bucket sizes, never all-pairs.
+    */
+  private def pairsPlan(banded: DataFrame, bucketCounts: DataFrame,
+                        idCol: String, maxBucket: Int): DataFrame = {
     val small = banded.join(
-      banded.groupBy("band").count().filter(col("count") <= maxBucket)
-        .select("band"),
-      "band")
-    val pairs0 = small.as("x").join(small.as("y"), "band")
+      bucketCounts.filter(col("count") <= maxBucket).select("band"), "band")
+    small.as("x").join(small.as("y"), "band")
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
-    if (!materialize) return pairs0
-    val pairs = pairs0.persist()
+  }
+
+  /** [[minhashCandidatesFrom]] plus coverage accounting in the SAME pass
+    * structure: returns (persisted candidate pairs, number of band buckets
+    * the `maxBucket` cap excluded from pairing). The capped count reuses
+    * the persisted band table and the bucket-count aggregate the pair join
+    * already needs — one extra tiny agg, not the second signature pass a
+    * separate [[oversizedBuckets]] call would cost. All intermediates are
+    * released before returning.
+    */
+  def candidatesWithCoverage(sh: DataFrame, idCol: String, k: Int = 8,
+                             bands: Int = 4, r: Int = 2,
+                             maxBucket: Int = 1000): (DataFrame, Long) = {
+    val (sigT, banded0) = sigAndBanded(sh, idCol, k, bands, r)
+    val banded = banded0.persist()
+    val counts = banded.groupBy("band").count().persist()
+    val capped = counts.filter(col("count") > maxBucket).count()
+    val pairs = pairsPlan(banded, counts, idCol, maxBucket).persist()
     pairs.count() // materialize BEFORE dropping the caches it derives from
+    counts.unpersist()
     banded.unpersist()
     sigT.unpersist()
-    pairs
+    (pairs, capped)
   }
 
   /** Buckets skipped by the `maxBucket` cap, with their sizes. Eagerly
@@ -321,15 +346,31 @@ object LlmOps {
     * log of the largest cluster diameter, checked against a hard cap).
     * Downstream dedup keeps one row per cluster_id.
     */
+  /** Driver heap cost model for the union-find gate: a collected edge is
+    * ~16 payload bytes in the edge array, up to two boxed entries in the
+    * union-find parent map (~64 bytes each: boxed key + value + HashMap
+    * node), and transient Row overhead during collect — budgeted at 160
+    * bytes/edge. The gate is therefore a BYTE budget, not a row count: a
+    * 512 MB budget admits ~3.4M edges regardless of how wide the caller's
+    * id space is.
+    */
+  val BytesPerDriverEdge = 160L
+
+  /** True iff `nEdges` candidate pairs fit the driver-side union-find
+    * budget under the [[BytesPerDriverEdge]] model.
+    */
+  def fitsDriverGate(nEdges: Long, budgetBytes: Long): Boolean =
+    nEdges <= budgetBytes / BytesPerDriverEdge
+
   def duplicateClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
                         maxIters: Int = 20,
-                        driverEdgeLimit: Long = 5000000L): DataFrame = {
+                        driverEdgeBudgetBytes: Long = 512L << 20): DataFrame = {
     // Candidate pairs are orders of magnitude smaller than the corpus by
     // construction (they're the near-duplicates). Below the gate, exact
     // union-find on the driver + a broadcast label join beats a multi-round
     // distributed fixpoint (each round is several scheduled jobs); above
     // it, fall through to the label-propagation loop.
-    if (pairs.count() <= driverEdgeLimit) {
+    if (fitsDriverGate(pairs.count(), driverEdgeBudgetBytes)) {
       val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map[Long, Long]()
@@ -354,6 +395,26 @@ object LlmOps {
         .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
     }
     distributedClusters(ids, idCol, pairs, maxIters)
+  }
+
+  /** The dedup end product with coverage accounting: one canonical (min-id)
+    * doc per duplicate cluster, each row carrying `capped_lsh_buckets` —
+    * the number of LSH buckets the `maxBucket` cap excluded from candidate
+    * generation. Degenerate duplication (thousands of identical boilerplate
+    * docs) can therefore never SILENTLY shrink candidate coverage: the gap
+    * is visible in the corpus-level output itself. Docs must carry a `text`
+    * column; all other columns pass through.
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame = {
+    val sh = shingleTable(docs, idCol)
+    val (pairs, capped) = candidatesWithCoverage(sh, idCol, maxBucket = maxBucket)
+    sh.unpersist() // pairs are materialized; the shingle cache is done
+    val clusters = duplicateClusters(docs.select(col(idCol)), idCol, pairs)
+    pairs.unpersist() // clusters no longer reference them (collected/looped)
+    docs.join(clusters, idCol)
+      .filter(col(idCol) === col("cluster_id"))
+      .drop("cluster_id")
+      .withColumn("capped_lsh_buckets", lit(capped))
   }
 
   /** Distributed fallback: label propagation to a fixpoint. */

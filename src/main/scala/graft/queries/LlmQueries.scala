@@ -247,21 +247,14 @@ object LlmQueries {
     }),
 
     // the end product of dedup: the surviving corpus — one canonical
-    // (min-id) doc per duplicate cluster, non-duplicates untouched
-    "dedup_corpus" -> ((s, d) => {
-      val docs = docsWithDups(t(s, d, "documents"))
-      val sh = LlmOps.shingleTable(docs, "doc_id")
-      val pairs = LlmOps.minhashCandidatesFrom(sh, "doc_id").persist()
-      val clusters =
-        LlmOps.duplicateClusters(docs.select(col("doc_id")), "doc_id", pairs)
-      // duplicateClusters materializes pairs eagerly (count + collect /
-      // label-prop rounds); its result no longer references them
-      pairs.unpersist()
-      docs.join(clusters, "doc_id")
-        .filter(col("doc_id") === col("cluster_id"))
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-        .orderBy(col("doc_id"))
-    }),
+    // (min-id) doc per duplicate cluster, non-duplicates untouched. Each
+    // row carries capped_lsh_buckets (buckets the maxBucket cap excluded
+    // from pairing) so capped coverage is never a silent gap.
+    "dedup_corpus" -> ((s, d) =>
+      LlmOps.dedupCorpus(docsWithDups(t(s, d, "documents")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("capped_lsh_buckets"))
+        .orderBy(col("doc_id"))),
 
     // k-NN join: top-3 neighbors of EVERY vector within its bucket (the
     // corpus-wide batch form of similarity search; sim_search_topk is the
@@ -520,7 +513,10 @@ object LlmQueries {
                    least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS cluster_id
             FROM docs d LEFT JOIN reach r ON r.x = d.doc_id
             GROUP BY d.doc_id)
-          SELECT d.doc_id, d.lang, d.n_chars
+          SELECT d.doc_id, d.lang, d.n_chars,
+                 (SELECT count(*) FROM
+                    (SELECT band FROM bands GROUP BY band HAVING count(*) > 1000))
+                   AS capped_lsh_buckets
           FROM docs d JOIN clusters c ON d.doc_id = c.doc_id
           WHERE c.doc_id = c.cluster_id
           ORDER BY d.doc_id""",

@@ -33,6 +33,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(uncapped.count() == 15) // 6 choose 2
   }
 
+  test("dedupCorpus surfaces capped-bucket coverage in the corpus output") {
+    // degenerate duplication: 6 identical docs + 1 distinct. Cap at 3 kills
+    // every bucket of the identical six → no pairs, no collapse — and the
+    // coverage gap must be visible on every output row, not swallowed.
+    val rows = (1L to 6L).map(i => (i, "the same exact boilerplate text repeated here")) :+
+      (7L, "completely different content about catalyst and tungsten")
+    val d = docs(rows: _*)
+    val capped = LlmOps.dedupCorpus(d, "doc_id", maxBucket = 3).collect()
+    assert(capped.length == 7, "capped buckets generate no pairs: nothing collapses")
+    val cappedCounts = capped.map(_.getAs[Long]("capped_lsh_buckets")).distinct
+    assert(cappedCounts.length == 1 && cappedCounts.head > 0,
+      s"capped bucket count must flow through, got ${cappedCounts.toSeq}")
+    // with the cap lifted the six collapse to doc 1 and the count reads 0
+    val open = LlmOps.dedupCorpus(d, "doc_id", maxBucket = 1000).collect()
+    assert(open.map(_.getLong(0)).sorted.toSeq == Seq(1L, 7L))
+    assert(open.forall(_.getAs[Long]("capped_lsh_buckets") == 0L))
+  }
+
   test("duplicateClusters: chains collapse to the min id, singletons keep their own") {
     import spark.implicits._
     // chain 1-2-3 (transitive through 2), pair 5-6, singleton 9
@@ -43,10 +61,32 @@ class LlmOpsSpec extends SparkSpec {
     val uf = LlmOps.duplicateClusters(ids, "doc_id", pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(uf == expected)
-    // distributed label-propagation path (forced via a zero edge gate)
-    val dist = LlmOps.duplicateClusters(ids, "doc_id", pairs, driverEdgeLimit = 0L)
+    // distributed label-propagation path (forced via a zero byte budget)
+    val dist = LlmOps.duplicateClusters(ids, "doc_id", pairs, driverEdgeBudgetBytes = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist == expected)
+  }
+
+  test("driver gate is a byte budget: boundary math and path equivalence") {
+    import spark.implicits._
+    // boundary: budget of exactly 10 edges admits 10, rejects 11
+    val budget = 10 * LlmOps.BytesPerDriverEdge
+    assert(LlmOps.fitsDriverGate(10, budget))
+    assert(!LlmOps.fitsDriverGate(11, budget))
+    // 512 MB default admits millions of edges but not a driver-OOM count
+    assert(LlmOps.fitsDriverGate(3000000, 512L << 20))
+    assert(!LlmOps.fitsDriverGate(100000000, 512L << 20))
+    // a budget right at the fallback boundary yields the same clusters on
+    // both sides of it
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val ids = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
+    val atBoundary = LlmOps.duplicateClusters(ids, "doc_id", pairs,
+        driverEdgeBudgetBytes = 3 * LlmOps.BytesPerDriverEdge) // exactly fits
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val belowBoundary = LlmOps.duplicateClusters(ids, "doc_id", pairs,
+        driverEdgeBudgetBytes = 3 * LlmOps.BytesPerDriverEdge - 1) // forced distributed
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(atBoundary == belowBoundary)
   }
 
   test("jaccard(x, x) = 1; jaccard of disjoint sets = 0") {
