@@ -189,11 +189,15 @@ object LlmOps {
                              maxBucket: Int = 1000): (DataFrame, Long) = {
     val (sigT, banded0) = sigAndBanded(sh, idCol, k, bands, r)
     val banded = banded0.persist()
-    val counts = banded.groupBy("band").count().persist()
+    // counts stays LAZY on purpose: at 10M docs the bucket-count table is
+    // ~#distinct-bands rows (tens of millions) — persisting it OOMs the
+    // heap the banded cache already fills. Re-aggregating from the cached
+    // band table twice (once for the capped count, once inside the pair
+    // join) is one cheap extra hash-agg pass instead.
+    val counts = banded.groupBy("band").count()
     val capped = counts.filter(col("count") > maxBucket).count()
     val pairs = pairsPlan(banded, counts, idCol, maxBucket).persist()
     pairs.count() // materialize BEFORE dropping the caches it derives from
-    counts.unpersist()
     banded.unpersist()
     sigT.unpersist()
     (pairs, capped)

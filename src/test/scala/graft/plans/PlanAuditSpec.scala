@@ -9,7 +9,8 @@ import graft.queries.{DiffQueries, JoinQueries, LlmQueries}
 class PlanAuditSpec extends SparkSpec {
   test("audit: key plans contain no cartesian products or unexpected sorts") {
     for (name <- Seq("diff_full_outer", "sim_search_topk",
-                     "sim_knn_join", "join_range_bucketed")) {
+                     "sim_knn_join", "join_range_bucketed",
+                     "dedup_simhash_hamming64")) {
       val plan = (DiffQueries.qs ++ LlmQueries.qs ++ JoinQueries.qs)(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian:\n$plan")
