@@ -156,11 +156,18 @@ object LlmOps {
     // ~50% run-to-run variance). Callers get a small persisted result.
     // materialize=false returns the LAZY plan (for plan audits/explain —
     // the intermediates then live until session end, probe use only).
-    if (materialize) candidatesWithCoverage(sh, idCol, k, bands, r, maxBucket)._1
-    else {
+    if (!materialize) {
       val (_, banded) = sigAndBanded(sh, idCol, k, bands, r)
-      pairsPlan(banded, banded.groupBy("band").count(), idCol, maxBucket)
+      return pairsPlan(banded, banded.groupBy("band").count(), idCol, maxBucket)
     }
+    val (sigT, banded0) = sigAndBanded(sh, idCol, k, bands, r)
+    val banded = banded0.persist()
+    val pairs = pairsPlan(banded, banded.groupBy("band").count(), idCol, maxBucket)
+      .persist()
+    pairs.count() // materialize BEFORE dropping the caches it derives from
+    banded.unpersist()
+    sigT.unpersist()
+    pairs
   }
 
   /** The candidate self-join over the non-capped band buckets: equi-join on
@@ -179,10 +186,12 @@ object LlmOps {
   /** [[minhashCandidatesFrom]] plus coverage accounting in the SAME pass
     * structure: returns (persisted candidate pairs, number of band buckets
     * the `maxBucket` cap excluded from pairing). The capped count reuses
-    * the persisted band table and the bucket-count aggregate the pair join
-    * already needs — one extra tiny agg, not the second signature pass a
-    * separate [[oversizedBuckets]] call would cost. All intermediates are
-    * released before returning.
+    * the persisted band table — one extra hash-agg pass over the cache,
+    * not the second signature pass a separate [[oversizedBuckets]] call
+    * would cost. It IS an extra job, which is why plain
+    * [[minhashCandidatesFrom]] doesn't pay it: only coverage-reporting
+    * callers (dedupCorpus) route here. All intermediates are released
+    * before returning.
     */
   def candidatesWithCoverage(sh: DataFrame, idCol: String, k: Int = 8,
                              bands: Int = 4, r: Int = 2,
