@@ -56,11 +56,21 @@ object Bench {
     // ONE compact line on stdout, nothing else: the r4 artifact was lost to
     // output-tail truncation, so keep the line small (4-decimal times) and
     // make it the only stdout the driver has to find.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(renderJson(results, sfDir))
     Console.out.flush()
     spark.stop()
+  }
+
+  /** The driver-facing artifact line. Locale-pinned formatting: the f""
+    * interpolator honors the default locale, and a comma decimal separator
+    * would corrupt the JSON.
+    */
+  def renderJson(results: Map[String, Double], sfDir: String): String = {
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
   }
 }
