@@ -315,7 +315,6 @@ object LlmOps {
     * key (a) is already co-located by the pair join's label shuffle.
     */
   def knnJoin(embeddings: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // norms are attached per SIDE (each side recomputes its own — one
     // 64-mult pass per vector, trivial next to the pairwise stage); no
     // persist, so the operator leaves no cached state behind
@@ -325,8 +324,17 @@ object LlmOps {
         col("x.label") === col("y.label") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         round(dot("x.embedding", "y.embedding") / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
-    val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
-    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // top-k via the graft_topk bounded-heap aggregate, NOT a window: the
+    // window form shuffles and sorts the FULL pairwise set on `a` (at 1M
+    // vectors / 1000-cells that is ~10^9 rows through one exchange). The
+    // aggregate evicts to k entries inside the map task (partial agg), so
+    // the shuffle carries #vectors x k rows — same output, bit-for-bit
+    // (heap order (cos desc, b asc) = the window's ORDER BY; spec-pinned).
+    pairs.groupBy(col("a"))
+      .agg(expr(s"graft_topk(cos, b, $k)").as("nn"))
+      .select(col("a"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("a"), col("nn.id").as("b"), col("nn.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Winnowing document fingerprints (the MOSS scheme, Schleimer et al.

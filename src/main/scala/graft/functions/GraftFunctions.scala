@@ -78,6 +78,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_simhash64 takes (array<bigint>)")
         Simhash64(args(0))
+      }),
+    (FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_topk takes (score double, id bigint, k)")
+        TopKPairs(args(0), args(1), args(2))
       }))
 
   /** Idempotently register graft's functions in `spark`'s session-local

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AggExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = { super.beforeAll(); GraftFunctions.ensure(spark) }
+
+  test("graft_topk keeps the k best (score desc, id asc), exercising partial merge") {
+    val rows = Seq(
+      // group 1: tie on 0.9 broken by id asc; 4 candidates for k=3
+      (1L, 0.9, 10L), (1L, 0.9, 7L), (1L, 0.5, 1L), (1L, 0.7, 2L),
+      // group 2: fewer than k
+      (2L, 0.1, 99L))
+      .toDF("g", "score", "id")
+      .repartition(4) // spread the group across tasks: merge + serialize run
+    val out = rows.groupBy($"g")
+      .agg(expr("graft_topk(score, id, 3)").as("nn"))
+      .select($"g", posexplode($"nn").as(Seq("pos", "nn")))
+      .select($"g", $"pos", $"nn.id", $"nn.score")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 0, 7L, 0.9), (1L, 1, 10L, 0.9), (1L, 2, 2L, 0.7),
+      (2L, 0, 99L, 0.1)))
+  }
+
+  test("graft_topk rejects bad k and types at analysis") {
+    val df = Seq((1L, 0.5, 2L)).toDF("g", "s", "i")
+    intercept[Exception] {
+      df.groupBy($"g").agg(expr("graft_topk(s, i, 0)")).collect()
+    }
+    intercept[Exception] {
+      df.groupBy($"g").agg(expr("graft_topk(i, i, 3)")).collect() // score not double
+    }
+  }
+
+  test("knnJoin via graft_topk is bit-identical to the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val agg = graft.ext.LlmOps.knnJoin(e, 3)
+      .select("a", "b", "cos", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // the reference window form it replaced (graft_* ensured in beforeAll)
+    val base = e.select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", sqrt(graft.ext.LlmOps.dot("embedding", "embedding")))
+    val pairs = base.as("x").join(base.as("y"),
+        col("x.label") === col("y.label") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(graft.ext.LlmOps.dot("x.embedding", "y.embedding") /
+          (col("x.nrm") * col("y.nrm")), 6).as("cos"))
+    val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
+    val win = pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(agg == win)
+  }
+}
