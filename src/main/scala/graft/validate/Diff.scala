@@ -121,19 +121,27 @@ object Diff {
   }
 
   /** Last-write-wins merge: keep, per PK, the row with the greatest
-    * writetime (ties broken deterministically by the tieBreak columns) —
-    * the conflict rule ZDM/CDM rely on during dual-write + backfill
-    * (docs/04-cdm-approach.md:837-841). One shuffle on the PK; map-side
-    * nothing to combine since rows are wide — a window + filter keeps it
-    * whole-stage-codegen friendly.
+    * (writetime, tieBreak…) — the conflict rule ZDM/CDM rely on during
+    * dual-write + backfill (docs/04-cdm-approach.md:837-841).
+    *
+    * Shape: `max_by(row, ordering-struct)` hash aggregate, NOT a window.
+    * A `row_number` window shuffles every version row and SORTS each PK
+    * partition; `max_by` keeps one candidate row per key inside the map
+    * task (partial aggregation), so the exchange carries ~#keys rows
+    * instead of #versions and nothing sorts. Tie semantics are identical —
+    * lexicographic max over (writetime, tieBreak…), which the caller makes
+    * total (e.g. a src column) exactly as the window form required. This
+    * is also the same aggregate the streaming twin
+    * ([[graft.stream.DualWrite.lwwStream]]) runs, so batch and stream can
+    * never diverge on conflict rules.
     */
   def lwwMerge(df: DataFrame, pk: Seq[String], writetime: String,
                tieBreak: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(pk.map(col): _*)
-      .orderBy(col(writetime).desc +: tieBreak.map(col(_).desc): _*)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    val valueCols = df.columns.toIndexedSeq.filterNot(pk.contains)
+    val ord = struct((col(writetime) +: tieBreak.map(col)): _*)
+    df.groupBy(pk.map(col): _*)
+      .agg(max_by(struct(valueCols.map(col): _*), ord).as("_v"))
+      .select(pk.map(col) ++ valueCols.map(c => col(s"_v.$c")): _*)
   }
 
   /** Autocorrect (docs/04-cdm-approach.md:358-369): produce the corrected
