@@ -69,7 +69,7 @@ object Stress {
       Diff.missing(skewed, orders.limit(1000000).select(col("o_orderkey")),
         Seq("o_orderkey")).agg(count(lit(1))).collect()
     }
-    bench("lww_merge (window dedup)", 2 * n) {
+    bench("lww_merge (max_by hash agg)", 2 * n) {
       val o = orders.withColumn("writetime", col("o_orderkey") % 1000).withColumn("src", lit(0))
       val t = orders.withColumn("writetime", col("o_orderkey") % 997).withColumn("src", lit(1))
       Diff.lwwMerge(o.unionByName(t), Seq("o_orderkey"), "writetime", Seq("src"))
