@@ -34,7 +34,9 @@ object Bench {
     // failures must be VISIBLE, not folded into the median as a near-zero
     // "fast" time: a failed attempt is excluded, and a query with no
     // successful attempt reports -1.0 (an impossible duration) + stderr
-    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // clamp to >= 1: zero/garbage would silently report every query failed
+    val iterations = sys.env.get("SPARK_GRAFT_BENCH_ITERS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to iterations).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -47,9 +49,12 @@ object Bench {
             None
         }
       }
+      // upper median on even success counts: when one of 3 attempts failed,
+      // picking the LOWER of the surviving two would be exactly the
+      // optimistic min-of-2 this estimator replaced — degrade conservative
       val median =
         if (times.isEmpty) -1.0
-        else times.sorted.apply((times.length - 1) / 2)
+        else times.sorted.apply(times.length / 2)
       System.err.println(f"[bench] $name%-28s $median%.4f s (${times.length}/$iterations ok)")
       name -> median
     }

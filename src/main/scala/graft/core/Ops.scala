@@ -53,9 +53,12 @@ object Ops {
     * routed to an error sink, the rest continue to the target
     * (GuardrailCheck job, docs/04-cdm-approach.md:444-447).
     */
-  def guardrailFlag(df: DataFrame, maxRowBytes: Long, flagCol: String = "guardrail_oversize"): DataFrame =
+  def guardrailFlag(df: DataFrame, maxRowBytes: Long,
+                    flagCol: String = "guardrail_oversize",
+                    exclude: Seq[String] = Nil): DataFrame =
     df.withColumn(flagCol,
-      octet_length(to_json(struct(df.columns.toIndexedSeq.map(col): _*))) > lit(maxRowBytes))
+      octet_length(to_json(struct(
+        df.columns.toIndexedSeq.filterNot(exclude.contains).map(col): _*))) > lit(maxRowBytes))
 
   /** S6 — partition-key-grouped write layout (dsbulk
     * `batch.mode=PARTITION_KEY`, reference: docs/03-dse-tooling.md:138,186-189):

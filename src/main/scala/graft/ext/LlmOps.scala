@@ -310,9 +310,12 @@ object LlmOps {
     * search a dedup/retrieval pipeline runs corpus-wide, vs the single-
     * query [[cosineTopK]]. One shuffle on the label to co-locate each cell,
     * pairwise dots inside the cell only (never all-pairs across cells),
-    * then a per-source window to keep k. At 100 TB the label plays the IVF
-    * cell id: cells bound the quadratic term, and the window's partition
-    * key (a) is already co-located by the pair join's label shuffle.
+    * then the `graft_topk` bounded-heap aggregate to keep k (see below —
+    * NOT a window). At 100 TB the label plays the IVF cell id: cells bound
+    * the quadratic term, and the top-k exchange carries #vectors×k rows.
+    *
+    * Zero-norm vectors (cosine undefined → null) are excluded from BOTH
+    * sides up front: they can neither rank nor be ranked against.
     */
   def knnJoin(embeddings: DataFrame, k: Int): DataFrame = {
     // norms are attached per SIDE (each side recomputes its own — one
@@ -320,6 +323,7 @@ object LlmOps {
     // persist, so the operator leaves no cached state behind
     val e = ensureFns(embeddings).select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("nrm", sqrt(dot("embedding", "embedding")))
+      .filter(col("nrm") > 0)
     val pairs = e.as("x").join(e.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
@@ -328,8 +332,9 @@ object LlmOps {
     // window form shuffles and sorts the FULL pairwise set on `a` (at 1M
     // vectors / 1000-cells that is ~10^9 rows through one exchange). The
     // aggregate evicts to k entries inside the map task (partial agg), so
-    // the shuffle carries #vectors x k rows — same output, bit-for-bit
-    // (heap order (cos desc, b asc) = the window's ORDER BY; spec-pinned).
+    // the shuffle carries #vectors x k rows — same output as the window
+    // form on defined cosines (heap order (cos desc, b asc) = the window's
+    // ORDER BY; spec-pinned).
     pairs.groupBy(col("a"))
       .agg(expr(s"graft_topk(cos, b, $k)").as("nn"))
       .select(col("a"), posexplode(col("nn")).as(Seq("pos", "nn")))

@@ -132,16 +132,6 @@ object MigrateJob {
     out
   }
 
-  /** Split a transformed frame into (pass, oversize) by the guardrail
-    * (GuardrailCheck job, docs/04-cdm-approach.md:438-447). Oversize rows
-    * are persisted to an error sink and counted, never silently dropped.
-    */
-  def guardrailSplit(df: DataFrame, maxRowBytes: Long): (DataFrame, DataFrame) = {
-    val flagged = Ops.guardrailFlag(df, maxRowBytes)
-    (flagged.filter(!col("guardrail_oversize")).drop("guardrail_oversize"),
-      flagged.filter(col("guardrail_oversize")).drop("guardrail_oversize"))
-  }
-
   private def appendLedger(path: String, line: String): Unit = {
     val p = Paths.get(path)
     Files.createDirectories(p.getParent)
@@ -182,9 +172,10 @@ object MigrateJob {
     * pending buckets (CDM's `numParts` are physical slices of one pass,
     * docs/04-cdm-approach.md:280-315,459 — NOT N re-reads):
     *
-    *   scan → transform → tag `bucket = pmod(xxhash64(pk), n)` →
-    *   guardrail flag → observe() per-bucket row counts →
-    *   write.partitionBy("bucket") with DYNAMIC partition overwrite.
+    *   scan → tag `bucket = pmod(xxhash64(pk), n)` from the SOURCE pk →
+    *   transform (projection keeps the tag; the custom transformer sees a
+    *   `bucket` column) → guardrail flag → observe() per-bucket row counts
+    *   → write.partitionBy("bucket") with DYNAMIC partition overwrite.
     *
     * Dynamic overwrite makes resume idempotent (a re-run rewrites exactly
     * its own bucket partitions, never touching done buckets or the ledger
@@ -230,16 +221,21 @@ object MigrateJob {
     for (wave <- pending.grouped(waveSize)) {
       val t0 = System.nanoTime()
       try {
-        val (rowsPerBucket, skipPerBucket) = runWave(spark, source, targetDir, cfg, wave, errors)
+        val w = runWave(spark, source, targetDir, cfg, wave, errors)
         // budget check BEFORE the done rows: an aborted run must leave its
         // wave re-drivable (the wave's writes are idempotent to redo)
         budget.check()
+        val waveMillis = (System.nanoTime() - t0) / 1000000
         wave.foreach { b =>
+          // per-bucket counts are present for waves <= PerBucketCounterCap;
+          // wave_millis is the WAVE's elapsed time (buckets in one wave
+          // share a scan — there is no per-bucket wall time to record)
+          val counts = w.rows.get(b).map(n => s""""rows":$n,"skipped":${w.skipped(b)},""").getOrElse("")
           appendLedger(ledger,
-            s"""{"bucket":$b,"rows":${rowsPerBucket(b)},"skipped":${skipPerBucket(b)},"millis":${(System.nanoTime() - t0) / 1000000},"status":"done"}""")
+            s"""{"bucket":$b,$counts"wave_millis":$waveMillis,"wave_size":${wave.size},"status":"done"}""")
         }
-        migrated += rowsPerBucket.values.sum
-        skipped += skipPerBucket.values.sum
+        migrated += w.totalRows
+        skipped += w.totalSkipped
         ran ++= wave
       } catch {
         case e: Throwable =>
@@ -253,30 +249,64 @@ object MigrateJob {
     Result(migrated, skipped, ran.toSeq, ledger)
   }
 
-  /** One scan-wave: migrate `wave`'s buckets in a single source pass and
-    * return (rows written per bucket, oversize rows per bucket routed to
-    * `_errors/`).
+  /** Above this wave size the per-bucket `observe()` counters are dropped
+    * (2 aggregate expressions per bucket in one CollectMetrics node stops
+    * scaling — analysis cost and codegen size grow with the count): the
+    * wave then records total rows/skips only, and per-bucket ledger rows
+    * carry status without counts. CDM-scale `numParts` in the thousands
+    * stays a single pass either way.
     */
+  val PerBucketCounterCap = 128
+
+  /** Per-wave outcome: per-bucket counts when the wave is small enough to
+    * observe them ([[PerBucketCounterCap]]), totals always.
+    */
+  private final case class WaveResult(
+      rows: Map[Int, Long], skipped: Map[Int, Long],
+      totalRows: Long, totalSkipped: Long)
+
+  /** One scan-wave: migrate `wave`'s buckets in a single source pass. */
   private def runWave(spark: SparkSession, source: DataFrame, targetDir: String,
                       cfg: Config, wave: Seq[Int],
-                      errors: LongAccumulator): (Map[Int, Long], Map[Int, Long]) = {
-    val transformed = transformOnly(source, cfg.copy(bucketRange = None))
-    val tagged0 = transformed.withColumn("bucket",
+                      errors: LongAccumulator): WaveResult = {
+    // The bucket tag is computed from the SOURCE pk, BEFORE the transform
+    // chain: bucket identity is a property of the origin row (CDM's token
+    // ranges slice the origin read, docs/04-cdm-approach.md:290-315) — a
+    // projection that drops the pk or a transformer that rewrites it must
+    // not change which bucket a row belongs to, or resume would re-migrate
+    // the wrong slices.
+    val tagged0 = source.withColumn("bucket",
       Ops.tokenBucket(cfg.pkCols, cfg.tokenBuckets))
     // the wave filter is a no-op when every bucket is pending — skip it so
-    // the common full-run plan is scan → transform → tag → write, nothing else
+    // the common full-run plan is scan → tag → transform → write, nothing else
     val tagged =
       if (wave.size == cfg.tokenBuckets) tagged0
       else tagged0.filter(col("bucket").isInCollection(wave))
+    // projection keeps the tag; the custom transformer therefore SEES a
+    // `bucket` column (documented) and must not drop it
+    val cfg2 = cfg.copy(bucketRange = None,
+      columnsToTarget =
+        if (cfg.columnsToTarget.nonEmpty) cfg.columnsToTarget :+ "bucket" else Nil)
+    val transformed = transformOnly(tagged, cfg2)
+    require(transformed.columns.contains("bucket"),
+      s"the custom transformer ${cfg.transformerClass.getOrElse("")} dropped " +
+        "the 'bucket' partition tag; transformers must pass it through")
+    // guardrail measures the row as the TARGET sees it — the bucket tag is
+    // a path component, not row content, so it is excluded from the size
     def flag(df: DataFrame): DataFrame = cfg.guardrailMaxRowBytes match {
-      case Some(max) => Ops.guardrailFlag(df, max, "_gr")
+      case Some(max) => Ops.guardrailFlag(df, max, "_gr", exclude = Seq("bucket"))
       case None => df.withColumn("_gr", lit(false))
     }
     val obs = Observation()
-    val counters = wave.map(b =>
-      count(when(col("bucket") === b && !col("_gr"), 1)).as(s"b$b")) ++
-      wave.map(b => count(when(col("bucket") === b && col("_gr"), 1)).as(s"o$b"))
-    val observed = flag(tagged).observe(obs, counters.head, counters.tail: _*)
+    val perBucket = wave.size <= PerBucketCounterCap
+    val counters =
+      if (perBucket)
+        wave.map(b => count(when(col("bucket") === b && !col("_gr"), 1)).as(s"b$b")) ++
+          wave.map(b => count(when(col("bucket") === b && col("_gr"), 1)).as(s"o$b"))
+      else
+        Seq(count(when(!col("_gr"), 1)).as("rows"),
+          count(when(col("_gr"), 1)).as("oversize"))
+    val observed = flag(transformed).observe(obs, counters.head, counters.tail: _*)
       .filter(!col("_gr")).drop("_gr")
     val pass = cfg.maxRowsPerSecondPerPartition match {
       case Some(r) => rateLimited(observed, r)
@@ -287,19 +317,35 @@ object MigrateJob {
       .partitionBy("bucket")
       .parquet(targetDir)
     val metrics = obs.get
-    val rowsPerBucket = wave.map(b => b -> metrics(s"b$b").asInstanceOf[Long]).toMap
-    val skipPerBucket = wave.map(b => b -> metrics(s"o$b").asInstanceOf[Long]).toMap
-    val oversize = skipPerBucket.values.sum
-    if (oversize > 0) {
+    val result =
+      if (perBucket) {
+        val rows = wave.map(b => b -> metrics(s"b$b").asInstanceOf[Long]).toMap
+        val skips = wave.map(b => b -> metrics(s"o$b").asInstanceOf[Long]).toMap
+        WaveResult(rows, skips, rows.values.sum, skips.values.sum)
+      } else WaveResult(Map.empty, Map.empty,
+        metrics("rows").asInstanceOf[Long], metrics("oversize").asInstanceOf[Long])
+    // dynamic overwrite only touches partitions PRESENT in the data: a
+    // re-driven bucket that now yields zero rows would silently keep its
+    // stale output — clear those partition dirs explicitly (known only
+    // when per-bucket counts are observed)
+    if (perBucket) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(targetDir), spark.sparkContext.hadoopConfiguration)
+      for (b <- wave if result.rows(b) == 0L)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$targetDir/bucket=$b"), true)
+      for (b <- wave if result.skipped.getOrElse(b, 1L) == 0L)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$targetDir/_errors/bucket=$b"), true)
+    }
+    if (result.totalSkipped > 0) {
       // rare path: the guardrail tripped, so pay one extra scan to persist
       // the offending rows (bounded by the error budget)
-      flag(tagged).filter(col("_gr")).drop("_gr")
+      flag(transformed).filter(col("_gr")).drop("_gr")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(s"$targetDir/_errors")
-      errors.add(oversize)
+      errors.add(result.totalSkipped)
     }
-    (rowsPerBucket, skipPerBucket)
+    result
   }
 }

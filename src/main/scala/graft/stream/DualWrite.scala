@@ -87,12 +87,17 @@ object DualWrite {
     * in update mode keeps exactly the LWW row per key.
     */
   def lwwStream(stream: DataFrame, pk: Seq[String], tsCol: String,
-                writetimeCol: String, lateness: String): DataFrame = {
+                writetimeCol: String, lateness: String,
+                tieBreak: Seq[String] = Nil): DataFrame = {
     val valueCols = stream.columns.toIndexedSeq.filterNot(c => pk.contains(c))
+    // ordering struct matches the batch twin (Diff.lwwMerge): lexicographic
+    // max over (writetime, tieBreak…) — pass the same tieBreak columns in
+    // both places or exact-writetime ties resolve arbitrarily
+    val ord = struct((col(writetimeCol) +: tieBreak.map(col)): _*)
     stream
       .withWatermark(tsCol, lateness)
       .groupBy(pk.map(col): _*)
-      .agg(max_by(struct(valueCols.map(col): _*), col(writetimeCol)).as("_v"))
+      .agg(max_by(struct(valueCols.map(col): _*), ord).as("_v"))
       .select(pk.map(col) ++ valueCols.map(c => col(s"_v.$c")): _*)
   }
 

@@ -130,10 +130,10 @@ object Diff {
     * task (partial aggregation), so the exchange carries ~#keys rows
     * instead of #versions and nothing sorts. Tie semantics are identical —
     * lexicographic max over (writetime, tieBreak…), which the caller makes
-    * total (e.g. a src column) exactly as the window form required. This
-    * is also the same aggregate the streaming twin
-    * ([[graft.stream.DualWrite.lwwStream]]) runs, so batch and stream can
-    * never diverge on conflict rules.
+    * total (e.g. a src column) exactly as the window form required. The
+    * streaming twin ([[graft.stream.DualWrite.lwwStream]]) runs the same
+    * max_by shape — pass it the same tieBreak columns to keep batch and
+    * stream conflict rules identical on exact-writetime ties.
     */
   def lwwMerge(df: DataFrame, pk: Seq[String], writetime: String,
                tieBreak: Seq[String]): DataFrame = {

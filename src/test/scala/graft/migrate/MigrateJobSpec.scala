@@ -174,6 +174,56 @@ class MigrateJobSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/bucket=*").count() == nRows)
   }
 
+  test("bucketing is computed from the SOURCE pk: projection may drop the pk") {
+    // the bucket tag must come from the origin row, so a columnsToTarget
+    // that omits the pk (legal in CDM) still buckets correctly
+    val dir = tmp()
+    val res = MigrateJob.run(spark, orders, dir,
+      MigrateJob.Config(pkCols = Seq("o_orderkey"), tokenBuckets = 4,
+        columnsToTarget = Seq("o_orderstatus", "o_totalprice")))
+    assert(res.migrated == orders.count())
+    val out = spark.read.parquet(s"$dir/bucket=*")
+    assert(out.count() == orders.count())
+    assert(out.columns.toSet == Set("o_orderstatus", "o_totalprice"))
+  }
+
+  test("a re-driven bucket that now yields zero rows clears its stale output") {
+    val dir = tmp()
+    val cfg = MigrateJob.Config(pkCols = Seq("o_orderkey"), tokenBuckets = 2)
+    MigrateJob.run(spark, orders, dir, cfg)
+    assert(spark.read.parquet(s"$dir/bucket=*").count() == orders.count())
+    // wipe the ledger and re-migrate with a filter that drops every row:
+    // dynamic overwrite alone would leave the stale partitions in place
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/_ledger/run.jsonl"))
+    val wt = orders.withColumn("writetime", lit(5L))
+    val res = MigrateJob.run(spark, wt, dir, cfg.copy(
+      writetimeCol = Some("writetime"), minWritetime = Some(100L)))
+    assert(res.migrated == 0)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bucket=0")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bucket=1")),
+      "stale bucket output must be cleared when the re-drive yields zero rows")
+  }
+
+  test("waves above the counter cap still migrate correctly, sans per-bucket counts") {
+    val dir = tmp()
+    val res = MigrateJob.run(spark, orders.limit(500), dir,
+      MigrateJob.Config(pkCols = Seq("o_orderkey"),
+        tokenBuckets = MigrateJob.PerBucketCounterCap + 22))
+    assert(res.migrated == 500)
+    assert(spark.read.parquet(s"$dir/bucket=*").count() == 500)
+    val ledger = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$dir/_ledger/run.jsonl"))
+    assert(ledger.size == MigrateJob.PerBucketCounterCap + 22)
+    assert(!ledger.get(0).contains("\"rows\""),
+      "above the cap, ledger rows carry status without per-bucket counts")
+    // resume finds everything done
+    assert(MigrateJob.run(spark, orders.limit(500), dir,
+      MigrateJob.Config(pkCols = Seq("o_orderkey"),
+        tokenBuckets = MigrateJob.PerBucketCounterCap + 22)).buckets.isEmpty)
+  }
+
   test("global rate limit divides by current parallelism") {
     val cfg = MigrateJob.Config(pkCols = Seq("o_orderkey"))
       .withGlobalRateLimit(spark, 4000)
