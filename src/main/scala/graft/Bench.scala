@@ -73,9 +73,13 @@ object Bench {
   def renderJson(results: Map[String, Double], sfDir: String): String = {
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
+    // escape interpolated strings — a quote/backslash in the sf path must
+    // not corrupt the one machine-parsed artifact line
+    def str(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v) => str(k) + ":" + num(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":${str(sfDir)}}"""
   }
 }

@@ -20,10 +20,19 @@ final class TopKBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var size = 0
 
-  private def better(s: Double, id: Long, i: Int): Boolean =
-    s > scores(i) || (s == scores(i) && id < ids(i))
+  // java.lang.Double.compare, not primitive >/==: Spark's sort order ranks
+  // NaN GREATER than every double (and a primitive NaN comparison is
+  // always false, which would both mis-rank NaN and break the id tiebreak
+  // between two NaNs)
+  private def better(s: Double, id: Long, i: Int): Boolean = {
+    val c = java.lang.Double.compare(s, scores(i))
+    c > 0 || (c == 0 && id < ids(i))
+  }
 
-  def insert(s: Double, id: Long): Unit = {
+  def insert(s0: Double, id: Long): Unit = {
+    // normalize -0.0 to 0.0 (Double.compare splits them; Spark's sort does
+    // not — NormalizeFloatingNumbers runs before every SQL comparison)
+    val s = if (s0 == 0.0) 0.0 else s0
     if (size == k && !better(s, id, k - 1)) return
     var i = math.min(size, k - 1)
     while (i > 0 && better(s, id, i - 1)) {
@@ -52,8 +61,10 @@ final class TopKBuffer(val k: Int) {
   * carries #groups × k rows instead of every pair — the map-side-combine
   * posture that survives a 1000-executor scale-up.
   *
-  * Null scores/ids are skipped (a null cosine cannot rank). `k` must be a
-  * foldable positive int (it sizes the fixed buffer).
+  * Null scores/ids are skipped (a null cosine cannot rank); NaN ranks
+  * first and -0.0 ties 0.0, matching Spark's sort order. Ids may be int or
+  * bigint (the output id widens to bigint). `k` must be a foldable int in
+  * [1, 10000] (it sizes the fixed buffer).
   */
 case class TopKPairs(
     score: Expression, id: Expression, kExpr: Expression,
@@ -66,14 +77,14 @@ case class TopKPairs(
 
   override def checkInputDataTypes(): TypeCheckResult =
     (score.dataType, id.dataType, kExpr.dataType) match {
-      case (DoubleType, LongType, IntegerType) if kExpr.foldable =>
+      case (DoubleType, IntegerType | LongType, IntegerType) if kExpr.foldable =>
         val kv = kExpr.eval()
         if (kv == null || kv.asInstanceOf[Int] < 1 || kv.asInstanceOf[Int] > 10000)
           TypeCheckResult.TypeCheckFailure(
             s"graft_topk k must be in [1, 10000], got $kv")
         else TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"graft_topk requires (double, bigint, foldable int), got $other")
+        s"graft_topk requires (double, int|bigint, foldable int), got $other")
     }
 
   override def dataType: DataType = ArrayType(
@@ -90,7 +101,7 @@ case class TopKPairs(
     val s = score.eval(input)
     val i = id.eval(input)
     if (s != null && i != null)
-      b.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+      b.insert(s.asInstanceOf[Double], i.asInstanceOf[Number].longValue)
     b
   }
 

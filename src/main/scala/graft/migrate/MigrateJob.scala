@@ -208,6 +208,9 @@ object MigrateJob {
     require(cfg.pkCols.nonEmpty, "pkCols required for token bucketing")
     require(!source.columns.contains("bucket"),
       "source already has a 'bucket' column; it would collide with the partition tag")
+    require(!cfg.columnsToTarget.contains("bucket") && !cfg.columnsToExclude.contains("bucket"),
+      "'bucket' is the reserved partition tag: it is carried automatically — " +
+        "do not list it in columnsToTarget/columnsToExclude")
     val ledger = s"$targetDir/_ledger/run.jsonl"
     val status = bucketStatus(ledger)
     val (lo, hi) = cfg.bucketRange.getOrElse((0, cfg.tokenBuckets - 1))
@@ -257,6 +260,20 @@ object MigrateJob {
     * stays a single pass either way.
     */
   val PerBucketCounterCap = 128
+
+  /** Delete `baseDir`'s partition dirs for the wave's buckets — one
+    * listStatus round trip, deletes only what exists and is being
+    * re-driven.
+    */
+  private def clearStalePartitions(fs: org.apache.hadoop.fs.FileSystem,
+                                   baseDir: String, wave: Seq[Int]): Unit = {
+    val base = new org.apache.hadoop.fs.Path(baseDir)
+    if (!fs.exists(base)) return
+    val waveDirs = wave.map(b => s"bucket=$b").toSet
+    fs.listStatus(base).foreach { st =>
+      if (waveDirs.contains(st.getPath.getName)) fs.delete(st.getPath, true)
+    }
+  }
 
   /** Per-wave outcome: per-bucket counts when the wave is small enough to
     * observe them ([[PerBucketCounterCap]]), totals always.
@@ -312,6 +329,16 @@ object MigrateJob {
       case Some(r) => rateLimited(observed, r)
       case None => observed
     }
+    // Clear the wave's existing partition dirs BEFORE writing: dynamic
+    // overwrite only replaces partitions PRESENT in the new data, so a
+    // re-driven bucket that now yields zero rows would silently keep its
+    // stale output. One listStatus per base dir (not one RPC per bucket);
+    // a failed write after the clear just re-drives the wave (ledger
+    // records failed), which rewrites everything cleared.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(targetDir), spark.sparkContext.hadoopConfiguration)
+    clearStalePartitions(fs, targetDir, wave)
+    clearStalePartitions(fs, s"$targetDir/_errors", wave)
     pass.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
@@ -324,18 +351,6 @@ object MigrateJob {
         WaveResult(rows, skips, rows.values.sum, skips.values.sum)
       } else WaveResult(Map.empty, Map.empty,
         metrics("rows").asInstanceOf[Long], metrics("oversize").asInstanceOf[Long])
-    // dynamic overwrite only touches partitions PRESENT in the data: a
-    // re-driven bucket that now yields zero rows would silently keep its
-    // stale output — clear those partition dirs explicitly (known only
-    // when per-bucket counts are observed)
-    if (perBucket) {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(targetDir), spark.sparkContext.hadoopConfiguration)
-      for (b <- wave if result.rows(b) == 0L)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$targetDir/bucket=$b"), true)
-      for (b <- wave if result.skipped.getOrElse(b, 1L) == 0L)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$targetDir/_errors/bucket=$b"), true)
-    }
     if (result.totalSkipped > 0) {
       // rare path: the guardrail tripped, so pay one extra scan to persist
       // the offending rows (bounded by the error budget)

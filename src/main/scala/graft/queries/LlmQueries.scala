@@ -521,13 +521,16 @@ object LlmQueries {
           WHERE c.doc_id = c.cluster_id
           ORDER BY d.doc_id""",
     "sim_knn_join" ->
-      """WITH p AS (
+      """WITH nz AS (
+           SELECT * FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         p AS (
            SELECT x.vec_id AS a, y.vec_id AS b,
                   round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
                         / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
                            * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))),
                         6) AS cos
-           FROM embeddings x JOIN embeddings y
+           FROM nz x JOIN nz y
              ON x.label = y.label AND x.vec_id <> y.vec_id),
          r AS (SELECT *, row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rank
                FROM p)

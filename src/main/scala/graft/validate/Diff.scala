@@ -141,7 +141,10 @@ object Diff {
     val ord = struct((col(writetime) +: tieBreak.map(col)): _*)
     df.groupBy(pk.map(col): _*)
       .agg(max_by(struct(valueCols.map(col): _*), ord).as("_v"))
-      .select(pk.map(col) ++ valueCols.map(c => col(s"_v.$c")): _*)
+      // restore the INPUT's column order (the window form preserved it;
+      // positional consumers must not see pk columns hoisted to the front)
+      .select(df.columns.toIndexedSeq.map(c =>
+        if (pk.contains(c)) col(c) else col(s"_v.$c").as(c)): _*)
   }
 
   /** Autocorrect (docs/04-cdm-approach.md:358-369): produce the corrected
