@@ -12,6 +12,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures only the LAST ~2000 bytes of `sbt runMain graft.Bench`
+// stdout; sbt's trailing "[success] Total time ..." line ate 73 of those
+// bytes and truncated the head of the one machine-parsed JSON artifact line
+// (BENCH_r04/r05 both landed with parsed:null). Nothing may print after the
+// artifact line:
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -38,7 +38,15 @@ object MigrateJob {
       guardrailMaxRowBytes: Option[Long] = None,   // guardrail.colSizeInKB analog (P7)
       transformerClass: Option[String] = None,     // transform.custom.class (X1)
       maxRowsPerSecondPerPartition: Option[Int] = None, // ratelimit.target (divided per worker, docs/04-cdm-approach.md:637)
-      errorLimit: Long = 100L) {                   // maxErrorCount (cdm.properties:38)
+      // maxErrorCount (cdm.properties:38). NOTE the interaction with
+      // bucketsPerScan: the budget is checked BETWEEN waves, so with the
+      // default single-wave run (bucketsPerScan = MaxValue) the whole
+      // migration completes before the budget can abort — the limit then
+      // only fails the run after the fact. For CDM-style early abort,
+      // set bucketsPerScan to a finite wave size; each wave boundary is an
+      // abort point (smaller waves = earlier aborts = more read
+      // amplification — the same trade documented on [[run]]).
+      errorLimit: Long = 100L) {
     /** CDM divides the global rate limit by worker count
       * (docs/04-cdm-approach.md:637). Recompute from current parallelism —
       * under dynamic allocation call again per epoch (SURVEY §7.4 risk 6).
@@ -51,6 +59,21 @@ object MigrateJob {
   /** CDM custom transformer interface (docs/04-cdm-approach.md:341-349),
     * Spark-shaped: whole-DataFrame transform (declarative, stays in
     * codegen) instead of the reference's per-Row callback.
+    *
+    * Contract (enforced where cheap, documented where not):
+    *   - `bucket` and any `_`-prefixed column are reserved pipeline
+    *     internals: pass them through untouched. [[run]] routes writes by a
+    *     pre-transform snapshot of the tag, so a transformer that rewrites
+    *     `bucket` cannot re-route rows into other buckets' partitions — but
+    *     the wave still FAILS loudly (tamper counter in the observe pass)
+    *     because a transformer touching reserved columns is misbehaving.
+    *   - transforms must be DETERMINISTIC (pure functions of the input
+    *     row). The guardrail error path re-executes the chain on a second
+    *     scan to persist oversize rows; a non-deterministic transform can
+    *     flag a different row set there than the one counted and filtered
+    *     in the first pass, so `_errors/` may diverge from the skipped
+    *     count. (Same rule CDM imposes on its row transformers — a retried
+    *     task replays the transform.)
     */
   trait Transformer extends Serializable {
     def apply(df: DataFrame): DataFrame
@@ -102,7 +125,8 @@ object MigrateJob {
     * AnalysisException deep in the chain) — CDM itself cannot write
     * writetimes it no longer carries.
     */
-  def transformOnly(df: DataFrame, cfg: Config, errors: Option[LongAccumulator] = None): DataFrame = {
+  def transformOnly(df: DataFrame, cfg: Config, errors: Option[LongAccumulator] = None,
+                    beforeTransformer: DataFrame => DataFrame = identity): DataFrame = {
     // Only the increment references writetimeCol AFTER projection — a
     // filter-only config (minWritetime with incrementBy=0) may freely
     // project the column away, since the filter runs first.
@@ -122,6 +146,10 @@ object MigrateJob {
       out = Ops.incremental(out, wt, min)
     if (cfg.columnsToTarget.nonEmpty) out = Ops.project(out, cfg.columnsToTarget)
     if (cfg.columnsToExclude.nonEmpty) out = Ops.exclude(out, cfg.columnsToExclude)
+    // hook point between projection and the custom transformer — runWave
+    // snapshots the bucket tag here so the tag the transformer SEES and the
+    // tag the write ROUTES by can be compared (tamper guard)
+    out = beforeTransformer(out)
     cfg.transformerClass.foreach { cls =>
       val t = Class.forName(cls).getDeclaredConstructor().newInstance()
         .asInstanceOf[Transformer]
@@ -164,9 +192,21 @@ object MigrateJob {
   def completedBuckets(ledgerPath: String): Set[Int] =
     bucketStatus(ledgerPath).collect { case (b, "done") => b }.toSet
 
-  private def jsonStr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replaceAll("[\\n\\r\\t]", " ") + "\""
+  /** JSON string literal with ALL control characters (< 0x20) \u-escaped —
+    * an exception message containing e.g. \b or \f must still yield a valid
+    * JSONL ledger line for external consumers (the in-repo regex readers
+    * tolerate anything, external `jq`-style readers do not).
+    */
+  private def jsonStr(s: String): String = {
+    val sb = new StringBuilder(s.length + 2).append('"')
+    s.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c             => sb.append(c)
+    }
+    sb.append('"').toString
+  }
 
   /** Run the migration with ledgered resume — ONE source scan for all
     * pending buckets (CDM's `numParts` are physical slices of one pass,
@@ -304,27 +344,56 @@ object MigrateJob {
     val cfg2 = cfg.copy(bucketRange = None,
       columnsToTarget =
         if (cfg.columnsToTarget.nonEmpty) cfg.columnsToTarget :+ "bucket" else Nil)
-    val transformed = transformOnly(tagged, cfg2)
+    // Tamper guard (only when a custom transformer runs — the built-in
+    // stages provably never touch the tag, so the common path stays the
+    // minimal plan): snapshot the tag into `_bucket_src` right before the
+    // transformer. The WRITE routes by the snapshot, so a transformer that
+    // rewrites `bucket` can never steer rows into partitions outside its
+    // wave (with dynamic overwrite that would silently replace previously
+    // committed buckets); the rewrite is still counted in the observe pass
+    // and fails the wave AFTER the (correctly-routed, idempotent) write.
+    val guard = cfg.transformerClass.isDefined
+    val transformed = transformOnly(tagged, cfg2, None,
+      beforeTransformer =
+        if (guard) (df: DataFrame) => df.withColumn("_bucket_src", col("bucket"))
+        else identity)
     require(transformed.columns.contains("bucket"),
       s"the custom transformer ${cfg.transformerClass.getOrElse("")} dropped " +
         "the 'bucket' partition tag; transformers must pass it through")
+    if (guard) require(transformed.columns.contains("_bucket_src"),
+      s"the custom transformer ${cfg.transformerClass.getOrElse("")} dropped " +
+        "the internal '_bucket_src' column; `_`-prefixed columns are " +
+        "reserved and must pass through untouched")
+    // the column the write routes by and the counters key on: the
+    // pre-transform snapshot when guarded, the tag itself otherwise
+    val routeCol = if (guard) "_bucket_src" else "bucket"
     // guardrail measures the row as the TARGET sees it — the bucket tag is
     // a path component, not row content, so it is excluded from the size
     def flag(df: DataFrame): DataFrame = cfg.guardrailMaxRowBytes match {
-      case Some(max) => Ops.guardrailFlag(df, max, "_gr", exclude = Seq("bucket"))
+      case Some(max) => Ops.guardrailFlag(df, max, "_gr",
+        exclude = Seq("bucket", "_bucket_src"))
       case None => df.withColumn("_gr", lit(false))
     }
+    // route by the snapshot and drop the transformer-visible tag: `bucket`
+    // is a reserved slice label, not row content, so a transformer rewrite
+    // of it is discarded rather than honored
+    def routed(df: DataFrame): DataFrame =
+      if (guard) df.drop("bucket").withColumnRenamed("_bucket_src", "bucket")
+      else df
     val obs = Observation()
     val perBucket = wave.size <= PerBucketCounterCap
+    val tamperCounter =
+      if (guard) Seq(count(when(!(col("bucket") <=> col("_bucket_src")), 1)).as("tamper"))
+      else Nil
     val counters =
-      if (perBucket)
-        wave.map(b => count(when(col("bucket") === b && !col("_gr"), 1)).as(s"b$b")) ++
-          wave.map(b => count(when(col("bucket") === b && col("_gr"), 1)).as(s"o$b"))
+      (if (perBucket)
+        wave.map(b => count(when(col(routeCol) === b && !col("_gr"), 1)).as(s"b$b")) ++
+          wave.map(b => count(when(col(routeCol) === b && col("_gr"), 1)).as(s"o$b"))
       else
         Seq(count(when(!col("_gr"), 1)).as("rows"),
-          count(when(col("_gr"), 1)).as("oversize"))
-    val observed = flag(transformed).observe(obs, counters.head, counters.tail: _*)
-      .filter(!col("_gr")).drop("_gr")
+          count(when(col("_gr"), 1)).as("oversize"))) ++ tamperCounter
+    val observed = routed(flag(transformed).observe(obs, counters.head, counters.tail: _*)
+      .filter(!col("_gr")).drop("_gr"))
     val pass = cfg.maxRowsPerSecondPerPartition match {
       case Some(r) => rateLimited(observed, r)
       case None => observed
@@ -344,6 +413,19 @@ object MigrateJob {
       .partitionBy("bucket")
       .parquet(targetDir)
     val metrics = obs.get
+    // the write itself routed by the pre-transform snapshot, so the data on
+    // disk is correct — but a transformer rewriting the reserved tag is
+    // misbehaving: fail the wave loudly (run() ledgers it `failed`; resume
+    // re-drives idempotently once the transformer is fixed)
+    if (guard) {
+      val tampered = metrics("tamper").asInstanceOf[Long]
+      if (tampered > 0)
+        throw new IllegalStateException(
+          s"transformer ${cfg.transformerClass.getOrElse("")} rewrote the " +
+            s"reserved 'bucket' tag on $tampered row(s); writes were routed " +
+            "by the pre-transform snapshot (no cross-bucket damage), but " +
+            "transformers must not touch reserved columns")
+    }
     val result =
       if (perBucket) {
         val rows = wave.map(b => b -> metrics(s"b$b").asInstanceOf[Long]).toMap
@@ -353,8 +435,11 @@ object MigrateJob {
         metrics("rows").asInstanceOf[Long], metrics("oversize").asInstanceOf[Long])
     if (result.totalSkipped > 0) {
       // rare path: the guardrail tripped, so pay one extra scan to persist
-      // the offending rows (bounded by the error budget)
-      flag(transformed).filter(col("_gr")).drop("_gr")
+      // the offending rows (bounded by the error budget). This re-executes
+      // the transform chain — the Transformer determinism contract (see
+      // trait doc) is what guarantees the same rows get flagged here as
+      // were counted and filtered in the first pass.
+      routed(flag(transformed).filter(col("_gr")).drop("_gr"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")

@@ -184,10 +184,17 @@ object LlmQueries {
       val sh = LlmOps.withSimhash64(LlmOps.withWords(docsWithDups(t(s, d, "documents"))))
         .select(col("doc_id"), col("simhash64"))
         .persist()
+      // Mask to the 60 live bits BEFORE blocking: with the current
+      // tokenizer simhash64 is always non-negative (lanes 60-63 vote
+      // negative on 15-nibble element hashes), but if shingling ever
+      // produced an empty hash array all 64 vote bits would set and the
+      // value would go NEGATIVE — where Spark's `div` (truncate toward
+      // zero) and DuckDB's `//` (floor) diverge. The mask pins both
+      // engines to the same non-negative domain; the oracle applies it too.
       val blocked = sh.select(col("doc_id"), col("simhash64"),
         explode(expr(
           """transform(sequence(0, 2), b -> concat(cast(b as string), ':',
-               cast((simhash64 div shiftleft(1L, b * 20)) % shiftleft(1L, 20) as string)))"""))
+               cast(((simhash64 & 1152921504606846975L) div shiftleft(1L, b * 20)) % shiftleft(1L, 20) as string)))"""))
           .as("blk"))
       val pairs = blocked.as("x").join(blocked.as("y"),
           col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
@@ -425,7 +432,7 @@ object LlmQueries {
           blocked AS (SELECT doc_id, simhash64,
                         unnest(list_transform([0, 1, 2],
                           b -> b::VARCHAR || ':' ||
-                               ((simhash64 // (1::BIGINT << (b * 20))) %
+                               (((simhash64 & ((1::BIGINT << 60) - 1)) // (1::BIGINT << (b * 20))) %
                                 (1::BIGINT << 20))::VARCHAR)) AS blk
                       FROM simh64)
           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,

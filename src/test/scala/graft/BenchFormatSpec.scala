@@ -20,18 +20,37 @@ class BenchFormatSpec extends AnyFunSuite {
     val parsed = JsonMethods.parse(line)
     val qs = (parsed \ "queries").asInstanceOf[JObject].obj.toMap
     assert(qs.keySet == Set("q_fast", "q_failed", "q_zero"))
-    assert(qs("q_fast").asInstanceOf[JDouble].num == 0.1235) // 4-decimal
-    assert(qs("q_failed").asInstanceOf[JDouble].num == -1.0) // failures visible
+    assert(qs("q_fast").asInstanceOf[JDouble].num == 0.12) // cs >= 0.1s
+    assert(qs("q_failed") match { // -1 renders as an integer after zero-strip
+      case JDouble(n) => n == -1.0
+      case JInt(n) => n == BigInt(-1)
+      case other => fail(s"unexpected $other")
+    })
+    assert(qs("q_zero") match {
+      case JDouble(n) => n == 0.0
+      case JInt(n) => n == BigInt(0)
+      case other => fail(s"unexpected $other")
+    })
     assert((parsed \ "metric").asInstanceOf[JString].s == "total")
     assert((parsed \ "unit").asInstanceOf[JString].s == "sec")
+  }
+
+  test("renderJson precision: ms under 0.1s, cs above, trailing zeros stripped") {
+    val line = Bench.renderJson(
+      Map("a" -> 0.0321, "b" -> 0.4641, "c" -> 12.3456, "d" -> 0.1),
+      "sf")
+    assert(line.contains("\"a\":0.032"), line)
+    assert(line.contains("\"b\":0.46"), line)
+    assert(line.contains("\"c\":12.35"), line)
+    assert(line.contains("\"d\":0.1,") || line.contains("\"d\":0.1}"), line)
   }
 
   test("renderJson is locale-independent (no comma decimal separators)") {
     val saved = java.util.Locale.getDefault
     try {
       java.util.Locale.setDefault(java.util.Locale.GERMANY) // 0,1235 territory
-      val line = Bench.renderJson(Map("q" -> 0.5), "sf")
-      assert(line.contains("\"q\":0.5000"), line)
+      val line = Bench.renderJson(Map("q" -> 0.55), "sf")
+      assert(line.contains("\"q\":0.55"), line)
       assert(!line.contains("0,5"), line)
     } finally java.util.Locale.setDefault(saved)
   }

@@ -26,6 +26,30 @@ class FailOnThirdBucket extends MigrateJob.Transformer {
   }
 }
 
+/** Misbehaving transformer: rewrites the reserved `bucket` tag to a fixed
+  * value — pre-guard this silently re-routed rows into another bucket's
+  * partition (ADVICE r5); now the write routes by the pre-transform
+  * snapshot and the wave fails loudly.
+  */
+class RewriteBucketTransformer extends MigrateJob.Transformer {
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("bucket", lit(3))
+}
+
+/** Misbehaving transformer: drops the internal snapshot column. */
+class DropInternalTransformer extends MigrateJob.Transformer {
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.drop("_bucket_src")
+}
+
+/** Throws a message full of JSON-hostile control characters — the ledger's
+  * failed row must still be a valid JSONL line.
+  */
+class ControlCharFailTransformer extends MigrateJob.Transformer {
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    throw new RuntimeException("bad" + 7.toChar + "bell" + 8.toChar + "\tand \"quotes\" " + 27.toChar + "[0m\nnewline")
+}
+
 class MigrateJobSpec extends SparkSpec {
   private lazy val orders = spark.read.parquet(s"${sf()}/orders.parquet")
 
@@ -254,5 +278,61 @@ class MigrateJobSpec extends SparkSpec {
     MigrateJob.rateLimited(df, 400).count()
     val secs = (System.nanoTime() - t0) / 1e9
     assert(secs >= 0.4, s"200 rows at 400 rows/s should take ≥0.5s, took $secs")
+  }
+
+  test("a transformer rewriting the bucket tag fails the wave AND cannot re-route rows") {
+    val dir = tmp()
+    // wave = buckets {0,1} of 4; the transformer stamps every row bucket=3.
+    // Pre-guard, rows landed in bucket=3's partition (outside the wave —
+    // with dynamic overwrite that can replace a done bucket's data).
+    val ex = intercept[IllegalStateException] {
+      MigrateJob.run(spark, orders, dir,
+        MigrateJob.Config(pkCols = Seq("o_orderkey"), tokenBuckets = 4,
+          bucketRange = Some((0, 1)),
+          transformerClass = Some("graft.migrate.RewriteBucketTransformer")))
+    }
+    assert(ex.getMessage.contains("rewrote the reserved 'bucket' tag"), ex.getMessage)
+    // the wave is ledgered failed, so resume re-drives it
+    val status = MigrateJob.bucketStatus(s"$dir/_ledger/run.jsonl")
+    assert(status.get(0).contains("failed") && status.get(1).contains("failed"), status)
+    // routing damage prevention: nothing escaped into bucket 3's partition
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bucket=3")),
+      "rows must be routed by the pre-transform snapshot, never the rewritten tag")
+    // and the rows that were written are exactly the wave's source slices
+    val expected = orders.withColumn("bucket",
+      graft.core.Ops.tokenBucket(Seq("o_orderkey"), 4))
+      .filter(col("bucket").isin(0, 1)).count()
+    assert(spark.read.parquet(s"$dir/bucket=*").count() == expected)
+  }
+
+  test("a transformer dropping the internal snapshot column fails with a clear error") {
+    val dir = tmp()
+    val ex = intercept[IllegalArgumentException] {
+      MigrateJob.run(spark, orders, dir,
+        MigrateJob.Config(pkCols = Seq("o_orderkey"), tokenBuckets = 2,
+          transformerClass = Some("graft.migrate.DropInternalTransformer")))
+    }
+    assert(ex.getMessage.contains("_bucket_src"), ex.getMessage)
+  }
+
+  test("ledger failed rows stay valid JSONL under control-char error messages") {
+    val dir = tmp()
+    intercept[Exception] {
+      MigrateJob.run(spark, orders, dir,
+        MigrateJob.Config(pkCols = Seq("o_orderkey"), tokenBuckets = 2,
+          transformerClass = Some("graft.migrate.ControlCharFailTransformer")))
+    }
+    import org.json4s.jackson.JsonMethods
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$dir/_ledger/run.jsonl"))
+    assert(!lines.isEmpty)
+    lines.forEach { l =>
+      // a strict JSON parser is the external-consumer stand-in
+      val parsed = JsonMethods.parse(l)
+      assert((parsed \ "status") != org.json4s.JNothing, l)
+    }
+    assert(lines.get(0).contains("\\u0007"), s"control chars must be escaped: ${lines.get(0)}")
   }
 }
