@@ -18,6 +18,7 @@ run / fork := true
 // (BENCH_r04/r05 both landed with parsed:null). Nothing may print after the
 // artifact line:
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -520,6 +520,132 @@ object LlmOps {
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
 
+  // ---- hyperplane-LSH ANN (the banding alternative to IVF) ----
+
+  /** 32 signature planes over the 64 embedding dims. */
+  val LshPlanes = 32
+  val LshDim = 64
+  /** 4 bands × 8 bits: a corpus vector is a candidate when ANY band of its
+    * signature equals the query's — standard LSH banding. Expected
+    * candidate fraction ≈ 4/2^8 ≈ 1.6% of the corpus per query.
+    */
+  val LshBands = 4
+  val LshBandBits = 8
+
+  /** Deterministic ±1 hyperplane weights from md5("p:i") parity — a CONSTANT
+    * matrix both engines inline as a literal, so the oracle needs no RNG
+    * seed plumbing. Random-sign projections are the classic SimHash-for-
+    * cosine construction (Charikar); ±1 weights (instead of gaussians) keep
+    * every dot product in exact integer arithmetic over the int8-quantized
+    * codes — zero float-summation-order parity risk between engines.
+    */
+  lazy val lshPlaneMatrix: IndexedSeq[IndexedSeq[Int]] =
+    (0 until LshPlanes).map { p =>
+      (0 until LshDim).map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$i".getBytes("UTF-8"))
+        if ((d(0) & 1) == 0) 1 else -1
+      }
+    }
+
+  /** Each plane packed into ONE 64-bit mask (bit i set ⇔ w[p][i] = +1):
+    * with ±1 weights, dotₚ = Σᵢ wᵢcᵢ = 2·Σ_{set bits} cᵢ − Σcᵢ, so the
+    * whole matrix is 32 longs instead of 2048 ints. The first cut inlined
+    * the full matrix as a nested array literal and paid ~4s of parse/
+    * analysis PER RUN for it — the plan, not the data, was the cost.
+    */
+  lazy val lshPlaneMasks: IndexedSeq[Long] =
+    lshPlaneMatrix.map(_.zipWithIndex.collect { case (1, i) => 1L << i }
+      .foldLeft(0L)(_ | _))
+
+  /** The masks as a Spark SQL array literal. */
+  lazy val lshPlanesSparkLit: String =
+    lshPlaneMasks.map(m => s"${m}L").mkString("array(", ",", ")")
+
+  /** The masks as a DuckDB list literal (BIGINT-pinned: a bare big literal
+    * may parse as HUGEINT and change the `&` result type).
+    */
+  lazy val lshPlanesDuckLit: String =
+    lshPlaneMasks.map(m => s"($m)::BIGINT").mkString("[", ",", "]")
+
+  /** Int8-quantize (same construction embed_quantize oracles bit-for-bit)
+    * then sign-project onto the plane masks: bit p of `lsh_sig` is
+    * sign(2·Σ_{i: mask bit set} codes[i] − Σcodes) — all-integer, so
+    * engine-exact. The codes column is inlined per plane by
+    * CollapseProject (32 × O(64) int ops per row — narrow and codegen'd,
+    * cheaper than materializing).
+    */
+  def withLshSig(df: DataFrame): DataFrame =
+    df.withColumn("scale",
+        expr("greatest(array_max(transform(embedding, v -> abs(cast(v as double)))) / 127.0, 1e-30d)"))
+      .withColumn("codes",
+        expr("transform(embedding, v -> cast(floor(cast(v as double) / scale + 0.5d) as int))"))
+      .withColumn("ctot",
+        expr("aggregate(codes, 0L, (a, c) -> a + cast(c as bigint))"))
+      .withColumn("lsh_sig", expr(
+        s"""aggregate(
+              zip_with(
+                transform($lshPlanesSparkLit,
+                  m -> aggregate(
+                         zip_with(codes, sequence(0, ${LshDim - 1}),
+                           (c, i) -> if((m & shiftleft(1L, i)) != 0, cast(c as bigint), 0L)),
+                         0L, (acc, x) -> acc + x)),
+                sequence(0, ${LshPlanes - 1}),
+                (sp, p) -> if(2 * sp - ctot >= 0, shiftleft(1L, p), 0L)),
+              0L, (acc, x) -> acc + x)"""))
+      .drop("scale", "codes", "ctot")
+
+  /** Explode a signature into its band keys ("band_ix:band_value"). */
+  private def lshBandKeys(sigCol: String) =
+    explode(expr(
+      s"""transform(sequence(0, ${LshBands - 1}),
+            b -> concat(cast(b as string), ':',
+                 cast(($sigCol div shiftleft(1L, b * $LshBandBits)) % ${1 << LshBandBits} as string)))"""))
+
+  /** LSH-bucketed ANN: candidates = corpus vectors sharing ≥1 signature
+    * band with the query (equi-join on the band key against the broadcast
+    * single-row query — the corpus is scanned once, never shuffled, same
+    * posture as cosineTopK/ivfSearch), then exact cosine re-rank of the
+    * candidates only. The recall/cost dial is (LshBands, LshBandBits):
+    * more/narrower bands = more candidates = higher recall.
+    */
+  def lshSearch(corpus: DataFrame, query: DataFrame, k: Int): DataFrame = {
+    val c = withLshSig(ensureFns(corpus))
+      .select(col("vec_id"), col("label"), col("embedding"), col("lsh_sig"))
+      .withColumn("blk", lshBandKeys("lsh_sig"))
+    val q = withLshSig(query)
+      .select(col("embedding").as("qv"), col("lsh_sig"))
+      .withColumn("blk", lshBandKeys("lsh_sig"))
+      .select(col("blk"), col("qv"))
+    c.join(broadcast(q), "blk")
+      .dropDuplicates("vec_id") // a pair can share several bands
+      .select(col("vec_id"), col("label"), cosine("embedding", "qv").as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+  }
+
+  /** Benchmark decontamination: flag corpus docs whose word-3-gram shingle
+    * set overlaps a held-out benchmark's. The benchmark side (GBs at most —
+    * eval suites are small) is DISTINCT-reduced and broadcast; the corpus
+    * (the 100 TB side) is scanned once and never shuffled — only the
+    * matched (doc, shingle) rows reach the per-doc count aggregation, and
+    * partial aggregation collapses those map-side. Inner join: docs with
+    * zero overlap are by definition clean and stay out of the report.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    threshold: Double): DataFrame = {
+    val corpusGrams = withShingles(withWords(corpus))
+      .select(col(idCol), array_distinct(col("shingles")).as("sh"))
+      .select(col(idCol), size(col("sh")).as("n_shingles"), explode(col("sh")).as("g"))
+    val benchGrams = withShingles(withWords(benchmark))
+      .select(explode(array_distinct(col("shingles"))).as("g")).distinct()
+    corpusGrams.join(broadcast(benchGrams), "g")
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("contam_ratio",
+        round(col("n_shared").cast("double") / col("n_shingles").cast("double"), 6))
+      .withColumn("contaminated", col("contam_ratio") >= threshold)
+  }
+
   /** Per-document text statistics: token counts (whitespace + a BPE-ish
     * regex), stopword ratio, a quality flag, an n-gram language guess, and
     * a minhash fingerprint.

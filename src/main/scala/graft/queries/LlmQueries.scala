@@ -253,6 +253,39 @@ object LlmQueries {
         e.filter(col("vec_id") === 0), nprobe = 2, k = 10)
     }),
 
+    // hyperplane-LSH ANN (the banding alternative to IVF): integer-exact
+    // sign projections over the int8-quantized codes, band equi-join
+    // against the broadcast query, exact cosine re-rank of candidates only
+    "sim_search_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      LlmOps.lshSearch(e.filter(col("vec_id") =!= 0),
+        e.filter(col("vec_id") === 0), k = 10)
+    }),
+
+    // benchmark decontamination: corpus docs sharing 3-gram shingles with
+    // the held-out set (originals with id%10==0 play the benchmark; their
+    // re-injected twins >= 100000 are the planted leaks)
+    "decontaminate_ngram" -> ((s, d) => {
+      val all = docsWithDups(t(s, d, "documents"))
+      val bench = all.filter(col("doc_id") < 100000 && col("doc_id") % 10 === 0)
+      val corpus = all.filter(col("doc_id") >= 100000 || col("doc_id") % 10 =!= 0)
+      LlmOps.decontaminate(corpus, bench, "doc_id", threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition signal: duplicate word-3-gram fraction per
+    // doc (narrow per-row maps, no shuffle)
+    "quality_repetition" -> ((s, d) =>
+      LlmOps.withShingles(LlmOps.withWords(docsWithDups(t(s, d, "documents"))))
+        .select(col("doc_id"),
+          size(col("shingles")).as("n_grams"),
+          size(array_distinct(col("shingles"))).as("n_distinct"))
+        .withColumn("rep_ratio",
+          round((col("n_grams") - col("n_distinct")).cast("double") /
+            col("n_grams").cast("double"), 6))
+        .withColumn("repetitive", col("rep_ratio") > 0.05)
+        .orderBy(col("doc_id"))),
+
     // the end product of dedup: the surviving corpus — one canonical
     // (min-id) doc per duplicate cluster, non-duplicates untouched. Each
     // row carries capped_lsh_buckets (buckets the maxBucket cap excluded
@@ -484,6 +517,81 @@ object LlmQueries {
          FROM embeddings, q WHERE vec_id <> 0
          ORDER BY cos DESC, vec_id LIMIT 10""",
     "sim_search_ivf" -> simSearchIvfSql,
+    // mirrors LlmOps.lshSearch: same int8 quantization as embed_quantize,
+    // same ±1 plane literal (LlmOps.lshPlanesDuckLit), integer-exact signs
+    "sim_search_lsh" ->
+      s"""WITH pl AS (SELECT ${graft.ext.LlmOps.lshPlanesDuckLit} AS p),
+          s AS (SELECT vec_id, label, embedding,
+                  greatest(list_max(list_transform(embedding, v -> abs(v::DOUBLE))) / 127.0,
+                           1e-30) AS scale
+                FROM embeddings),
+          qz AS (SELECT vec_id, label, embedding,
+                   list_transform(embedding,
+                     v -> CAST(floor(v::DOUBLE / scale + 0.5) AS INTEGER)) AS codes
+                 FROM s),
+          sig AS (SELECT vec_id, label, embedding,
+                    CAST(list_sum(list_transform(generate_series(1, ${graft.ext.LlmOps.LshPlanes}),
+                      j -> CASE WHEN 2 * list_sum(list_transform(generate_series(1, ${graft.ext.LlmOps.LshDim}),
+                                     i -> CASE WHEN (p[j] & (1::BIGINT << (i - 1))) <> 0
+                                          THEN codes[i] ELSE 0 END))
+                                   - list_sum(codes) >= 0
+                                THEN (1::BIGINT << (j - 1)) ELSE 0 END)) AS BIGINT) AS lsh_sig
+                  FROM qz, pl),
+          cb AS (SELECT vec_id, label, embedding, lsh_sig,
+                   unnest(list_transform([0, 1, 2, 3],
+                     b -> b::VARCHAR || ':' ||
+                          ((lsh_sig // (1::BIGINT << (b * 8))) % 256)::VARCHAR)) AS blk
+                 FROM sig WHERE vec_id <> 0),
+          qb AS (SELECT embedding AS qv,
+                   unnest(list_transform([0, 1, 2, 3],
+                     b -> b::VARCHAR || ':' ||
+                          ((lsh_sig // (1::BIGINT << (b * 8))) % 256)::VARCHAR)) AS blk
+                 FROM sig WHERE vec_id = 0),
+          cand AS (SELECT DISTINCT c.vec_id, c.label, c.embedding, q.qv
+                   FROM cb c JOIN qb q USING (blk))
+          SELECT vec_id, label,
+                 round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+                       / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))),
+                       6) AS cos
+          FROM cand
+          ORDER BY cos DESC, vec_id LIMIT 10""",
+    "decontaminate_ngram" ->
+      s"""WITH all_docs AS ($docsDupSql),
+          bdocs AS (SELECT * FROM all_docs WHERE doc_id < 100000 AND doc_id % 10 = 0),
+          cdocs AS (SELECT * FROM all_docs WHERE doc_id >= 100000 OR doc_id % 10 <> 0),
+          cw AS (SELECT doc_id, text, $duckWords AS words FROM cdocs),
+          csh AS (SELECT doc_id,
+                    list_distinct(CASE WHEN len(words) < 3 THEN [lower(text)]
+                         ELSE list_transform(generate_series(1, len(words) - 2),
+                                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                    END) AS sh
+                  FROM cw),
+          bw AS (SELECT doc_id, text, $duckWords AS words FROM bdocs),
+          bsh AS (SELECT CASE WHEN len(words) < 3 THEN [lower(text)]
+                         ELSE list_transform(generate_series(1, len(words) - 2),
+                                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                    END AS sh
+                  FROM bw),
+          bg AS (SELECT DISTINCT unnest(sh) AS g FROM bsh),
+          cg AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS g FROM csh),
+          hits AS (SELECT doc_id, n_shingles, count(*) AS n_shared
+                   FROM cg JOIN bg USING (g) GROUP BY 1, 2)
+          SELECT doc_id, n_shingles, n_shared,
+                 round(n_shared::DOUBLE / n_shingles::DOUBLE, 6) AS contam_ratio,
+                 round(n_shared::DOUBLE / n_shingles::DOUBLE, 6) >= 0.5 AS contaminated
+          FROM hits ORDER BY doc_id""",
+    "quality_repetition" ->
+      s"""WITH docs AS ($docsDupSql),
+          $duckShingleCte
+          SELECT doc_id,
+                 len(shingles) AS n_grams,
+                 len(list_distinct(shingles)) AS n_distinct,
+                 round((len(shingles) - len(list_distinct(shingles)))::DOUBLE
+                       / len(shingles)::DOUBLE, 6) AS rep_ratio,
+                 round((len(shingles) - len(list_distinct(shingles)))::DOUBLE
+                       / len(shingles)::DOUBLE, 6) > 0.05 AS repetitive
+          FROM sh ORDER BY doc_id""",
     "dedup_clusters" ->
       s"""WITH RECURSIVE docs AS ($docsDupSql),
           $duckShingleCte,

@@ -44,6 +44,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(n == 1, s"expected one graft_gram_hash occurrence, got $n:\n$plan")
   }
 
+  test("audit: sim_search_lsh broadcasts the query side, corpus never shuffles") {
+    val plan = LlmQueries.qs("sim_search_lsh")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), s"query side must broadcast:\n$plan")
+    // the only exchanges allowed are the broadcast itself and the final
+    // top-k; the corpus must not hash-repartition
+    assert(!plan.contains("hashpartitioning(blk"),
+      s"corpus must not shuffle on the band key:\n$plan")
+  }
+
+  test("audit: decontaminate broadcasts the benchmark n-gram set") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    import org.apache.spark.sql.functions.col
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val plan = graft.ext.LlmOps.decontaminate(corpus, bench, "doc_id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 100TB corpus side must never sort-merge against the benchmark:\n$plan")
+  }
+
   test("audit: LSH band join key is int64, not string") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
