@@ -19,6 +19,12 @@ run / fork := true
 // artifact line:
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// ... and the forked JVM's stdout must reach the driver RAW: sbt's default
+// LoggedOutput decorates every forked line with "[info] ", which turns the
+// artifact line into `[info] {...}` — unparseable as bare JSON (BENCH_r06
+// had the full line in the tail yet still parsed:null). StdoutOutput makes
+// the forked process inherit sbt's own stdout/stderr, no prefixes.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
