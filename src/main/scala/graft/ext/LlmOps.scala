@@ -596,32 +596,72 @@ object LlmOps {
       .drop("scale", "codes", "ctot")
 
   /** Explode a signature into its band keys ("band_ix:band_value"). */
-  private def lshBandKeys(sigCol: String) =
+  private def lshBandKeys(sigCol: String, bands: Int, bandBits: Int) =
     explode(expr(
-      s"""transform(sequence(0, ${LshBands - 1}),
+      s"""transform(sequence(0, ${bands - 1}),
             b -> concat(cast(b as string), ':',
-                 cast(($sigCol div shiftleft(1L, b * $LshBandBits)) % ${1 << LshBandBits} as string)))"""))
+                 cast(($sigCol div shiftleft(1L, b * $bandBits)) % ${1 << bandBits} as string)))"""))
 
   /** LSH-bucketed ANN: candidates = corpus vectors sharing ≥1 signature
     * band with the query (equi-join on the band key against the broadcast
     * single-row query — the corpus is scanned once, never shuffled, same
     * posture as cosineTopK/ivfSearch), then exact cosine re-rank of the
-    * candidates only. The recall/cost dial is (LshBands, LshBandBits):
-    * more/narrower bands = more candidates = higher recall.
+    * candidates only. The recall/cost dial is (bands, bandBits):
+    * more/narrower bands = more candidates = higher recall — measured on
+    * the sf0.01 fixtures by AnnRecallSpec (recall@10 rises 0.08 → 0.74 →
+    * 1.0 across (4,8) → (8,4) → (16,2); tune with [[recallAtK]]).
     */
-  def lshSearch(corpus: DataFrame, query: DataFrame, k: Int): DataFrame = {
+  def lshSearch(corpus: DataFrame, query: DataFrame, k: Int,
+                bands: Int = LshBands, bandBits: Int = LshBandBits): DataFrame = {
+    require(bands * bandBits <= LshPlanes,
+      s"bands*bandBits must fit the $LshPlanes-bit signature, got $bands*$bandBits")
     val c = withLshSig(ensureFns(corpus))
       .select(col("vec_id"), col("label"), col("embedding"), col("lsh_sig"))
-      .withColumn("blk", lshBandKeys("lsh_sig"))
+      .withColumn("blk", lshBandKeys("lsh_sig", bands, bandBits))
     val q = withLshSig(query)
       .select(col("embedding").as("qv"), col("lsh_sig"))
-      .withColumn("blk", lshBandKeys("lsh_sig"))
+      .withColumn("blk", lshBandKeys("lsh_sig", bands, bandBits))
       .select(col("blk"), col("qv"))
     c.join(broadcast(q), "blk")
       .dropDuplicates("vec_id") // a pair can share several bands
       .select(col("vec_id"), col("label"), cosine("embedding", "qv").as("cos"))
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
+
+  /** Per-band-key corpus bucket sizes, largest first — the [[lshSearch]]
+    * analog of [[oversizedBuckets]]: a degenerate corpus (every vector in
+    * one band bucket) shows up here as one huge count instead of as a
+    * silently slow candidate join. One hash-agg over the banded corpus.
+    */
+  def lshBandSizes(corpus: DataFrame, bands: Int = LshBands,
+                   bandBits: Int = LshBandBits): DataFrame =
+    withLshSig(ensureFns(corpus))
+      .select(col("vec_id"), col("lsh_sig"))
+      .withColumn("blk", lshBandKeys("lsh_sig", bands, bandBits))
+      .groupBy(col("blk")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("blk"))
+
+  /** Recall@k of an ANN result against the exact ground truth: the
+    * fraction of `truth`'s vec_ids the approximate result found. Both
+    * inputs are top-k frames (≤ k rows by construction), so collecting
+    * their id columns driver-side is O(k) — this is the evaluation
+    * harness for the (bands, bandBits) / nprobe dials, not a data-path
+    * operator.
+    */
+  def recallAtK(approx: DataFrame, truth: DataFrame): Double =
+    recallAtK(approx,
+      truth.select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet)
+
+  /** As above with a pre-collected truth id set (avoids re-running the
+    * ground-truth query when scoring several configurations against it).
+    */
+  def recallAtK(approx: DataFrame, truthIds: Set[Long]): Double =
+    if (truthIds.isEmpty) 1.0
+    else {
+      val a = approx.select(col("vec_id").cast("long")).collect()
+        .map(_.getLong(0)).toSet
+      (a & truthIds).size.toDouble / truthIds.size
+    }
 
   /** Benchmark decontamination: flag corpus docs whose word-3-gram shingle
     * set overlaps a held-out benchmark's. The benchmark side (GBs at most —
