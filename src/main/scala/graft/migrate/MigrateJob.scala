@@ -38,14 +38,17 @@ object MigrateJob {
       guardrailMaxRowBytes: Option[Long] = None,   // guardrail.colSizeInKB analog (P7)
       transformerClass: Option[String] = None,     // transform.custom.class (X1)
       maxRowsPerSecondPerPartition: Option[Int] = None, // ratelimit.target (divided per worker, docs/04-cdm-approach.md:637)
-      // maxErrorCount (cdm.properties:38). NOTE the interaction with
-      // bucketsPerScan: the budget is checked BETWEEN waves, so with the
-      // default single-wave run (bucketsPerScan = MaxValue) the whole
-      // migration completes before the budget can abort — the limit then
-      // only fails the run after the fact. For CDM-style early abort,
-      // set bucketsPerScan to a finite wave size; each wave boundary is an
-      // abort point (smaller waves = earlier aborts = more read
-      // amplification — the same trade documented on [[run]]).
+      // maxErrorCount (cdm.properties:38), enforced at three scopes:
+      // (1) MID-WAVE, like CDM's abort of a running job
+      //     (docs/04-cdm-approach.md:643) — when a guardrail is configured
+      //     (the only mid-wave error source), every flagged row increments
+      //     the error accumulator as the scan runs; each task aborts on its
+      //     own if its local count alone blows the budget, and a driver-side
+      //     watcher cancels the wave's job group once the cross-task total
+      //     does. Engaged only for finite limits with a guardrail set, so
+      //     the unguarded pipeline stays one whole-stage-codegen span.
+      // (2) between waves (ErrorBudget.check), and
+      // (3) via the bounded _errors persist cost on the guardrail path.
       errorLimit: Long = 100L) {
     /** CDM divides the global rate limit by worker count
       * (docs/04-cdm-approach.md:637). Recompute from current parallelism —
@@ -90,6 +93,65 @@ object MigrateJob {
       if (acc.value > limit)
         throw new IllegalStateException(
           s"error budget exceeded: ${acc.value} > $limit")
+  }
+
+  /** Drive `body` (a Spark action) under a budget watcher: a driver-side
+    * thread polls the merged error accumulator while the action runs and
+    * cancels the action's job group the moment the budget is blown —
+    * CDM's maxErrorCount abort of a RUNNING job
+    * (docs/04-cdm-approach.md:643). Accumulator updates reach the driver
+    * as tasks complete (plus executor heartbeats), so the watcher fires
+    * after the earliest finished tasks push the total over the limit —
+    * the remaining tasks of the wave are killed instead of running the
+    * migration to completion first. Cancellation via job group keeps the
+    * blast radius to this wave's jobs only.
+    */
+  private[migrate] def withBudgetWatcher[T](spark: SparkSession,
+                                            errors: LongAccumulator,
+                                            limit: Long,
+                                            groupTag: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    @volatile var done = false
+    @volatile var breached = false
+    sc.setJobGroup(groupTag, "graft migrate wave (error-budget watched)",
+      interruptOnCancel = true)
+    val watcher = new Thread({ () =>
+      // keep cancelling until the action thread returns: cancelJobGroup
+      // only kills jobs running at that instant, so a breach detected
+      // between two of the wave's jobs (or before the first is submitted)
+      // must re-fire for the next submission. Cancellation is idempotent.
+      while (!done) {
+        if (errors.value > limit) { breached = true; sc.cancelJobGroup(groupTag) }
+        Thread.sleep(20)
+      }
+    }: Runnable)
+    watcher.setName("graft-budget-watcher")
+    watcher.setDaemon(true)
+    watcher.start()
+    try body
+    catch {
+      // surface the CAUSE of the cancellation, not Spark's generic
+      // "job cancelled" — the ledger line carries this message
+      case e: Throwable if breached =>
+        throw new IllegalStateException(
+          s"error budget exceeded mid-wave: ${errors.value} > $limit " +
+            "(wave cancelled; completed buckets are untouched, the wave " +
+            "re-drives idempotently)", e)
+      case e: Throwable =>
+        // a TASK-local budget abort arrives wrapped in Spark's job-failure
+        // exception — unwrap so callers see the budget violation itself
+        val cause = Iterator.iterate[Throwable](e)(_.getCause)
+          .takeWhile(_ != null).take(10)
+          .collectFirst {
+            case ise: IllegalStateException
+              if String.valueOf(ise.getMessage).contains("error budget exceeded") => ise
+          }
+        throw cause.getOrElse(e)
+    } finally {
+      done = true
+      sc.clearJobGroup()
+      watcher.join(1000)
+    }
   }
 
   /** Plain-Scala token bucket: caps rows/sec per partition. Used only when
@@ -374,6 +436,39 @@ object MigrateJob {
         exclude = Seq("bucket", "_bucket_src"))
       case None => df.withColumn("_gr", lit(false))
     }
+    // Mid-wave error accounting (Config.errorLimit scope 1): flagged rows
+    // feed the accumulator AS THE SCAN RUNS, so the budget can abort a
+    // running wave instead of auditing a finished one. Task-local check:
+    // a single task whose own flagged count blows the whole budget aborts
+    // deterministically with no driver round trip; the cross-task abort is
+    // [[withBudgetWatcher]] around the write below. A narrow per-partition
+    // map (no exchange), but it does split whole-stage codegen — engaged
+    // only when a guardrail is configured (the sole mid-wave error source).
+    // Retried tasks may re-add their counts; the budget is a safety abort
+    // threshold, not an exact audit — over-counting aborts early, never late.
+    val midWaveBudget =
+      cfg.guardrailMaxRowBytes.isDefined && cfg.errorLimit < Long.MaxValue
+    def countErrors(df: DataFrame): DataFrame =
+      if (!midWaveBudget) df
+      else {
+        val enc = Encoders.row(df.schema)
+        val grIx = df.schema.fieldIndex("_gr")
+        val limit = cfg.errorLimit
+        df.mapPartitions { it =>
+          var local = 0L
+          it.map { r =>
+            if (r.getBoolean(grIx)) {
+              local += 1
+              errors.add(1L)
+              if (local > limit)
+                throw new IllegalStateException(
+                  s"error budget exceeded mid-wave: $local oversize rows " +
+                    s"in one task > $limit")
+            }
+            r
+          }
+        }(enc)
+      }
     // route by the snapshot and drop the transformer-visible tag: `bucket`
     // is a reserved slice label, not row content, so a transformer rewrite
     // of it is discarded rather than honored
@@ -392,7 +487,8 @@ object MigrateJob {
       else
         Seq(count(when(!col("_gr"), 1)).as("rows"),
           count(when(col("_gr"), 1)).as("oversize"))) ++ tamperCounter
-    val observed = routed(flag(transformed).observe(obs, counters.head, counters.tail: _*)
+    val observed = routed(countErrors(flag(transformed))
+      .observe(obs, counters.head, counters.tail: _*)
       .filter(!col("_gr")).drop("_gr"))
     val pass = cfg.maxRowsPerSecondPerPartition match {
       case Some(r) => rateLimited(observed, r)
@@ -408,10 +504,15 @@ object MigrateJob {
       new java.net.URI(targetDir), spark.sparkContext.hadoopConfiguration)
     clearStalePartitions(fs, targetDir, wave)
     clearStalePartitions(fs, s"$targetDir/_errors", wave)
-    pass.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket")
-      .parquet(targetDir)
+    def writeWave(): Unit =
+      pass.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(targetDir)
+    if (midWaveBudget)
+      withBudgetWatcher(spark, errors, cfg.errorLimit,
+        s"graft-migrate-wave-${wave.headOption.getOrElse(0)}")(writeWave())
+    else writeWave()
     val metrics = obs.get
     // the write itself routed by the pre-transform snapshot, so the data on
     // disk is correct — but a transformer rewriting the reserved tag is
@@ -444,7 +545,9 @@ object MigrateJob {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(s"$targetDir/_errors")
-      errors.add(result.totalSkipped)
+      // with the mid-wave budget active the tasks already fed the
+      // accumulator row-by-row — adding the total again would double-count
+      if (!midWaveBudget) errors.add(result.totalSkipped)
     }
     result
   }

@@ -110,6 +110,28 @@ object LlmQueries {
                            sig[b*2+1]::VARCHAR || ',' || sig[b*2+2]::VARCHAR), 1, 15))::BIGINT)) AS band
                 FROM sig)"""
 
+  /** Within-block hamming pairs via GROUPING on the block key — the shared
+    * engine of both dedup_simhash_hamming variants (see dedup_simhash for
+    * why grouping beats the cached or recomputed self-join): collect each
+    * block's (doc_id, hash) members sorted by id, explode the a<b pairs
+    * within the hamming radius, then distinct (a pair can agree on several
+    * blocks). One scan, one shuffle, no cached state.
+    */
+  private def hammingPairsByBlock(blocked: DataFrame, hashCol: String,
+                                  radius: Int): DataFrame =
+    blocked.groupBy(col("blk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col(hashCol).as("h")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(expr(
+        s"""filter(
+              flatten(transform(xs, (x, i) ->
+                transform(slice(xs, i + 2, size(xs) - i - 1),
+                          y -> struct(x.doc_id AS a, y.doc_id AS b,
+                                      bit_count(x.h ^ y.h) AS hamming)))),
+              p -> p.hamming <= $radius)""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
+      .distinct()
+
   val qs: Map[String, Q] = Map(
     // exact dedup: group by content hash, keep the smallest id
     "dedup_exact" -> ((s, d) =>
@@ -124,21 +146,26 @@ object LlmQueries {
       LlmOps.minhashCandidates(docsWithDups(t(s, d, "documents")), "doc_id")
         .orderBy(col("a"), col("b"))),
 
-    // SimHash bucket pairs (equal 32-bit simhash). Deliberately UNCACHED:
-    // doc_id+simhash is a narrow codegen'd map, so letting the self-join
-    // recompute it per side costs one extra scan inside a SINGLE job —
-    // cheaper than the persist+count+unpersist dance (an extra action per
-    // query, VERDICT r6 wrong #3) and the only shape that holds at 100 TB,
-    // where the simhash table is too large to pin in executor storage.
-    "dedup_simhash" -> ((s, d) => {
-      val sh = LlmOps.withSimhash(LlmOps.withWords(docsWithDups(t(s, d, "documents"))))
-        .select(col("doc_id"), col("simhash"))
-      sh.as("x").join(sh.as("y"),
-          col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          col("x.simhash").as("simhash"))
-        .orderBy(col("a"), col("b"))
-    }),
+    // SimHash bucket pairs (equal 32-bit simhash), generated by GROUPING on
+    // the hash instead of self-joining: one documents scan, one shuffle,
+    // pairs exploded inside each group, no cached state. Bucket size picks
+    // the form (docs/NOTES.md r7): equality buckets ARE duplicate clusters
+    // — small — so the grouped form wins here (the tokenize+simhash chain
+    // runs once; the r6 persist+count paid an extra materialization job,
+    // an uncached self-join pays the chain per side). The big-bucket
+    // counterexample keeping its streaming self-join is
+    // dedup_simhash_hamming below.
+    "dedup_simhash" -> ((s, d) =>
+      LlmOps.withSimhash(LlmOps.withWords(docsWithDups(t(s, d, "documents"))))
+        .groupBy(col("simhash"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(col("simhash"), explode(expr(
+          """flatten(transform(ids, (x, i) ->
+               transform(slice(ids, i + 2, size(ids) - i - 1),
+                         y -> struct(x AS a, y AS b))))""")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("simhash"))
+        .orderBy(col("a"), col("b"))),
 
     // SimHash near-dups within hamming radius 2 — the block-pigeonhole
     // search the equality bucket (dedup_simhash) can't express: split the
@@ -152,7 +179,14 @@ object LlmQueries {
     // plan shape, wider hash. This 32-bit form stays as the cheap
     // small-corpus variant.
     "dedup_simhash_hamming" -> ((s, d) => {
-      // uncached on purpose — see dedup_simhash: one job, recompute-per-side
+      // This variant keeps the STREAMING self-join (uncached): 11-bit
+      // blocks make buckets big (~N/2^11 members), and the grouped form's
+      // per-bucket pair array materialization loses to the codegen'd join
+      // there (measured within one session at sf0.1: self-join 1.33 s,
+      // grouped 1.51 s, r6's persist+count 1.56 s — the simhash chain the
+      // join recomputes per side is only 0.29 s of that). The grouped form
+      // wins where buckets are small: dedup_simhash (dup clusters) and
+      // hamming64 (20-bit blocks). Rule: bucket size picks the form.
       val sh = LlmOps.withSimhash(LlmOps.withWords(docsWithDups(t(s, d, "documents"))))
         .select(col("doc_id"), col("simhash"))
       // blocks of 11/11/10 bits: block b = bits [b*11, min((b+1)*11, 32))
@@ -177,7 +211,7 @@ object LlmQueries {
     // 0-59; lanes 60-63 are structurally zero (15-nibble element hashes),
     // so any radius-2 pair still agrees on >= 1 whole block.
     "dedup_simhash_hamming64" -> ((s, d) => {
-      // uncached on purpose — see dedup_simhash: one job, recompute-per-side
+      // grouped pair generation — see dedup_simhash: one scan, one shuffle
       val sh = LlmOps.withSimhash64(LlmOps.withWords(docsWithDups(t(s, d, "documents"))))
         .select(col("doc_id"), col("simhash64"))
       // Mask to the 60 live bits BEFORE blocking: with the current
@@ -192,12 +226,7 @@ object LlmQueries {
           """transform(sequence(0, 2), b -> concat(cast(b as string), ':',
                cast(((simhash64 & 1152921504606846975L) div shiftleft(1L, b * 20)) % shiftleft(1L, 20) as string)))"""))
           .as("blk"))
-      blocked.as("x").join(blocked.as("y"),
-          col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          expr("bit_count(x.simhash64 ^ y.simhash64)").as("hamming"))
-        .filter(col("hamming") <= 2)
-        .distinct()
+      hammingPairsByBlock(blocked, "simhash64", radius = 2)
         .orderBy(col("a"), col("b"))
     }),
 

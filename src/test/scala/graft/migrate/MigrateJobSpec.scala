@@ -136,6 +136,51 @@ class MigrateJobSpec extends SparkSpec {
     assert(ex.getMessage.contains("error budget exceeded"))
   }
 
+  test("error budget trips MID-wave: a single-wave run aborts while running") {
+    val dir = tmp()
+    // default bucketsPerScan => ONE wave for the whole table; guardrail of 1
+    // byte flags every row; the budget (10) is blown thousands of rows
+    // before the scan could complete. One source partition makes the
+    // task-local check deterministic: that task alone must cross the limit
+    // and abort the wave from inside the running job — the pre-r7 shape
+    // (budget checked only between waves) could not abort this run at all.
+    val ex = intercept[IllegalStateException] {
+      MigrateJob.run(spark, orders.coalesce(1), dir,
+        MigrateJob.Config(pkCols = Seq("o_orderkey"), tokenBuckets = 4,
+          guardrailMaxRowBytes = Some(1), errorLimit = 10L))
+    }
+    assert(ex.getMessage.contains("error budget exceeded mid-wave"),
+      s"expected a mid-wave abort, got: ${ex.getMessage}")
+    // the aborted wave is ledgered failed for every bucket, carrying the
+    // budget message — resume semantics identical to any other wave failure
+    val status = MigrateJob.bucketStatus(s"$dir/_ledger/run.jsonl")
+    assert((0 to 3).forall(b => status.get(b).contains("failed")),
+      s"all buckets of the aborted wave must be failed, got $status")
+    val lines = Files.readAllLines(
+      java.nio.file.Paths.get(s"$dir/_ledger/run.jsonl")).toArray.map(_.toString)
+    assert(lines.exists(_.contains("error budget exceeded mid-wave")),
+      "failed ledger rows must carry the budget violation")
+  }
+
+  test("budget watcher cancels a running wave once the cross-task total blows the limit") {
+    // the driver-side watcher is the GLOBAL abort path (no single task need
+    // exceed the limit alone). Drive it directly: blow the accumulator,
+    // then start a job that would run ~10s — the watcher must kill it fast.
+    val errors = spark.sparkContext.longAccumulator("watcher_test_errors")
+    val t0 = System.nanoTime()
+    val ex = intercept[IllegalStateException] {
+      MigrateJob.withBudgetWatcher(spark, errors, limit = 10L, "watcher-test") {
+        errors.add(11L)
+        spark.sparkContext.parallelize(1 to 4, 4)
+          .map { i => Thread.sleep(10000); i }.count()
+      }
+    }
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(ex.getMessage.contains("error budget exceeded mid-wave"))
+    assert(elapsedSec < 8.0,
+      f"watcher must cancel the 10s job promptly, took $elapsedSec%.1f s")
+  }
+
   test("resume re-drives failed buckets after a mid-run failure") {
     val dir = tmp()
     // bucketsPerScan = 1: per-bucket commit granularity, so the injected

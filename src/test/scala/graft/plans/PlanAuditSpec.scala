@@ -35,6 +35,21 @@ class PlanAuditSpec extends SparkSpec {
     } finally { sh.unpersist(); () }
   }
 
+  test("audit: simhash dedup family is cache-free — one job, no InMemoryRelation") {
+    // r7: the persist+count+unpersist dance is gone from these three —
+    // the narrow simhash map recomputes per self-join side inside a
+    // SINGLE job, the only shape that holds when the simhash table is
+    // too large for executor storage. Pin the absence of caching.
+    for (name <- Seq("dedup_simhash", "dedup_simhash_hamming",
+                     "dedup_simhash_hamming64")) {
+      val plan = graft.queries.LlmQueries.qs(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("InMemoryTableScan") && !plan.contains("InMemoryRelation"),
+        s"$name must not pin cached state:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian:\n$plan")
+    }
+  }
+
   test("audit: winnow evaluates the gram-hash array exactly once") {
     // CollapseProject must not duplicate the expensive multi-referenced
     // array (regression guard for the O(n×refs) inlining trap)
