@@ -483,6 +483,31 @@ object LlmOps {
       .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
   }
 
+  /** Within-block hamming pairs via GROUPING on the block key (`blk`) —
+    * the engine of the dedup_simhash_hamming64 scale path: collect each
+    * block's (doc_id, hash) members sorted by id, explode the a<b pairs
+    * within the hamming radius inline, then distinct (a pair can agree on
+    * several blocks). One scan, one shuffle, no cached state, no join.
+    * The right form when buckets are SMALL (e.g. 20-bit blocks →
+    * ~N/2^20 members); for big buckets a streaming self-join on `blk`
+    * wins instead — the grouped form materializes each bucket's quadratic
+    * pair array (docs/NOTES.md round-7, measured at sf0.1).
+    */
+  def hammingPairsByBlock(blocked: DataFrame, hashCol: String,
+                          radius: Int): DataFrame =
+    blocked.groupBy(col("blk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col(hashCol).as("h")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(expr(
+        s"""filter(
+              flatten(transform(xs, (x, i) ->
+                transform(slice(xs, i + 2, size(xs) - i - 1),
+                          y -> struct(x.doc_id AS a, y.doc_id AS b,
+                                      bit_count(x.h ^ y.h) AS hamming)))),
+              p -> p.hamming <= $radius)""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
+      .distinct()
+
   /** IVF index build: per-bucket (cluster label) element-wise centroid.
     * Sums go through DECIMAL so centroids are exact and partitioning-
     * independent (float summation order would make the index
@@ -538,15 +563,12 @@ object LlmOps {
     * cosine construction (Charikar); ±1 weights (instead of gaussians) keep
     * every dot product in exact integer arithmetic over the int8-quantized
     * codes — zero float-summation-order parity risk between engines.
+    * Canonical home of the packed masks is graft.functions.LshOps (shared
+    * with the native graft_lsh_sig evaluation); this view unpacks them.
     */
   lazy val lshPlaneMatrix: IndexedSeq[IndexedSeq[Int]] =
-    (0 until LshPlanes).map { p =>
-      (0 until LshDim).map { i =>
-        val d = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$p:$i".getBytes("UTF-8"))
-        if ((d(0) & 1) == 0) 1 else -1
-      }
-    }
+    lshPlaneMasks.map(m =>
+      (0 until LshDim).map(i => if (((m >> i) & 1L) != 0L) 1 else -1))
 
   /** Each plane packed into ONE 64-bit mask (bit i set ⇔ w[p][i] = +1):
     * with ±1 weights, dotₚ = Σᵢ wᵢcᵢ = 2·Σ_{set bits} cᵢ − Σcᵢ, so the
@@ -555,8 +577,7 @@ object LlmOps {
     * analysis PER RUN for it — the plan, not the data, was the cost.
     */
   lazy val lshPlaneMasks: IndexedSeq[Long] =
-    lshPlaneMatrix.map(_.zipWithIndex.collect { case (1, i) => 1L << i }
-      .foldLeft(0L)(_ | _))
+    graft.functions.LshOps.planeMasks.toIndexedSeq
 
   /** The masks as a Spark SQL array literal. */
   lazy val lshPlanesSparkLit: String =
@@ -571,11 +592,21 @@ object LlmOps {
   /** Int8-quantize (same construction embed_quantize oracles bit-for-bit)
     * then sign-project onto the plane masks: bit p of `lsh_sig` is
     * sign(2·Σ_{i: mask bit set} codes[i] − Σcodes) — all-integer, so
-    * engine-exact. The codes column is inlined per plane by
-    * CollapseProject (32 × O(64) int ops per row — narrow and codegen'd,
-    * cheaper than materializing).
+    * engine-exact. Evaluates natively via `graft_lsh_sig`
+    * (functions.LshSig): the HOF reference form below interprets three
+    * nested zip_with/aggregate chains per row (~400 µs/row at 64 dims — it
+    * dominated sim_search_lsh end to end); the expression is two tight
+    * primitive loops in whole-stage codegen, spec-pinned bit-identical.
     */
   def withLshSig(df: DataFrame): DataFrame =
+    ensureFns(df).withColumn("lsh_sig", expr("graft_lsh_sig(embedding)"))
+
+  /** The SQL-HOF reference formulation of [[withLshSig]] — the form the
+    * DuckDB oracle mirrors and the parity spec compares the native
+    * expression against (VectorExpressionsSpec). Not used in the query
+    * path.
+    */
+  def withLshSigHof(df: DataFrame): DataFrame =
     df.withColumn("scale",
         expr("greatest(array_max(transform(embedding, v -> abs(cast(v as double)))) / 127.0, 1e-30d)"))
       .withColumn("codes",

@@ -84,6 +84,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "graft_topk takes (score double, id bigint, k)")
         TopKPairs(args(0), args(1), args(2))
+      }),
+    (FunctionIdentifier("graft_lsh_sig"),
+      new ExpressionInfo(classOf[LshSig].getName, "graft_lsh_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_lsh_sig takes (array<float|double>)")
+        LshSig(args(0))
       }))
 
   /** Idempotently register graft's functions in `spark`'s session-local

@@ -259,3 +259,127 @@ case class HashArray(child: Expression, suffixExpr: Expression, nibblesExpr: Exp
       f: Expression, s: Expression, t: Expression): HashArray =
     copy(child = f, suffixExpr = s, nibblesExpr = t)
 }
+
+/** Static runtime for [[LshSig]]'s generated code, and the single canonical
+  * home of the hyperplane-LSH constants (graft.ext.LlmOps delegates here —
+  * the Spark HOF reference form, the DuckDB oracle literal, and this native
+  * evaluation all derive from the same masks).
+  */
+object LshOps {
+  val PlaneCount = 32
+  val Dim = 64
+
+  /** Deterministic ±1 hyperplane weights from md5("p:i") parity, packed as
+    * one 64-bit mask per plane (bit i set ⇔ w[p][i] = +1). See
+    * graft.ext.LlmOps.lshPlaneMatrix for the construction rationale
+    * (reference: content-similarity validation,
+    * lab/exercises/06-validation-monitoring.md:90-179).
+    */
+  val planeMasks: Array[Long] = Array.tabulate(PlaneCount) { p =>
+    val d = java.security.MessageDigest.getInstance("MD5")
+    (0 until Dim).foldLeft(0L) { (acc, i) =>
+      d.reset()
+      val h = d.digest(s"$p:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) acc | (1L << i) else acc
+    }
+  }
+
+  /** The 32-plane signature of one embedding — semantics BIT-IDENTICAL to
+    * the HOF reference form (graft.ext.LlmOps.withLshSigHof), including its
+    * degenerate-input behavior, which falls out of SQL null propagation:
+    *
+    *  - a null ELEMENT nulls the code total (`aggregate` over a null),
+    *    which nulls every plane's `>= 0` test, and `if(null, …)` takes the
+    *    else branch → signature 0;
+    *  - fewer than 64 dims: `zip_with(codes, sequence(0,63), …)` pads codes
+    *    with nulls, so any plane with a weight bit at a missing dim nulls
+    *    its partial sum → that plane's bit is 0 (empty input → 0 overall);
+    *  - more than 64 dims: the sequence side pads with null indexes, whose
+    *    `if` condition is null → contributes 0, so dims ≥ 64 are ignored by
+    *    the planes while the code total still sums ALL dims;
+    *  - NaN/±Inf flow through the same double arithmetic and double→int
+    *    cast in both engines.
+    */
+  def sigOf(xs: org.apache.spark.sql.catalyst.util.ArrayData,
+            isFloat: Boolean): Long = {
+    val n = xs.numElements()
+    // pass 1: nulls + the quantization scale (array_max of abs values;
+    // Math.max propagates NaN exactly like Spark's NaN-greatest ordering)
+    var maxAbs = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) return 0L
+      val v = if (isFloat) xs.getFloat(i).toDouble else xs.getDouble(i)
+      maxAbs = Math.max(maxAbs, Math.abs(v))
+      i += 1
+    }
+    val scale = if (n == 0) 1e-30 else Math.max(maxAbs / 127.0, 1e-30)
+    // pass 2: int8 codes (embed_quantize's construction) + their total
+    val codes = new Array[Int](n)
+    var ctot = 0L
+    i = 0
+    while (i < n) {
+      val v = if (isFloat) xs.getFloat(i).toDouble else xs.getDouble(i)
+      codes(i) = Math.floor(v / scale + 0.5d).toInt
+      ctot += codes(i)
+      i += 1
+    }
+    // pass 3: sign of each plane's ±1 dot = 2·(sum over +1 dims) − total
+    var sig = 0L
+    val lim = Math.min(n, Dim)
+    var p = 0
+    while (p < PlaneCount) {
+      val mask = planeMasks(p)
+      // a weight bit at a missing dim hits zip_with's null padding → plane bit 0
+      if (!(n < Dim && (mask >>> n) != 0L)) {
+        var sp = 0L
+        var j = 0
+        while (j < lim) {
+          if (((mask >> j) & 1L) != 0L) sp += codes(j)
+          j += 1
+        }
+        if (2 * sp - ctot >= 0) sig |= (1L << p)
+      }
+      p += 1
+    }
+    sig
+  }
+}
+
+/** `graft_lsh_sig(embedding)` → bigint: the 32-plane hyperplane-LSH
+  * signature (int8-quantize, ±1 sign projections, sign-bit pack) in one
+  * native pass. The HOF reference form interprets three nested
+  * zip_with/aggregate chains per row (~400 µs/row measured at 64 dims —
+  * it dominated sim_search_lsh end to end); this expression is a pair of
+  * tight primitive loops inside whole-stage codegen. Bit-identical to the
+  * reference form by [[LshOps.sigOf]]'s contract, pinned in
+  * VectorExpressionsSpec.
+  */
+case class LshSig(child: Expression) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_sig requires array<float|double>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_sig"
+
+  override def nullSafeEval(a: Any): Any =
+    LshOps.sigOf(a.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.LshOps.sigOf($a, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): LshSig =
+    copy(child = newChild)
+}

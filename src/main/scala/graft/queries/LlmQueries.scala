@@ -110,28 +110,6 @@ object LlmQueries {
                            sig[b*2+1]::VARCHAR || ',' || sig[b*2+2]::VARCHAR), 1, 15))::BIGINT)) AS band
                 FROM sig)"""
 
-  /** Within-block hamming pairs via GROUPING on the block key — the shared
-    * engine of both dedup_simhash_hamming variants (see dedup_simhash for
-    * why grouping beats the cached or recomputed self-join): collect each
-    * block's (doc_id, hash) members sorted by id, explode the a<b pairs
-    * within the hamming radius, then distinct (a pair can agree on several
-    * blocks). One scan, one shuffle, no cached state.
-    */
-  private def hammingPairsByBlock(blocked: DataFrame, hashCol: String,
-                                  radius: Int): DataFrame =
-    blocked.groupBy(col("blk"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col(hashCol).as("h")))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(explode(expr(
-        s"""filter(
-              flatten(transform(xs, (x, i) ->
-                transform(slice(xs, i + 2, size(xs) - i - 1),
-                          y -> struct(x.doc_id AS a, y.doc_id AS b,
-                                      bit_count(x.h ^ y.h) AS hamming)))),
-              p -> p.hamming <= $radius)""")).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
-      .distinct()
-
   val qs: Map[String, Q] = Map(
     // exact dedup: group by content hash, keep the smallest id
     "dedup_exact" -> ((s, d) =>
@@ -226,7 +204,7 @@ object LlmQueries {
           """transform(sequence(0, 2), b -> concat(cast(b as string), ':',
                cast(((simhash64 & 1152921504606846975L) div shiftleft(1L, b * 20)) % shiftleft(1L, 20) as string)))"""))
           .as("blk"))
-      hammingPairsByBlock(blocked, "simhash64", radius = 2)
+      LlmOps.hammingPairsByBlock(blocked, "simhash64", radius = 2)
         .orderBy(col("a"), col("b"))
     }),
 

@@ -116,20 +116,18 @@ object Stress {
     bench(s"simhash64 hamming<=2 pairs ${nDocs / 1000000}M docs", nDocs) {
       // 20-bit blocks over the 64-lane simhash: expected equal-block
       // bucket size nDocs/2^20 (~10 at 10M docs) — the non-quadratic
-      // scale path VERDICT r4 flagged the 11-bit/32-bit form for
+      // scale path VERDICT r4 flagged the 11-bit/32-bit form for.
+      // Mirrors the registry query shape exactly (r7): 60-bit mask before
+      // blocking, grouped pair generation, no cached state.
       val sh = graft.ext.LlmOps.withSimhash64(graft.ext.LlmOps.withWords(docs))
-        .select(col("doc_id"), col("simhash64")).persist()
+        .select(col("doc_id"), col("simhash64"))
       val blocked = sh.select(col("doc_id"), col("simhash64"),
         explode(expr(
           """transform(sequence(0, 2), b -> concat(cast(b as string), ':',
-               cast((simhash64 div shiftleft(1L, b * 20)) % shiftleft(1L, 20) as string)))"""))
+               cast(((simhash64 & 1152921504606846975L) div shiftleft(1L, b * 20)) % shiftleft(1L, 20) as string)))"""))
           .as("blk"))
-      try blocked.as("x").join(blocked.as("y"),
-          col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
-        .filter(expr("bit_count(x.simhash64 ^ y.simhash64)") <= 2)
-        .select(col("x.doc_id"), col("y.doc_id")).distinct()
+      graft.ext.LlmOps.hammingPairsByBlock(blocked, "simhash64", radius = 2)
         .agg(count(lit(1))).collect()
-      finally sh.unpersist()
     }
 
     // embeddings: 64-dim, 1000 IVF buckets → cells of ~nVec/1000 bound the

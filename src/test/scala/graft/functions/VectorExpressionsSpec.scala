@@ -109,4 +109,54 @@ class VectorExpressionsSpec extends SparkSpec {
     assert("""\*\(\d+\) Project \[graft_dot""".r.findFirstIn(plan).isDefined,
       s"expected graft_dot inside a codegen span (*(n) prefix):\n$plan")
   }
+  test("graft_lsh_sig is bit-identical to the HOF reference form (fixtures + edges)") {
+    import graft.ext.LlmOps
+    GraftFunctions.ensure(spark)
+    // the real fixtures: every signature must match exactly
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val both = LlmOps.withLshSigHof(emb)
+      .withColumnRenamed("lsh_sig", "hof_sig")
+      .withColumn("native_sig", expr("graft_lsh_sig(embedding)"))
+      .select(col("vec_id"), col("hof_sig"), col("native_sig"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"vec_id ${r.get(0)}: hof ${r.getLong(1)} != native ${r.getLong(2)}")
+    }
+    // adversarial shapes: empty, shorter than 64 dims, longer than 64 dims,
+    // null element, all-zero, negatives — the SQL-null-propagation corners
+    // documented on LshOps.sigOf
+    val edges = Seq(
+      Array.empty[java.lang.Float],
+      Array[java.lang.Float](1.0f, -2.0f, 3.0f),
+      Array.tabulate[java.lang.Float](70)(i => (i - 35).toFloat / 7f),
+      Array[java.lang.Float](1.0f, null, 3.0f),
+      Array.fill[java.lang.Float](64)(0.0f),
+      Array.tabulate[java.lang.Float](64)(i => -(i + 1).toFloat))
+    val edgeDf = edges.zipWithIndex
+      .map { case (a, i) => (i.toLong, a.map(Option(_).map(_.floatValue))) }
+      .toDF("vec_id", "embedding")
+    val eout = LlmOps.withLshSigHof(edgeDf)
+      .withColumnRenamed("lsh_sig", "hof_sig")
+      .withColumn("native_sig", expr("graft_lsh_sig(embedding)"))
+      .select(col("vec_id"), col("hof_sig"), col("native_sig"))
+      .collect()
+    eout.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2) &&
+        (r.isNullAt(1) || r.getLong(1) == r.getLong(2)),
+        s"edge ${r.get(0)}: hof ${r.get(1)} != native ${r.get(2)}")
+    }
+    // null INPUT → null out, both forms
+    val nullRow = spark.sql("select cast(null as array<float>) as embedding")
+    assert(nullRow.select(expr("graft_lsh_sig(embedding)")).collect().head.isNullAt(0))
+  }
+
+  test("graft_lsh_sig participates in whole-stage codegen") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(expr("graft_lsh_sig(embedding)").as("s"))
+    val plan = e.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[graft_lsh_sig""".r.findFirstIn(plan).isDefined,
+      s"expected graft_lsh_sig inside a codegen span:\n$plan")
+  }
 }
