@@ -717,6 +717,64 @@ object LlmOps {
       .withColumn("contaminated", col("contam_ratio") >= threshold)
   }
 
+  /** [[decontaminate]] for benchmark sides too big to broadcast: a composite
+    * eval suite can hold 10^8+ distinct n-grams — GBs as a hash-join build
+    * side, but ~115 MB as a 1%-fpp bloom filter. Three stages:
+    *
+    *  1. build: distributed treeAggregate of per-partition blooms over the
+    *     DISTINCT benchmark grams (UTF-8 `putBinary`, matching the probe
+    *     side bit-for-bit), merged log-depth on the driver;
+    *  2. prefilter: the corpus (the 100 TB side) is scanned once and each
+    *     exploded gram probed with the codegen'd `graft_might_contain` —
+    *     survivors ≈ true matches + fpp of the rest, so the corpus side of
+    *     what follows shrinks ~100× at fpp=0.01;
+    *  3. exact verify: survivors equi-join the benchmark grams (now a
+    *     SMALL-side shuffle join that never needed to be broadcastable) —
+    *     bloom false positives die here, so the result is bit-identical to
+    *     [[decontaminate]] regardless of fpp (same DuckDB oracle).
+    *
+    * The serialized bloom rides the plan as a binary literal and reaches
+    * executors via the broadcast task binary (same transport as Spark's own
+    * runtime-filter `BloomFilterMightContain`), deserialized once at codegen
+    * reference-object install, not per row.
+    *
+    * Reference analog: content-overlap validation at
+    * lab/exercises/06-validation-monitoring.md:90-179, recast as the
+    * prefilter+verify shape that survives a benchmark side beyond broadcast
+    * size.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                         threshold: Double, fpp: Double = 0.01): DataFrame = {
+    import java.io.ByteArrayOutputStream
+    import java.nio.charset.StandardCharsets.UTF_8
+    import org.apache.spark.util.sketch.BloomFilter
+
+    val benchGrams = withShingles(withWords(ensureFns(benchmark)))
+      .select(explode(array_distinct(col("shingles"))).as("g"))
+      .distinct()
+    // One count on the SMALL side to size the bloom; the corpus is untouched.
+    val n = math.max(benchGrams.count(), 1L)
+    val bloom = benchGrams.where(col("g").isNotNull).rdd
+      .treeAggregate(BloomFilter.create(n, fpp))(
+        (bf, row) => { bf.putBinary(row.getString(0).getBytes(UTF_8)); bf },
+        (a, b) => { a.mergeInPlace(b); a })
+    val bos = new ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val mightMatch = call_function("graft_might_contain",
+      lit(bos.toByteArray), col("g"))
+
+    val corpusGrams = withShingles(withWords(ensureFns(corpus)))
+      .select(col(idCol), array_distinct(col("shingles")).as("sh"))
+      .select(col(idCol), size(col("sh")).as("n_shingles"), explode(col("sh")).as("g"))
+      .where(mightMatch)
+    corpusGrams.join(benchGrams, "g")
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("contam_ratio",
+        round(col("n_shared").cast("double") / col("n_shingles").cast("double"), 6))
+      .withColumn("contaminated", col("contam_ratio") >= threshold)
+  }
+
   /** Per-document text statistics: token counts (whitespace + a BPE-ish
     * regex), stopword ratio, a quality flag, an n-gram language guess, and
     * a minhash fingerprint.

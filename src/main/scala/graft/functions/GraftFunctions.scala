@@ -90,6 +90,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_lsh_sig takes (array<float|double>)")
         LshSig(args(0))
+      }),
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_might_contain takes (bloom binary literal, value)")
+        BloomMightContain(args(0), args(1))
       }))
 
   /** Idempotently register graft's functions in `spark`'s session-local

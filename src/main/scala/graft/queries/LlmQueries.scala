@@ -45,6 +45,46 @@ object LlmQueries {
        SELECT vec_id + 100000 AS vec_id, embedding, label
        FROM embeddings WHERE vec_id % 25 = 0"""
 
+  /** Shared by decontaminate_ngram and decontaminate_bloom: the bloom path
+    * is a prefilter whose false positives die in the exact verify join, so
+    * both operators answer to the identical exact-overlap oracle.
+    */
+  private lazy val decontamOracleSql: String =
+    s"""WITH all_docs AS ($docsDupSql),
+        bdocs AS (SELECT * FROM all_docs WHERE doc_id < 100000 AND doc_id % 10 = 0),
+        cdocs AS (SELECT * FROM all_docs WHERE doc_id >= 100000 OR doc_id % 10 <> 0),
+        cw AS (SELECT doc_id, text, $duckWords AS words FROM cdocs),
+        csh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(words) < 3 THEN [lower(text)]
+                       ELSE list_transform(generate_series(1, len(words) - 2),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                  END) AS sh
+                FROM cw),
+        bw AS (SELECT doc_id, text, $duckWords AS words FROM bdocs),
+        bsh AS (SELECT CASE WHEN len(words) < 3 THEN [lower(text)]
+                       ELSE list_transform(generate_series(1, len(words) - 2),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                  END AS sh
+                FROM bw),
+        bg AS (SELECT DISTINCT unnest(sh) AS g FROM bsh),
+        cg AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS g FROM csh),
+        hits AS (SELECT doc_id, n_shingles, count(*) AS n_shared
+                 FROM cg JOIN bg USING (g) GROUP BY 1, 2)
+        SELECT doc_id, n_shingles, n_shared,
+               round(n_shared::DOUBLE / n_shingles::DOUBLE, 6) AS contam_ratio,
+               round(n_shared::DOUBLE / n_shingles::DOUBLE, 6) >= 0.5 AS contaminated
+        FROM hits ORDER BY doc_id"""
+
+  /** PII patterns, restricted to the Java-regex ∩ RE2 common subset
+    * (character classes, bounded repetition, `\b`, alternation) so the
+    * Spark side and the DuckDB oracle match byte-for-byte. The phone form
+    * is the injected fixture shape, not a general-world phone matcher.
+    */
+  private val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiPhoneRe = "\\+\\d{1,2} \\d{3}-\\d{4}"
+  private val piiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val piiAnyRe = s"$piiEmailRe|$piiPhoneRe|$piiIpRe"
+
   // ---- shared DuckDB fragments mirroring LlmOps bit-for-bit ----
 
   private def duckHash(s: String, seed: String): String =
@@ -272,6 +312,57 @@ object LlmQueries {
       LlmOps.decontaminate(corpus, bench, "doc_id", threshold = 0.5)
         .orderBy(col("doc_id"))
     }),
+
+    // same contamination report via the bloom-prefilter path (the shape for
+    // benchmark sides beyond broadcast size); bit-identical result to
+    // decontaminate_ngram — bloom false positives die in the verify join —
+    // so it shares that query's oracle
+    "decontaminate_bloom" -> ((s, d) => {
+      val all = docsWithDups(t(s, d, "documents"))
+      val bench = all.filter(col("doc_id") < 100000 && col("doc_id") % 10 === 0)
+      val corpus = all.filter(col("doc_id") >= 100000 || col("doc_id") % 10 =!= 0)
+      LlmOps.decontaminateBloom(corpus, bench, "doc_id", threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrubbing: email/phone/IPv4 redaction + per-doc PII count. The
+    // fixture text carries no PII, so each doc gets a deterministic
+    // injected triple (both engines construct the identical string) — the
+    // regexes are exercised for real, not vacuously green on no-op rows.
+    // Patterns are restricted to syntax with identical semantics in Java
+    // regex and RE2 (character classes, bounded repetition, \b).
+    "pii_redact" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail.example.com or +1 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")
+        ).as("raw"))
+        .withColumn("n_pii",
+          size(regexp_extract_all(col("raw"), lit(piiAnyRe), lit(0))))
+        .withColumn("clean",
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("raw"), lit(piiEmailRe), lit("<EMAIL>")),
+              lit(piiPhoneRe), lit("<PHONE>")),
+            lit(piiIpRe), lit("<IP>")))
+        .select(col("doc_id"), col("n_pii"), col("clean"))
+        .orderBy(col("doc_id"))),
+
+    // deterministic stratified sampling — the domain/language-mixing
+    // primitive of a pretraining pipeline: keep P(lang) of each stratum,
+    // decided per row by a content-stable md5 bucket (no RNG, no seed
+    // drift across engines or re-runs; the same row always lands on the
+    // same side, so incremental re-samples are stable). Narrow filter,
+    // zero shuffle, fully pushdown-friendly at 100 TB.
+    "sample_stratified" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("bucket",
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2))
+        .where(col("bucket") < when(col("lang") === "en", lit("1a")).otherwise(lit("80")))
+        .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+        .orderBy(col("doc_id"))),
 
     // Gopher-style repetition signal: duplicate word-3-gram fraction per
     // doc (narrow per-row maps, no shuffle)
@@ -556,31 +647,31 @@ object LlmQueries {
                        6) AS cos
           FROM cand
           ORDER BY cos DESC, vec_id LIMIT 10""",
-    "decontaminate_ngram" ->
-      s"""WITH all_docs AS ($docsDupSql),
-          bdocs AS (SELECT * FROM all_docs WHERE doc_id < 100000 AND doc_id % 10 = 0),
-          cdocs AS (SELECT * FROM all_docs WHERE doc_id >= 100000 OR doc_id % 10 <> 0),
-          cw AS (SELECT doc_id, text, $duckWords AS words FROM cdocs),
-          csh AS (SELECT doc_id,
-                    list_distinct(CASE WHEN len(words) < 3 THEN [lower(text)]
-                         ELSE list_transform(generate_series(1, len(words) - 2),
-                                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
-                    END) AS sh
-                  FROM cw),
-          bw AS (SELECT doc_id, text, $duckWords AS words FROM bdocs),
-          bsh AS (SELECT CASE WHEN len(words) < 3 THEN [lower(text)]
-                         ELSE list_transform(generate_series(1, len(words) - 2),
-                                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
-                    END AS sh
-                  FROM bw),
-          bg AS (SELECT DISTINCT unnest(sh) AS g FROM bsh),
-          cg AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS g FROM csh),
-          hits AS (SELECT doc_id, n_shingles, count(*) AS n_shared
-                   FROM cg JOIN bg USING (g) GROUP BY 1, 2)
-          SELECT doc_id, n_shingles, n_shared,
-                 round(n_shared::DOUBLE / n_shingles::DOUBLE, 6) AS contam_ratio,
-                 round(n_shared::DOUBLE / n_shingles::DOUBLE, 6) >= 0.5 AS contaminated
-          FROM hits ORDER BY doc_id""",
+    "decontaminate_ngram" -> decontamOracleSql,
+    // bloom prefilter + exact verify ≡ plain exact join — same oracle
+    "decontaminate_bloom" -> decontamOracleSql,
+    "pii_redact" ->
+      s"""WITH raws AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id::VARCHAR
+                        || '@mail.example.com or +1 555-'
+                        || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                        || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7' AS raw
+            FROM documents)
+          SELECT doc_id,
+                 len(regexp_extract_all(raw, '$piiAnyRe')) AS n_pii,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(raw, '$piiEmailRe', '<EMAIL>', 'g'),
+                     '$piiPhoneRe', '<PHONE>', 'g'),
+                   '$piiIpRe', '<IP>', 'g') AS clean
+          FROM raws ORDER BY doc_id""",
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source, substring(md5(doc_id::VARCHAR), 1, 2) AS bucket
+         FROM documents
+         WHERE substring(md5(doc_id::VARCHAR), 1, 2)
+               < CASE WHEN lang = 'en' THEN '1a' ELSE '80' END
+         ORDER BY doc_id""",
     "quality_repetition" ->
       s"""WITH docs AS ($docsDupSql),
           $duckShingleCte
