@@ -775,6 +775,59 @@ object LlmOps {
       .withColumn("contaminated", col("contam_ratio") >= threshold)
   }
 
+  /** Paraphrase-level benchmark decontamination: corpus docs whose word-
+    * 3-gram Jaccard similarity to ANY benchmark doc clears `threshold`.
+    * [[decontaminate]]/[[decontaminateBloom]] count shared grams per doc —
+    * they catch verbatim leakage; this variant catches whole-document
+    * near-duplication (reordered/boilerplate-wrapped copies) the way the
+    * dedup family does, but across corpora:
+    *
+    *  1. candidates: MinHash-LSH band tables for BOTH sides, cross-joined
+    *     on the band hash with the benchmark side broadcast (an eval suite
+    *     is millions of docs at most; its band table is k ints per doc) —
+    *     the corpus band table streams through the join, never shuffles;
+    *  2. verify: exact shingle-set Jaccard on the candidate pairs only,
+    *     with the (bench_id → shingles) side again broadcast and the
+    *     candidate list broadcast into the corpus shingle scan, so the
+    *     corpus stays shuffle-free end to end;
+    *  3. report: per-corpus-doc match count + max Jaccard.
+    *
+    * Same cache discipline as [[minhashCandidatesFrom]]: the wide
+    * intermediates (shingle + signature tables) are persisted, the small
+    * result is materialized, then every upstream cache is released.
+    *
+    * Reference analog: content-similarity validation,
+    * lab/exercises/06-validation-monitoring.md:90-179, lifted from
+    * row-sampling to corpus-vs-benchmark LSH.
+    */
+  def decontaminateMinhash(corpus: DataFrame, benchmark: DataFrame,
+                           idCol: String, threshold: Double = 0.5): DataFrame = {
+    val cSh = shingleTable(ensureFns(corpus), idCol)
+    val bSh = shingleTable(ensureFns(benchmark), idCol)
+    try {
+      val (cSig, cBand) = sigAndBanded(cSh, idCol, k = 8, bands = 4, r = 2)
+      val (bSig, bBand) = sigAndBanded(bSh, idCol, k = 8, bands = 4, r = 2)
+      try {
+        val cand = cBand
+          .join(broadcast(bBand.withColumnRenamed(idCol, "bench_id")), "band")
+          .select(col(idCol), col("bench_id")).distinct()
+        val candWithBench = cand.join(
+          broadcast(bSh.select(col(idCol).as("bench_id"), col("shingles").as("bsh"))),
+          "bench_id")
+        val verified = cSh.join(broadcast(candWithBench), Seq(idCol))
+          .select(col(idCol), col("bench_id"),
+            jaccard(col("shingles"), col("bsh")).as("jac"))
+          .where(col("jac") >= threshold)
+        val out = verified.groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_bench_matches"),
+            max(col("jac")).as("max_jaccard"))
+          .persist()
+        out.count() // materialize BEFORE the upstream caches are released
+        out
+      } finally { cSig.unpersist(); bSig.unpersist(); () }
+    } finally { cSh.unpersist(); bSh.unpersist(); () }
+  }
+
   /** Per-document text statistics: token counts (whitespace + a BPE-ish
     * regex), stopword ratio, a quality flag, an n-gram language guess, and
     * a minhash fingerprint.

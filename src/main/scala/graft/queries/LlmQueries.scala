@@ -150,6 +150,31 @@ object LlmQueries {
                            sig[b*2+1]::VARCHAR || ',' || sig[b*2+2]::VARCHAR), 1, 15))::BIGINT)) AS band
                 FROM sig)"""
 
+  /** Prefixed words→shingles→minhash-sig→band CTE chain over `srcCte`
+    * (same bodies as duckShingleCte/duckSigCte/duckBandCte, renamed) — for
+    * oracles that need the LSH pipeline on TWO corpora in one query.
+    */
+  private def duckLshChain(srcCte: String, p: String): String =
+    s"""${p}w AS (SELECT doc_id, text, $duckWords AS words FROM $srcCte),
+        ${p}sh AS (SELECT doc_id,
+                     CASE WHEN len(words) < 3 THEN [lower(text)]
+                          ELSE list_transform(generate_series(1, len(words) - 2),
+                                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                     END AS shingles
+                   FROM ${p}w),
+        ${p}sig AS (SELECT doc_id,
+                      list_transform([0, 1, 2, 3, 4, 5, 6, 7],
+                        j -> list_min(list_transform(
+                               list_transform(shingles,
+                                 s -> ('0x' || substr(md5(s), 1, 8))::BIGINT),
+                               h -> ((1 + j * 104729) * h + j * 7919) % 4294967311))) AS sig
+                    FROM ${p}sh),
+        ${p}bands AS (SELECT doc_id,
+                       unnest(list_transform([0, 1, 2, 3],
+                         b -> ('0x' || substr(md5(b::VARCHAR || '|' ||
+                                sig[b*2+1]::VARCHAR || ',' || sig[b*2+2]::VARCHAR), 1, 15))::BIGINT)) AS band
+                     FROM ${p}sig)"""
+
   val qs: Map[String, Q] = Map(
     // exact dedup: group by content hash, keep the smallest id
     "dedup_exact" -> ((s, d) =>
@@ -322,6 +347,18 @@ object LlmQueries {
       val bench = all.filter(col("doc_id") < 100000 && col("doc_id") % 10 === 0)
       val corpus = all.filter(col("doc_id") >= 100000 || col("doc_id") % 10 =!= 0)
       LlmOps.decontaminateBloom(corpus, bench, "doc_id", threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // paraphrase-level decontamination: corpus docs near-duplicating ANY
+    // benchmark doc (cross-corpus MinHash-LSH candidates + exact Jaccard
+    // verify) — catches whole-doc copies that per-gram overlap counting
+    // under-weights once boilerplate dilutes the shingle set
+    "decontaminate_minhash" -> ((s, d) => {
+      val all = docsWithDups(t(s, d, "documents"))
+      val bench = all.filter(col("doc_id") < 100000 && col("doc_id") % 10 === 0)
+      val corpus = all.filter(col("doc_id") >= 100000 || col("doc_id") % 10 =!= 0)
+      LlmOps.decontaminateMinhash(corpus, bench, "doc_id", threshold = 0.5)
         .orderBy(col("doc_id"))
     }),
 
@@ -650,6 +687,25 @@ object LlmQueries {
     "decontaminate_ngram" -> decontamOracleSql,
     // bloom prefilter + exact verify ≡ plain exact join — same oracle
     "decontaminate_bloom" -> decontamOracleSql,
+    "decontaminate_minhash" ->
+      s"""WITH all_docs AS ($docsDupSql),
+          bdocs AS (SELECT * FROM all_docs WHERE doc_id < 100000 AND doc_id % 10 = 0),
+          cdocs AS (SELECT * FROM all_docs WHERE doc_id >= 100000 OR doc_id % 10 <> 0),
+          ${duckLshChain("cdocs", "c")},
+          ${duckLshChain("bdocs", "b")},
+          cands AS (SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+                    FROM cbands c JOIN bbands b ON c.band = b.band),
+          ver AS (SELECT cd.doc_id, cd.bench_id,
+                    round(len(list_intersect(list_distinct(ps.shingles), list_distinct(bs.shingles)))::DOUBLE
+                          / (len(list_distinct(ps.shingles)) + len(list_distinct(bs.shingles))
+                             - len(list_intersect(list_distinct(ps.shingles), list_distinct(bs.shingles))))::DOUBLE,
+                          6) AS jac
+                  FROM cands cd
+                  JOIN csh ps ON ps.doc_id = cd.doc_id
+                  JOIN bsh bs ON bs.doc_id = cd.bench_id)
+          SELECT doc_id, count(*) AS n_bench_matches, max(jac) AS max_jaccard
+          FROM ver WHERE jac >= 0.5
+          GROUP BY doc_id ORDER BY doc_id""",
     "pii_redact" ->
       s"""WITH raws AS (
             SELECT doc_id,

@@ -130,6 +130,25 @@ object Stress {
         .agg(count(lit(1))).collect()
     }
 
+    // decontamination: 1% of the corpus plays the benchmark (ids %100==0;
+    // their %10==1 neighbors share text with id-1 docs, so real overlap
+    // exists). Compares the broadcast-bench form against the bloom
+    // prefilter form on identical inputs — the bloom pays a build pass
+    // over the small side to keep the big side join-free of any
+    // corpus-wide broadcast build.
+    bench(s"decontaminate broadcast-bench ${nDocs / 1000000}M docs", nDocs) {
+      graft.ext.LlmOps.decontaminate(
+          docs.filter(col("doc_id") % 100 =!= 0),
+          docs.filter(col("doc_id") % 100 === 0), "doc_id", 0.5)
+        .agg(count(lit(1))).collect()
+    }
+    bench(s"decontaminate bloom-prefilter ${nDocs / 1000000}M docs", nDocs) {
+      graft.ext.LlmOps.decontaminateBloom(
+          docs.filter(col("doc_id") % 100 =!= 0),
+          docs.filter(col("doc_id") % 100 === 0), "doc_id", 0.5)
+        .agg(count(lit(1))).collect()
+    }
+
     // embeddings: 64-dim, 1000 IVF buckets → cells of ~nVec/1000 bound the
     // pairwise term of the kNN join
     val nVec = math.max(50000L, n / 100)

@@ -162,6 +162,21 @@ class LlmOpsSpec extends SparkSpec {
     byA.values.foreach(rs => assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq))
   }
 
+  test("decontaminateMinhash flags near-dup corpus docs, not clean ones") {
+    val bench = docs(
+      10L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      20L -> "entirely unrelated benchmark question about catalyst codegen spans")
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank", // verbatim leak
+      2L -> "the quick brown fox jumps over the lazy dog near the river edge", // near-dup
+      3L -> "clean training document with its own vocabulary and no overlap whatsoever")
+    val out = LlmOps.decontaminateMinhash(corpus, bench, "doc_id", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.contains(1L) && out(1L) == 1.0, s"verbatim copy must score 1.0: $out")
+    assert(out.contains(2L) && out(2L) >= 0.5, s"near-dup must clear threshold: $out")
+    assert(!out.contains(3L), s"clean doc must not be flagged: $out")
+  }
+
   test("winnowing: shared substring of length >= k+w-1 shares a fingerprint") {
     // k=5, w=4 → guarantee threshold is 8 chars; give the docs a long
     // common run with different surroundings

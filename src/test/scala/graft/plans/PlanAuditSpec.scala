@@ -83,6 +83,28 @@ class PlanAuditSpec extends SparkSpec {
       s"the 100TB corpus side must never sort-merge against the benchmark:\n$plan")
   }
 
+  test("audit: decontaminate_bloom probes the bloom BEFORE any join or exchange") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val qe = graft.ext.LlmOps.decontaminateBloom(corpus, bench, "doc_id", 0.5)
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("graft_might_contain"),
+      s"the bloom prefilter must survive optimization:\n$plan")
+    // the whole point of this variant: the benchmark grams are NOT a
+    // broadcast build side for the corpus-wide probe — the bloom is the
+    // only full-corpus membership structure, and the exact verify join
+    // runs on prefiltered survivors only. The filter must sit under the
+    // join in the plan (probe-then-join, not join-then-filter).
+    val joinIdx = plan.indexOf("Join")
+    val filterIdx = plan.indexOf("graft_might_contain")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"bloom filter must be below (after, in tree print order) the verify join:\n$plan")
+  }
+
   test("audit: LSH band join key is int64, not string") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
