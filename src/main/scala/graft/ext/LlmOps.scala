@@ -744,35 +744,45 @@ object LlmOps {
     * size.
     */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-                         threshold: Double, fpp: Double = 0.01): DataFrame = {
+                         threshold: Double, fpp: Double = 0.01,
+                         materialize: Boolean = true): DataFrame = {
     import java.io.ByteArrayOutputStream
     import java.nio.charset.StandardCharsets.UTF_8
     import org.apache.spark.util.sketch.BloomFilter
 
-    val benchGrams = withShingles(withWords(ensureFns(benchmark)))
+    // The benchmark gram set drives THREE passes (size count, bloom build,
+    // verify join) — cache it across them and release once the small
+    // result is materialized, same discipline as decontaminateMinhash.
+    // materialize=false returns the fully lazy plan (plan audits): the
+    // three passes then each recompute the DISTINCT.
+    val benchGrams0 = withShingles(withWords(ensureFns(benchmark)))
       .select(explode(array_distinct(col("shingles"))).as("g"))
       .distinct()
-    // One count on the SMALL side to size the bloom; the corpus is untouched.
-    val n = math.max(benchGrams.count(), 1L)
-    val bloom = benchGrams.where(col("g").isNotNull).rdd
-      .treeAggregate(BloomFilter.create(n, fpp))(
-        (bf, row) => { bf.putBinary(row.getString(0).getBytes(UTF_8)); bf },
-        (a, b) => { a.mergeInPlace(b); a })
-    val bos = new ByteArrayOutputStream()
-    bloom.writeTo(bos)
-    val mightMatch = call_function("graft_might_contain",
-      lit(bos.toByteArray), col("g"))
+    val benchGrams = if (materialize) benchGrams0.persist() else benchGrams0
+    try {
+      // One count on the SMALL side to size the bloom; the corpus is untouched.
+      val n = math.max(benchGrams.count(), 1L)
+      val bloom = benchGrams.where(col("g").isNotNull).rdd
+        .treeAggregate(BloomFilter.create(n, fpp))(
+          (bf, row) => { bf.putBinary(row.getString(0).getBytes(UTF_8)); bf },
+          (a, b) => { a.mergeInPlace(b); a })
+      val bos = new ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      val mightMatch = call_function("graft_might_contain",
+        lit(bos.toByteArray), col("g"))
 
-    val corpusGrams = withShingles(withWords(ensureFns(corpus)))
-      .select(col(idCol), array_distinct(col("shingles")).as("sh"))
-      .select(col(idCol), size(col("sh")).as("n_shingles"), explode(col("sh")).as("g"))
-      .where(mightMatch)
-    corpusGrams.join(benchGrams, "g")
-      .groupBy(col(idCol), col("n_shingles"))
-      .agg(count(lit(1)).as("n_shared"))
-      .withColumn("contam_ratio",
-        round(col("n_shared").cast("double") / col("n_shingles").cast("double"), 6))
-      .withColumn("contaminated", col("contam_ratio") >= threshold)
+      val corpusGrams = withShingles(withWords(ensureFns(corpus)))
+        .select(col(idCol), array_distinct(col("shingles")).as("sh"))
+        .select(col(idCol), size(col("sh")).as("n_shingles"), explode(col("sh")).as("g"))
+        .where(mightMatch)
+      val out = corpusGrams.join(benchGrams, "g")
+        .groupBy(col(idCol), col("n_shingles"))
+        .agg(count(lit(1)).as("n_shared"))
+        .withColumn("contam_ratio",
+          round(col("n_shared").cast("double") / col("n_shingles").cast("double"), 6))
+        .withColumn("contaminated", col("contam_ratio") >= threshold)
+      if (materialize) { val p = out.persist(); p.count(); p } else out
+    } finally { if (materialize) { benchGrams.unpersist(); () } }
   }
 
   /** Paraphrase-level benchmark decontamination: corpus docs whose word-

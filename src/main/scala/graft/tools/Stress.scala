@@ -200,8 +200,16 @@ object Stress {
       |~6.5× at 1M docs; band keys are int64 md5-prefixes, so the LSH
       |self-join shuffles 8-byte keys instead of hex strings.
       |""".stripMargin
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/STRESS.md"),
-      report.toString)
+    // carry over the ANN-recall section (maintained by AnnRecallSpec
+    // runs + hand notes) so a stress re-run doesn't erase it
+    val path = java.nio.file.Paths.get("/root/repo/STRESS.md")
+    val recallTail =
+      if (java.nio.file.Files.exists(path)) {
+        val old = java.nio.file.Files.readString(path)
+        val i = old.indexOf("## ANN recall")
+        if (i >= 0) "\n" + old.substring(i) else ""
+      } else ""
+    java.nio.file.Files.writeString(path, report.toString + recallTail)
     println("wrote STRESS.md")
     spark.stop()
   }

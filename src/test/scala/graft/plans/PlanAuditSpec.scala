@@ -88,7 +88,8 @@ class PlanAuditSpec extends SparkSpec {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val bench = docs.filter(col("doc_id") % 10 === 0)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-    val qe = graft.ext.LlmOps.decontaminateBloom(corpus, bench, "doc_id", 0.5)
+    val qe = graft.ext.LlmOps
+      .decontaminateBloom(corpus, bench, "doc_id", 0.5, materialize = false)
       .queryExecution
     val plan = qe.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
