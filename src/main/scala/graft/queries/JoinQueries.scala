@@ -23,6 +23,19 @@ object JoinQueries {
           col("c_mktsegment"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))),
 
+    // J5 under skew: the SAME join through Ops.saltedJoin — salting is
+    // result-preserving (every fact row meets its dim row under exactly one
+    // salt), so this row shares join_fk_orders_users' oracle: the green row
+    // PROVES the skew path returns bit-identical results, not just "rows"
+    "join_fk_salted" -> ((s, d) =>
+      graft.core.Ops.saltedJoin(
+          t(s, d, "orders"),
+          t(s, d, "customer").withColumnRenamed("c_custkey", "o_custkey"),
+          "o_custkey", salts = 8)
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("c_mktsegment"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
     // J6 — semi-join existence check ("verify record exists on both sides",
     // 05-zdm-migration.md:115-127): customers that produced ≥1 event
     "join_semi_exists" -> ((s, d) =>
@@ -118,6 +131,11 @@ object JoinQueries {
 
   val oracle: Map[String, String] = Map(
     "join_fk_orders_users" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    // bit-identical to the unsalted join by construction
+    "join_fk_salted" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
          FROM orders JOIN customer ON o_custkey = c_custkey
          ORDER BY o_orderkey""",

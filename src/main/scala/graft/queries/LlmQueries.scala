@@ -49,8 +49,8 @@ object LlmQueries {
     * is a prefilter whose false positives die in the exact verify join, so
     * both operators answer to the identical exact-overlap oracle.
     */
-  private lazy val decontamOracleSql: String =
-    s"""WITH all_docs AS ($docsDupSql),
+  private lazy val decontamHitsCtes: String =
+    s"""all_docs AS ($docsDupSql),
         bdocs AS (SELECT * FROM all_docs WHERE doc_id < 100000 AND doc_id % 10 = 0),
         cdocs AS (SELECT * FROM all_docs WHERE doc_id >= 100000 OR doc_id % 10 <> 0),
         cw AS (SELECT doc_id, text, $duckWords AS words FROM cdocs),
@@ -69,7 +69,10 @@ object LlmQueries {
         bg AS (SELECT DISTINCT unnest(sh) AS g FROM bsh),
         cg AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS g FROM csh),
         hits AS (SELECT doc_id, n_shingles, count(*) AS n_shared
-                 FROM cg JOIN bg USING (g) GROUP BY 1, 2)
+                 FROM cg JOIN bg USING (g) GROUP BY 1, 2)"""
+
+  private lazy val decontamOracleSql: String =
+    s"""WITH $decontamHitsCtes
         SELECT doc_id, n_shingles, n_shared,
                round(n_shared::DOUBLE / n_shingles::DOUBLE, 6) AS contam_ratio,
                round(n_shared::DOUBLE / n_shingles::DOUBLE, 6) >= 0.5 AS contaminated
@@ -347,6 +350,20 @@ object LlmQueries {
       val bench = all.filter(col("doc_id") < 100000 && col("doc_id") % 10 === 0)
       val corpus = all.filter(col("doc_id") >= 100000 || col("doc_id") % 10 =!= 0)
       LlmOps.decontaminateBloom(corpus, bench, "doc_id", threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // the end product of decontamination (the analog of dedup_corpus for
+    // the dedup family): the corpus with contaminated docs removed —
+    // broadcast anti-join of the corpus against the (small) flagged set
+    "decontaminate_purge" -> ((s, d) => {
+      val all = docsWithDups(t(s, d, "documents"))
+      val bench = all.filter(col("doc_id") < 100000 && col("doc_id") % 10 === 0)
+      val corpus = all.filter(col("doc_id") >= 100000 || col("doc_id") % 10 =!= 0)
+      val flagged = LlmOps.decontaminate(corpus, bench, "doc_id", threshold = 0.5)
+        .filter(col("contaminated")).select(col("doc_id"))
+      corpus.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
 
@@ -687,6 +704,13 @@ object LlmQueries {
     "decontaminate_ngram" -> decontamOracleSql,
     // bloom prefilter + exact verify ≡ plain exact join — same oracle
     "decontaminate_bloom" -> decontamOracleSql,
+    "decontaminate_purge" ->
+      s"""WITH $decontamHitsCtes
+          SELECT doc_id, lang, n_chars FROM cdocs
+          WHERE doc_id NOT IN (
+            SELECT doc_id FROM hits
+            WHERE round(n_shared::DOUBLE / n_shingles::DOUBLE, 6) >= 0.5)
+          ORDER BY doc_id""",
     "decontaminate_minhash" ->
       s"""WITH all_docs AS ($docsDupSql),
           bdocs AS (SELECT * FROM all_docs WHERE doc_id < 100000 AND doc_id % 10 = 0),
