@@ -75,6 +75,36 @@ object IoQueries {
           max(col("o_orderkey")).as("max_key"))
     }),
 
+    // columnar round-trip via ORC (Spark-native breadth beyond the
+    // reference's CSV/JSON surface): schema travels with the file, zlib
+    // block compression; checksum gate identical to import_csv's
+    "import_orc" -> ((s, d) => {
+      val path = scratch("import_orc", d)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").option("compression", "zlib").orc(path)
+      s.read.orc(path)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+    }),
+
+    // partitioned export + partition-pruned re-read: the layout a 100 TB
+    // corpus actually ships with (hive-style lang=… directories). The
+    // re-read filter prunes to ONE partition on disk — PlanSpec pins the
+    // PartitionFilters — and the checksum proves pruning loses nothing.
+    "export_partitioned" -> ((s, d) => {
+      val path = scratch("export_partitioned", d)
+      t(s, d, "documents").write.mode("overwrite")
+        .partitionBy("lang").parquet(path)
+      s.read.parquet(path).filter(col("lang") === "en")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+    }),
+
     // S4 — JSON lines export/import (dsbulk --connector.name json)
     "export_json" -> ((s, d) => {
       val path = scratch("export_json", d)
@@ -91,6 +121,15 @@ object IoQueries {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM orders""",
-    "export_json" -> ordersExportableSql
+    "export_json" -> ordersExportableSql,
+    "import_orc" ->
+      """SELECT count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders""",
+    "export_partitioned" ->
+      """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM documents WHERE lang = 'en'"""
   )
 }

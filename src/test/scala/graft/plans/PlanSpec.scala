@@ -119,6 +119,23 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
   }
 
+  test("partitioned layout: the lang filter prunes to PartitionFilters, not data filters") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val path = "target/planspec_partitioned"
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    val pruned = spark.read.parquet(path).filter(col("lang") === "en")
+    val formatted = pruned.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PartitionFilters"), formatted)
+    // the filter must live in PartitionFilters (directory pruning), NOT
+    // reappear as a post-scan Filter over the data
+    val filterLine = formatted.linesIterator
+      .find(_.trim.startsWith("PartitionFilters")).getOrElse("")
+    assert(filterLine.contains("lang"), s"lang must be a partition filter:\n$formatted")
+    assert(!formatted.contains("PushedFilters: [IsNotNull(lang)"),
+      s"lang must not be a data-level pushed filter:\n$formatted")
+  }
+
   test("diff report shuffles at most once per side (single wide op)") {
     val orders = spark.read.parquet(s"${sf()}/orders.parquet")
     val rep = graft.validate.Diff.classify(orders, Common.ordersTwin(orders),
