@@ -404,6 +404,51 @@ object LlmQueries {
         .select(col("doc_id"), col("n_pii"), col("clean"))
         .orderBy(col("doc_id"))),
 
+    // sequence packing (concat-then-chunk): each doc gets its token start
+    // offset in its language's packed stream and the 64-token bin that
+    // offset lands in — the standard pretraining packing bookkeeping.
+    // Packing is inherently order-dependent, so the scale posture is the
+    // PARTITION: each lang (domain/shard in production) packs
+    // independently in parallel; no global single-partition window.
+    "pack_sequences" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .withColumn("bin", expr("start_off div 64"))
+        .withColumn("off_in_bin", col("start_off") % 64)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("start_off"), col("bin"), col("off_in_bin"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // epoch mixing — the other half of domain weighting: rare strata are
+    // UPsampled by an integer epoch factor (en ×1, others ×2 here). A
+    // narrow generator explode, no shuffle; composes with
+    // sample_stratified (downsampling) to hit arbitrary mixture weights.
+    "mix_epochs" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("n_epochs",
+          when(col("lang") === "en", lit(1)).otherwise(lit(2)))
+        .withColumn("epoch", explode(expr("sequence(0, n_epochs - 1)")))
+        .select(col("doc_id"), col("lang"), col("n_epochs"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))),
+
+    // overlapping context-window chunking (window 40 tokens, stride 30):
+    // each doc explodes into its chunk table — the RAG/pretraining
+    // chunker. Narrow generator, chunk count ~n_tokens/stride per doc.
+    "chunk_overlap" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("start", explode(expr("sequence(0, n_tokens - 1, 30)")))
+        .withColumn("chunk_id", expr("start div 30"))
+        .withColumn("chunk_len", least(lit(40), col("n_tokens") - col("start")))
+        .select(col("doc_id"), col("chunk_id"), col("start"),
+          col("chunk_len"), col("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // deterministic stratified sampling — the domain/language-mixing
     // primitive of a pretraining pipeline: keep P(lang) of each stratum,
     // decided per row by a content-stable md5 bucket (no RNG, no seed
@@ -746,6 +791,31 @@ object LlmQueries {
                      '$piiPhoneRe', '<PHONE>', 'g'),
                    '$piiIpRe', '<IP>', 'g') AS clean
           FROM raws ORDER BY doc_id""",
+    "mix_epochs" ->
+      """SELECT doc_id, lang,
+                CASE WHEN lang = 'en' THEN 1 ELSE 2 END AS n_epochs,
+                unnest(generate_series(0, CASE WHEN lang = 'en' THEN 0 ELSE 1 END)) AS epoch
+         FROM documents ORDER BY doc_id, epoch""",
+    "chunk_overlap" ->
+      """WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+                      FROM documents),
+          st AS (SELECT doc_id, n_tokens,
+                   unnest(generate_series(0, n_tokens - 1, 30)) AS start
+                 FROM tok)
+          SELECT doc_id, start // 30 AS chunk_id, start,
+                 least(40, n_tokens - start) AS chunk_len, n_tokens
+          FROM st ORDER BY doc_id, chunk_id""",
+    "pack_sequences" ->
+      """WITH tok AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+                      FROM documents),
+          cum AS (SELECT doc_id, lang, n_tokens,
+                    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                      - n_tokens AS start_off
+                  FROM tok)
+          SELECT doc_id, lang, n_tokens, start_off,
+                 start_off // 64 AS bin, start_off % 64 AS off_in_bin
+          FROM cum ORDER BY doc_id""",
     "sample_stratified" ->
       """SELECT doc_id, lang, source, substring(md5(doc_id::VARCHAR), 1, 2) AS bucket
          FROM documents
