@@ -106,6 +106,30 @@ class PlanAuditSpec extends SparkSpec {
       s"bloom filter must be below (after, in tree print order) the verify join:\n$plan")
   }
 
+  test("audit: EVERY registry query plans cartesian-free") {
+    // whole-board safety net: build (and for the eager closures, run) every
+    // registered query at sf0.001 and reject cartesian products anywhere.
+    // BroadcastNestedLoopJoin is allowed only where a broadcast single-row
+    // side makes it the intended plan (the ANN query-vector cross joins).
+    // ANN query-vector cross joins + the 1-row×1-row summary compares
+    // (source-count vs target-count), where a broadcast nested loop over
+    // single-row sides IS the right plan
+    val bnljOk = Set("sim_search_topk", "sim_search_ivf", "dedup_embedding_cos",
+      "count_star", "dual_write", "validate_sample")
+    val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, sf()).queryExecution.executedPlan.toString
+          catch { case e: Throwable => s"BUILD FAILED: ${e.getMessage}" }
+        if (plan.startsWith("BUILD FAILED")) Some(s"$name: $plan")
+        else if (plan.contains("CartesianProduct")) Some(s"$name: cartesian")
+        else if (plan.contains("BroadcastNestedLoopJoin") && !bnljOk(name))
+          Some(s"$name: unexpected nested-loop join")
+        else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("audit: LSH band join key is int64, not string") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
