@@ -61,12 +61,13 @@ object Bench {
     // ONE compact line on stdout, nothing else: the r4 artifact was lost to
     // output-tail truncation, so keep the line small (4-decimal times) and
     // make it the only stdout the driver has to find.
-    val line = renderJson(results, sfDir)
-    // fallback artifact the tail window can't truncate
+    // complete artifact the tail window can't truncate → file (committed)
+    val full = renderJson(results, sfDir)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] local dump failed: $e") }
-    println(line)
+    // stdout artifact hard-capped under the driver's 2000-byte tail window
+    println(renderJsonBudget(results, sfDir))
     Console.out.flush()
     spark.stop()
   }
@@ -83,21 +84,52 @@ object Bench {
     * suppresses the success line for the rest. [[main]] also writes the
     * full line to BENCH_LOCAL.json as a non-truncatable fallback.
     */
+  private def num(v: Double): String = {
+    // ms precision under 0.1s, cs above — matches the real measurement
+    // noise floor and keeps the line inside the tail window
+    val fmt = if (math.abs(v) < 0.0995) "%.3f" else "%.2f"
+    val s = String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+  }
+
+  // escape interpolated strings — a quote/backslash in the sf path must
+  // not corrupt the one machine-parsed artifact line
+  private def str(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   def renderJson(results: Map[String, Double], sfDir: String): String = {
-    def num(v: Double): String = {
-      // ms precision under 0.1s, cs above — matches the real measurement
-      // noise floor and keeps the line inside the tail window
-      val fmt = if (math.abs(v) < 0.0995) "%.3f" else "%.2f"
-      val s = String.format(java.util.Locale.ROOT, fmt, Double.box(v))
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
-    }
-    // escape interpolated strings — a quote/backslash in the sf path must
-    // not corrupt the one machine-parsed artifact line
-    def str(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) => str(k) + ":" + num(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":${str(sfDir)}}"""
+  }
+
+  /** The stdout artifact, hard-capped at `budget` bytes. The driver keeps
+    * only the LAST ~2000 bytes of stdout, and a longer line gets its HEAD
+    * cut — unparseable (the r4 failure mode). At 95 registered queries the
+    * full map alone is >2100 bytes, so past the cap the stdout line keeps
+    * the slowest-first subset that fits and reports the spillover as
+    * `"queries_omitted":K,"queries_file":"BENCH_LOCAL.json"` — the file
+    * artifact (committed to the repo) always carries the complete map.
+    * Name order inside the subset is slowest-first, so what the tail
+    * window shows is exactly the timings that matter most.
+    */
+  def renderJsonBudget(results: Map[String, Double], sfDir: String,
+                       budget: Int = 1900): String = {
+    val full = renderJson(results, sfDir)
+    if (full.length <= budget) return full
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    def line(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.map { case (k, v) => str(k) + ":" + num(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
+        s""""queries_omitted":$omitted,"queries_file":"BENCH_LOCAL.json","sf":${str(sfDir)}}"""
+    }
+    // largest prefix of the slowest-first ordering that fits the budget
+    var keep = bySlowest.length
+    while (keep > 0 && line(bySlowest.take(keep), bySlowest.length - keep).length > budget)
+      keep -= 1
+    line(bySlowest.take(keep), bySlowest.length - keep)
   }
 }

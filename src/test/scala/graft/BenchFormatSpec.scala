@@ -45,6 +45,44 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains("\"d\":0.1,") || line.contains("\"d\":0.1}"), line)
   }
 
+  test("renderJsonBudget: the stdout line NEVER exceeds the tail window") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // current registry size and beyond: budget must hold at any count
+    for (n <- Seq(10, 95, 200, 500)) {
+      val results = (1 to n).map(i => f"some_query_name_$i%03d" -> i * 0.01).toMap
+      val line = Bench.renderJsonBudget(results, "/root/testdata/sf0.1")
+      assert(line.length <= 1900, s"n=$n: ${line.length} bytes")
+      assert(!line.contains("\n"))
+      val parsed = JsonMethods.parse(line)
+      val total = (parsed \ "value") match {
+        case JDouble(d) => d
+        case JInt(i) => i.toDouble
+        case other => fail(s"value: $other")
+      }
+      assert(math.abs(total - results.values.sum) < 0.01)
+      val JObject(qs) = parsed \ "queries"
+      parsed \ "queries_omitted" match {
+        case JInt(k) =>
+          assert(qs.length + k.toInt == n, s"n=$n: ${qs.length} kept + $k omitted")
+          // slowest-first: every kept timing >= every omitted timing
+          val keptMin = qs.map {
+            case (_, JDouble(d)) => d
+            case (_, JInt(i)) => i.toDouble
+            case (_, other) => fail(s"timing: $other")
+          }.min
+          assert(keptMin >= (n - qs.length) * 0.01 - 1e-9)
+          assert((parsed \ "queries_file") == JString("BENCH_LOCAL.json"))
+        case _ => assert(qs.length == n, "no omission marker → full map expected")
+      }
+    }
+  }
+
+  test("renderJsonBudget passes the full line through when it fits") {
+    val small = Map("a" -> 0.1, "b" -> 0.2)
+    assert(Bench.renderJsonBudget(small, "sf") == Bench.renderJson(small, "sf"))
+  }
+
   test("renderJson is locale-independent (no comma decimal separators)") {
     val saved = java.util.Locale.getDefault
     try {
