@@ -753,8 +753,11 @@ object LlmOps {
     // The benchmark gram set drives THREE passes (size count, bloom build,
     // verify join) — cache it across them and release once the small
     // result is materialized, same discipline as decontaminateMinhash.
-    // materialize=false returns the fully lazy plan (plan audits): the
-    // three passes then each recompute the DISTINCT.
+    // materialize=false skips caching/materializing the OUTPUT only; the
+    // benchmark-side jobs (gram count + bloom build) still run eagerly —
+    // the bloom must exist to build the returned plan at all. Plan-audit
+    // callers therefore pay the (small-side) benchmark work, and the
+    // passes each recompute the DISTINCT.
     val benchGrams0 = withShingles(withWords(ensureFns(benchmark)))
       .select(explode(array_distinct(col("shingles"))).as("g"))
       .distinct()
@@ -810,32 +813,133 @@ object LlmOps {
     * lab/exercises/06-validation-monitoring.md:90-179, lifted from
     * row-sampling to corpus-vs-benchmark LSH.
     */
+  /** Byte model for the candidate-broadcast gate in
+    * [[decontaminateMinhash]]: a broadcast candidate row carries two long
+    * ids plus the joined benchmark shingle array (k grams × ~24 UTF-8 bytes
+    * plus array/row overhead) — budgeted at 1 KiB per candidate. Like
+    * [[BytesPerDriverEdge]], deliberately pessimistic: the gate guards
+    * against executor/driver OOM, not against a slightly-too-small
+    * broadcast.
+    */
+  val BytesPerBroadcastCandidate = 1024L
+
+  /** True iff `nCandidates` (candidate, benchmark-shingles) rows fit the
+    * broadcast budget under the [[BytesPerBroadcastCandidate]] model.
+    */
+  def fitsCandBroadcastGate(nCandidates: Long, budgetBytes: Long): Boolean =
+    nCandidates <= budgetBytes / BytesPerBroadcastCandidate
+
   def decontaminateMinhash(corpus: DataFrame, benchmark: DataFrame,
-                           idCol: String, threshold: Double = 0.5): DataFrame = {
+                           idCol: String, threshold: Double = 0.5,
+                           candBroadcastBudgetBytes: Long = 64L << 20): DataFrame = {
     val cSh = shingleTable(ensureFns(corpus), idCol)
     val bSh = shingleTable(ensureFns(benchmark), idCol)
     try {
       val (cSig, cBand) = sigAndBanded(cSh, idCol, k = 8, bands = 4, r = 2)
       val (bSig, bBand) = sigAndBanded(bSh, idCol, k = 8, bands = 4, r = 2)
       try {
+        // Candidate count scales with the number of CORPUS docs sharing a
+        // band with the benchmark — in an adversarially contaminated corpus
+        // (the exact situation decontamination exists for) it is unbounded.
+        // The pairs are persisted and COUNTED before the verify stage picks
+        // its join shape: under the byte gate the candidates broadcast into
+        // the corpus shingle scan (corpus stays shuffle-free); over it,
+        // [[minhashVerify]] falls back to a shuffle equi-join of cSh with
+        // the candidates on the doc id — the corpus pays one exchange
+        // instead of the driver/executors paying an unbounded broadcast.
         val cand = cBand
           .join(broadcast(bBand.withColumnRenamed(idCol, "bench_id")), "band")
           .select(col(idCol), col("bench_id")).distinct()
-        val candWithBench = cand.join(
-          broadcast(bSh.select(col(idCol).as("bench_id"), col("shingles").as("bsh"))),
-          "bench_id")
-        val verified = cSh.join(broadcast(candWithBench), Seq(idCol))
-          .select(col(idCol), col("bench_id"),
-            jaccard(col("shingles"), col("bsh")).as("jac"))
-          .where(col("jac") >= threshold)
-        val out = verified.groupBy(col(idCol))
-          .agg(count(lit(1)).as("n_bench_matches"),
-            max(col("jac")).as("max_jaccard"))
           .persist()
-        out.count() // materialize BEFORE the upstream caches are released
-        out
+        try {
+          val nCand = cand.count()
+          val verified = minhashVerify(cSh, bSh, cand, idCol, threshold,
+            broadcastCands = fitsCandBroadcastGate(nCand, candBroadcastBudgetBytes))
+          val out = verified.groupBy(col(idCol))
+            .agg(count(lit(1)).as("n_bench_matches"),
+              max(col("jac")).as("max_jaccard"))
+            .persist()
+          out.count() // materialize BEFORE the upstream caches are released
+          out
+        } finally { cand.unpersist(); () }
       } finally { cSig.unpersist(); bSig.unpersist(); () }
     } finally { cSh.unpersist(); bSh.unpersist(); () }
+  }
+
+  /** The exact-Jaccard verify stage of [[decontaminateMinhash]], in both
+    * join shapes. `broadcastCands = true` is the clean-corpus fast path
+    * (candidates + benchmark shingles broadcast; the corpus shingle table
+    * never shuffles). `false` is the adversarial-contamination fallback:
+    * the candidate set equi-joins cSh on the doc id through an exchange,
+    * and only the (small, eval-suite-sized) benchmark shingle table is
+    * broadcast. Both shapes produce identical rows — the gate in the entry
+    * point picks purely on candidate volume.
+    */
+  private[graft] def minhashVerify(cSh: DataFrame, bSh: DataFrame,
+                                   cand: DataFrame, idCol: String,
+                                   threshold: Double,
+                                   broadcastCands: Boolean): DataFrame = {
+    val bench = bSh.select(col(idCol).as("bench_id"), col("shingles").as("bsh"))
+    val joined =
+      if (broadcastCands)
+        cSh.join(broadcast(cand.join(broadcast(bench), "bench_id")), Seq(idCol))
+      else
+        cSh.join(cand, Seq(idCol)).join(broadcast(bench), "bench_id")
+    joined.select(col(idCol), col("bench_id"),
+        jaccard(col("shingles"), col("bsh")).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  /** Sequence-packing bookkeeping (concat-then-chunk): each doc's token
+    * start offset in its language's packed stream, ordered by doc id, plus
+    * the 64-token bin that offset lands in.
+    *
+    * Scale shape — TWO-LEVEL prefix sum, not one window per lang: `lang`
+    * cardinality is single-digit, so `Window.partitionBy(lang)` would sort
+    * and prefix-sum each language's ENTIRE sub-corpus in one task (billions
+    * of rows at 100 TB — the low-cardinality-window scale-killer). Instead:
+    *
+    *  1. shard: an ORDER-PRESERVING range bucket `doc_id div shardWidth`
+    *     (order-preserving is what makes per-shard sums composable — a hash
+    *     shard would interleave doc ids across shards);
+    *  2. local: per-(lang, shard) running sum ordered by doc_id — window
+    *     partitions are bounded by `shardWidth` rows;
+    *  3. base: per-shard token totals (one tiny aggregate: ≤ idSpan/width
+    *     rows — at 10^10 ids and the default 2^20 width, ~10^4 rows), then
+    *     a per-lang prefix over the totals. That window DOES partition by
+    *     lang alone, but over the aggregated shard table, so its largest
+    *     partition is #shards rows, not #docs;
+    *  4. add: base offsets broadcast-join back on (lang, shard);
+    *     start_off = base + local.
+    *
+    * Output is row-identical to the single-window form (spec-pinned), and
+    * identical for ANY shardWidth — the width only picks the parallelism.
+    * Production default 2^20 ids/shard; tests dial it down to exercise the
+    * multi-shard path on small corpora.
+    */
+  def packSequences(docs: DataFrame, shardWidth: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shardWidth > 0, s"shardWidth must be positive: $shardWidth")
+    val tok = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("shard", expr(s"doc_id div $shardWidth"))
+    val wLocal = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = tok.withColumn("local_off",
+      sum(col("n_tokens")).over(wLocal) - col("n_tokens"))
+    val totals = tok.groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+    val wBase = Window.partitionBy(col("lang")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = totals
+      .withColumn("base_off", coalesce(sum(col("shard_tokens")).over(wBase), lit(0L)))
+      .select(col("lang"), col("shard"), col("base_off"))
+    local.join(broadcast(bases), Seq("lang", "shard"))
+      .withColumn("start_off", col("base_off") + col("local_off"))
+      .withColumn("bin", expr("start_off div 64"))
+      .withColumn("off_in_bin", col("start_off") % 64)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("start_off"), col("bin"), col("off_in_bin"))
   }
 
   /** Per-document text statistics: token counts (whitespace + a BPE-ish

@@ -407,22 +407,15 @@ object LlmQueries {
     // sequence packing (concat-then-chunk): each doc gets its token start
     // offset in its language's packed stream and the 64-token bin that
     // offset lands in — the standard pretraining packing bookkeeping.
-    // Packing is inherently order-dependent, so the scale posture is the
-    // PARTITION: each lang (domain/shard in production) packs
-    // independently in parallel; no global single-partition window.
-    "pack_sequences" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, d, "documents")
-        .withColumn("n_tokens", size(split(col("text"), " ")))
-        .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
-        .withColumn("bin", expr("start_off div 64"))
-        .withColumn("off_in_bin", col("start_off") % 64)
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          col("start_off"), col("bin"), col("off_in_bin"))
-        .orderBy(col("doc_id"))
-    }),
+    // Packing is inherently order-dependent; the scale posture is the
+    // TWO-LEVEL prefix sum in LlmOps.packSequences (per-(lang, shard)
+    // local windows + a tiny per-shard base-offset aggregate), never a
+    // window partitioned on low-cardinality `lang` alone. shardWidth=16
+    // exercises the multi-shard path even at sf0.001 (~50 docs); the
+    // output is width-invariant.
+    "pack_sequences" -> ((s, d) =>
+      LlmOps.packSequences(t(s, d, "documents"), shardWidth = 16L)
+        .orderBy(col("doc_id"))),
 
     // epoch mixing — the other half of domain weighting: rare strata are
     // UPsampled by an integer epoch factor (en ×1, others ×2 here). A

@@ -177,6 +177,54 @@ class LlmOpsSpec extends SparkSpec {
     assert(!out.contains(3L), s"clean doc must not be flagged: $out")
   }
 
+  test("decontaminateMinhash: broadcast gate fallback is row-identical") {
+    val bench = docs(
+      10L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      20L -> "entirely unrelated benchmark question about catalyst codegen spans")
+    // adversarially contaminated corpus: most docs near-dup the benchmark,
+    // so the candidate set is corpus-proportional — the regime the gate
+    // exists for. budget=0 makes every candidate set "too big", forcing
+    // the shuffle-join fallback.
+    val contaminated = (1L to 8L).map(i =>
+      i -> s"the quick brown fox jumps over the lazy dog near the river ${if (i % 2 == 0) "bank" else "edge"}")
+    val corpus = docs(contaminated :+
+      (9L -> "clean training document with its own vocabulary and no overlap whatsoever"): _*)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    val viaBroadcast = rows(LlmOps.decontaminateMinhash(corpus, bench, "doc_id"))
+    val viaShuffle = rows(LlmOps.decontaminateMinhash(corpus, bench, "doc_id",
+      candBroadcastBudgetBytes = 0L))
+    assert(viaBroadcast.nonEmpty, "the contaminated corpus must produce matches")
+    assert(viaShuffle == viaBroadcast,
+      s"gate shapes must be result-identical:\n$viaShuffle\nvs\n$viaBroadcast")
+    // gate boundary math: 64 candidates fit exactly 64 KiB, 65 don't
+    assert(LlmOps.fitsCandBroadcastGate(64L, 64L << 10))
+    assert(!LlmOps.fitsCandBroadcastGate(65L, 64L << 10))
+  }
+
+  test("packSequences: two-level shard packing ≡ single per-lang window; width-invariant") {
+    val d = (0L until 37L).map(i =>
+        (i, ("tok " * (1 + (i % 7).toInt)).trim, if (i % 3 == 0) "en" else "fr"))
+      .toDF("doc_id", "text", "lang")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = d.withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin", expr("start_off div 64"))
+      .withColumn("off_in_bin", col("start_off") % 64)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("start_off"), col("bin"), col("off_in_bin"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect().toSeq
+    val exp = rows(expected)
+    assert(rows(LlmOps.packSequences(d, shardWidth = 5L)) == exp)
+    assert(rows(LlmOps.packSequences(d, shardWidth = 1L)) == exp,
+      "degenerate one-doc shards must still compose")
+    assert(rows(LlmOps.packSequences(d)) == exp,
+      "default width puts all 37 docs in one shard — still identical")
+  }
+
   test("winnowing: shared substring of length >= k+w-1 shares a fingerprint") {
     // k=5, w=4 → guarantee threshold is 8 chars; give the docs a long
     // common run with different surroundings

@@ -2,11 +2,27 @@ package graft.plans
 
 import graft.SparkSpec
 import graft.queries.{DiffQueries, JoinQueries, LlmQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Prints formatted plans for the expensive queries (manual audit aid;
   * assertions live in PlanSpec).
   */
 class PlanAuditSpec extends SparkSpec {
+
+  /** The walkable physical plan: AQE wraps the tree in a leaf
+    * AdaptiveSparkPlanExec, so `collect` needs the inner plan (pre-execution
+    * that is the initial physical plan — the shape Catalyst committed to).
+    */
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
   test("audit: key plans contain no cartesian products or unexpected sorts") {
     for (name <- Seq("diff_full_outer", "sim_search_topk",
                      "sim_knn_join", "join_range_bucketed",
@@ -98,12 +114,70 @@ class PlanAuditSpec extends SparkSpec {
     // the whole point of this variant: the benchmark grams are NOT a
     // broadcast build side for the corpus-wide probe — the bloom is the
     // only full-corpus membership structure, and the exact verify join
-    // runs on prefiltered survivors only. The filter must sit under the
-    // join in the plan (probe-then-join, not join-then-filter).
-    val joinIdx = plan.indexOf("Join")
-    val filterIdx = plan.indexOf("graft_might_contain")
-    assert(joinIdx >= 0 && filterIdx > joinIdx,
-      s"bloom filter must be below (after, in tree print order) the verify join:\n$plan")
+    // runs on prefiltered survivors only. Walk the tree (not print order):
+    // some join node must have a Filter carrying BloomMightContain in its
+    // SUBTREE (probe-then-join, not join-then-filter).
+    def probeFilters(p: SparkPlan) = p.collect {
+      case f: FilterExec
+        if f.condition.find(_.isInstanceOf[graft.functions.BloomMightContain]).isDefined => f
+    }
+    val phys = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val joins = phys.collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty, s"expected a verify join:\n$plan")
+    assert(joins.exists(j => probeFilters(j).nonEmpty),
+      s"the bloom probe filter must be a descendant of the verify join:\n$plan")
+  }
+
+  test("audit: pack_sequences never windows the raw corpus on lang alone") {
+    // lang cardinality is single-digit: a corpus-wide window partitioned on
+    // it alone sorts each language's whole sub-corpus in ONE task at 100 TB.
+    // The two-level shape pins: (a) the corpus-wide running sum partitions
+    // on (lang, shard); (b) any lang-only window sits over the AGGREGATED
+    // per-shard table (bounded at idSpan/shardWidth rows), i.e. has an
+    // aggregate beneath it in the same stage tree.
+    val plan = physical(LlmQueries.qs("pack_sequences")(spark, sf()))
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"expected window nodes:\n$plan")
+    assert(wins.exists(_.partitionSpec.size >= 2),
+      s"the corpus-wide running sum must partition on (lang, shard):\n$plan")
+    wins.filter(_.partitionSpec.size < 2).foreach { w =>
+      assert(w.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
+        s"a lang-only window is allowed only over the aggregated shard table:\n$w")
+    }
+  }
+
+  test("audit: decontaminate_minhash fallback verifies via a shuffled equi-join") {
+    // the adversarial-contamination shape: candidates too big to broadcast
+    // must equi-join the corpus shingle table on the doc id — never a
+    // nested loop, never a forced broadcast of the unbounded side. Disable
+    // stats-based auto-broadcast so the tiny test candidate set plans the
+    // same shape a corpus-proportional one would.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val cSh = graft.ext.LlmOps.shingleTable(docs.filter(col("doc_id") % 10 =!= 0), "doc_id")
+    val bSh = graft.ext.LlmOps.shingleTable(docs.filter(col("doc_id") % 10 === 0), "doc_id")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val cand = Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "bench_id")
+      val plan = physical(graft.ext.LlmOps
+        .minhashVerify(cSh, bSh, cand, "doc_id", 0.5, broadcastCands = false))
+      val shuffled = plan.collect {
+        case j: SortMergeJoinExec => j: BaseJoinExec
+        case j: ShuffledHashJoinExec => j: BaseJoinExec
+      }
+      assert(shuffled.exists(_.leftKeys.exists(_.toString.contains("doc_id"))),
+        s"candidate verify must shuffle-join on the doc id:\n$plan")
+      assert(plan.toString.indexOf("CartesianProduct") < 0, plan.toString)
+      assert(plan.toString.indexOf("BroadcastNestedLoopJoin") < 0, plan.toString)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      cSh.unpersist(); bSh.unpersist(); ()
+    }
   }
 
   test("audit: EVERY registry query plans cartesian-free") {
