@@ -158,11 +158,11 @@ object LlmOps {
     // the intermediates then live until session end, probe use only).
     if (!materialize) {
       val (_, banded) = sigAndBanded(sh, idCol, k, bands, r)
-      return pairsPlan(banded, banded.groupBy("band").count(), idCol, maxBucket)
+      return pairsPlan(banded, cappedBands(banded, maxBucket), idCol)
     }
     val (sigT, banded0) = sigAndBanded(sh, idCol, k, bands, r)
     val banded = banded0.persist()
-    val pairs = pairsPlan(banded, banded.groupBy("band").count(), idCol, maxBucket)
+    val pairs = pairsPlan(banded, cappedBands(banded, maxBucket), idCol)
       .persist()
     pairs.count() // materialize BEFORE dropping the caches it derives from
     banded.unpersist()
@@ -170,27 +170,39 @@ object LlmOps {
     pairs
   }
 
-  /** The candidate self-join over the non-capped band buckets: equi-join on
-    * the band key, linear in bucket sizes, never all-pairs.
+  /** The band buckets the `maxBucket` cap excludes from pairing — TINY by
+    * construction (degenerate boilerplate buckets only), unlike the full
+    * bucket-count table (~#distinct bands ≈ corpus-sized: persisting THAT
+    * OOMs the heap the banded cache already fills at 10M docs).
     */
-  private def pairsPlan(banded: DataFrame, bucketCounts: DataFrame,
-                        idCol: String, maxBucket: Int): DataFrame = {
-    val small = banded.join(
-      bucketCounts.filter(col("count") <= maxBucket).select("band"), "band")
+  private def cappedBands(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded.groupBy("band").count()
+      .filter(col("count") > maxBucket).select(col("band"))
+
+  /** The candidate self-join over the non-capped band buckets: anti-join
+    * away the (tiny) capped-band set, then equi-join on the band key —
+    * linear in bucket sizes, never all-pairs. Excluding by ANTI-join
+    * against the small capped set (instead of semi-joining the large
+    * ok-band complement) keeps the exclusion side broadcastable when the
+    * caller hands in a materialized capped table.
+    */
+  private def pairsPlan(banded: DataFrame, capped: DataFrame,
+                        idCol: String): DataFrame = {
+    val small = banded.join(capped, Seq("band"), "left_anti")
     small.as("x").join(small.as("y"), "band")
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
   }
 
-  /** [[minhashCandidatesFrom]] plus coverage accounting in the SAME pass
-    * structure: returns (persisted candidate pairs, number of band buckets
-    * the `maxBucket` cap excluded from pairing). The capped count reuses
-    * the persisted band table — one extra hash-agg pass over the cache,
-    * not the second signature pass a separate [[oversizedBuckets]] call
-    * would cost. It IS an extra job, which is why plain
-    * [[minhashCandidatesFrom]] doesn't pay it: only coverage-reporting
-    * callers (dedupCorpus) route here. All intermediates are released
+  /** [[minhashCandidatesFrom]] plus coverage accounting FOLDED into the
+    * same aggregation: the capped-band set is computed once from the cached
+    * band table, persisted (tiny by construction), counted for the
+    * coverage report, and reused as the pair join's anti-join exclusion —
+    * the pair job no longer re-aggregates the band table a second time
+    * (the r7 shape paid one extra full hash-agg pass over the cache
+    * there; a spec pins the job count). Returns (persisted candidate
+    * pairs, number of capped buckets). All intermediates are released
     * before returning.
     */
   def candidatesWithCoverage(sh: DataFrame, idCol: String, k: Int = 8,
@@ -198,18 +210,14 @@ object LlmOps {
                              maxBucket: Int = 1000): (DataFrame, Long) = {
     val (sigT, banded0) = sigAndBanded(sh, idCol, k, bands, r)
     val banded = banded0.persist()
-    // counts stays LAZY on purpose: at 10M docs the bucket-count table is
-    // ~#distinct-bands rows (tens of millions) — persisting it OOMs the
-    // heap the banded cache already fills. Re-aggregating from the cached
-    // band table twice (once for the capped count, once inside the pair
-    // join) is one cheap extra hash-agg pass instead.
-    val counts = banded.groupBy("band").count()
-    val capped = counts.filter(col("count") > maxBucket).count()
-    val pairs = pairsPlan(banded, counts, idCol, maxBucket).persist()
+    val capped = cappedBands(banded, maxBucket).persist()
+    val nCapped = capped.count()
+    val pairs = pairsPlan(banded, capped, idCol).persist()
     pairs.count() // materialize BEFORE dropping the caches it derives from
+    capped.unpersist()
     banded.unpersist()
     sigT.unpersist()
-    (pairs, capped)
+    (pairs, nCapped)
   }
 
   /** Buckets skipped by the `maxBucket` cap, with their sizes. Eagerly

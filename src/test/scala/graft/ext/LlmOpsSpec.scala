@@ -33,6 +33,66 @@ class LlmOpsSpec extends SparkSpec {
     assert(uncapped.count() == 15) // 6 choose 2
   }
 
+  test("candidatesWithCoverage folds the capped count into one band aggregation") {
+    // r7 ran the band-table aggregation TWICE (once for the capped count,
+    // once inline in the pair join); r8 computes the tiny capped-band set
+    // once and anti-joins it. Pin both halves: (a) the whole call runs in
+    // ≤3 jobs (capped count + pairs count + at most one broadcast build
+    // for the anti-join); (b) the pair join's plan carries no count
+    // aggregation at all — the only Aggregate left is the pair distinct.
+    val rows = (1L to 6L).map(i => (i, "the same exact boilerplate text repeated here")) :+
+      (7L, "completely different content about catalyst and tungsten engines")
+    val d = docs(rows: _*)
+    val sh = LlmOps.shingleTable(d, "doc_id")
+    val sc = spark.sparkContext
+    // jobs spawned by `body`, via an isolated job group (AQE splits one
+    // action into several jobs, so only a RELATIVE count is meaningful)
+    def countJobs(tag: String)(body: => Unit): Int = {
+      sc.setJobGroup(tag, tag)
+      try body finally sc.clearJobGroup()
+      Thread.sleep(500) // let the async listener bus feed the status tracker
+      sc.statusTracker.getJobIdsForGroup(tag).length
+    }
+    try {
+      sh.count() // materialize the shingle cache OUTSIDE the audited windows
+      var out: (org.apache.spark.sql.DataFrame, Long) = null
+      val newJobs = countJobs("cov-folded") {
+        out = LlmOps.candidatesWithCoverage(sh, "doc_id", maxBucket = 3)
+      }
+      val (pairs, capped) = out
+      assert(capped > 0 && pairs.count() == 0,
+        "cap=3 must exclude the 6-doc buckets and report them")
+      // the r7 shape, replicated: the bucket-count aggregation ran once for
+      // the capped count and AGAIN inline as the pair join's semi filter
+      val oldJobs = countJobs("cov-r7-shape") {
+        val banded = LlmOps.bandedSignatures(sh, "doc_id").persist()
+        val counts = banded.groupBy("band").count()
+        assert(counts.filter(col("count") > 3).count() > 0)
+        val small = banded.join(counts.filter(col("count") <= 3).select("band"), "band")
+        val p = small.as("x").join(small.as("y"), "band")
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct().persist()
+        assert(p.count() == 0)
+        banded.unpersist(); p.unpersist()
+      }
+      assert(newJobs < oldJobs,
+        s"folding the capped count must save jobs: $newJobs vs r7-shape $oldJobs")
+      // and the pair join's own plan carries no count aggregation at all —
+      // the only Aggregate left is the pair distinct
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+      import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+      val countAggs = pairs.queryExecution.optimizedPlan.collect {
+        case a: Aggregate if a.aggregateExpressions.exists(_.find {
+          case ae: AggregateExpression => ae.aggregateFunction.isInstanceOf[Count]
+          case _ => false
+        }.isDefined) => a
+      }
+      assert(countAggs.isEmpty,
+        s"the pair join must not re-aggregate the band table:\n${pairs.queryExecution.optimizedPlan}")
+    } finally { sh.unpersist(); () }
+  }
+
   test("dedupCorpus surfaces capped-bucket coverage in the corpus output") {
     // degenerate duplication: 6 identical docs + 1 distinct. Cap at 3 kills
     // every bucket of the identical six → no pairs, no collapse — and the
