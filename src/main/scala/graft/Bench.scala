@@ -126,10 +126,23 @@ object Bench {
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
         s""""queries_omitted":$omitted,"queries_file":"BENCH_LOCAL.json","sf":${str(sfDir)}}"""
     }
-    // largest prefix of the slowest-first ordering that fits the budget
-    var keep = bySlowest.length
-    while (keep > 0 && line(bySlowest.take(keep), bySlowest.length - keep).length > budget)
-      keep -= 1
-    line(bySlowest.take(keep), bySlowest.length - keep)
+    // binary-search the largest slowest-first prefix that fits: line length
+    // is monotone in the kept count, and O(log n) renders beats re-rendering
+    // the full line once per dropped entry
+    var lo = 0
+    var hi = bySlowest.length
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (line(bySlowest.take(mid), bySlowest.length - mid).length <= budget) lo = mid
+      else hi = mid - 1
+    }
+    val best = line(bySlowest.take(lo), bySlowest.length - lo)
+    if (best.length <= budget) best
+    else
+      // even keep=0 over budget (pathological sfDir path): drop the sf
+      // field — every remaining field is a bounded number or fixed string,
+      // so this floor line always fits the tail window
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":{},""" +
+        s""""queries_omitted":${bySlowest.length},"queries_file":"BENCH_LOCAL.json"}"""
   }
 }

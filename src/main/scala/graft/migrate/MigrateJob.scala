@@ -52,12 +52,24 @@ object MigrateJob {
       errorLimit: Long = 100L) {
     /** CDM divides the global rate limit by worker count
       * (docs/04-cdm-approach.md:637). Recompute from current parallelism —
-      * under dynamic allocation call again per epoch (SURVEY §7.4 risk 6).
+      * under dynamic allocation call again per epoch (SURVEY §7.4 risk 6):
+      * each call re-reads `defaultParallelism`, so the per-partition rate
+      * tracks executor count instead of going stale (spec-pinned via
+      * [[MigrateJob.perPartitionRate]]).
       */
     def withGlobalRateLimit(spark: SparkSession, rowsPerSecond: Int): Config =
-      copy(maxRowsPerSecondPerPartition =
-        Some(math.max(1, rowsPerSecond / math.max(1, spark.sparkContext.defaultParallelism))))
+      copy(maxRowsPerSecondPerPartition = Some(
+        perPartitionRate(rowsPerSecond, spark.sparkContext.defaultParallelism)))
   }
+
+  /** The rate-division arithmetic of [[Config.withGlobalRateLimit]], kept
+    * pure so the re-derivation contract is testable at parallelism values a
+    * local session can't take on: floor of the even split, never below 1
+    * row/s/partition (a zero rate would stall every task forever once
+    * parallelism exceeds the global budget).
+    */
+  def perPartitionRate(rowsPerSecond: Int, parallelism: Int): Int =
+    math.max(1, rowsPerSecond / math.max(1, parallelism))
 
   /** CDM custom transformer interface (docs/04-cdm-approach.md:341-349),
     * Spark-shaped: whole-DataFrame transform (declarative, stays in

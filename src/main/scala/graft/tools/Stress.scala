@@ -170,6 +170,65 @@ object Stress {
         emb.filter(col("vec_id") === 0), 10).collect()
     }
 
+    // ---- adversarial contamination: HALF the corpus verbatim-copies a
+    // benchmark doc. The candidate set is then corpus-proportional —
+    // exactly the regime the r8 candidate-broadcast gate exists for: the
+    // default 64 MB budget must reject it and fall back to the shuffled
+    // verify join. Both shapes run on identical inputs; the gate-engaged
+    // row is the production path, the forced-broadcast row is the
+    // comparison (and the OOM risk the gate removes — at larger corpora it
+    // stops completing at all).
+    val nAdv = nDocs
+    val nBench = math.max(1000L, nAdv / 100)
+    val advSrc = s"$base/docs_adv.parquet"
+    // even ids copy benchmark doc (id % nBench); odd ids are unique text.
+    // Benchmark texts derive from seeds 2e9+b — disjoint from the odd-id
+    // seed space, so contamination is exactly the even half.
+    def advText(seed: String) =
+      s"""concat_ws(' ', transform(sequence(0, 29),
+          j -> substr(md5(cast(($seed) * 37 + j as string)), 1, 8)))"""
+    spark.range(nAdv).select(
+      col("id").as("doc_id"),
+      expr(advText(s"if(id % 2 = 0, 2000000000 + id % $nBench, id)")).as("text"))
+      .write.mode("overwrite").parquet(advSrc)
+    def advCorpus: DataFrame = spark.read.parquet(advSrc)
+    def advBench: DataFrame = spark.range(nBench).select(
+      (col("id") + 3000000000L).as("doc_id"),
+      expr(advText("2000000000 + id")).as("text"))
+
+    bench(s"decontam minhash 50% contaminated GATED ${nAdv / 1000000}M docs", nAdv) {
+      graft.ext.LlmOps.decontaminateMinhash(advCorpus, advBench, "doc_id", 0.5)
+        .agg(count(lit(1))).collect()
+    }
+    bench(s"decontam minhash 50% contaminated forced-broadcast ${nAdv / 1000000}M docs", nAdv) {
+      graft.ext.LlmOps.decontaminateMinhash(advCorpus, advBench, "doc_id", 0.5,
+          candBroadcastBudgetBytes = Long.MaxValue)
+        .agg(count(lit(1))).collect()
+    }
+    // gate-engagement proof for the report: count the candidate pairs the
+    // gated run saw and record the gate's verdict at the default budget.
+    // (Runs AFTER every timed row: bandedSignatures leaves its signature
+    // cache behind until session end — probe use only.)
+    val nCand = {
+      val cSh = graft.ext.LlmOps.shingleTable(advCorpus, "doc_id")
+      val bSh = graft.ext.LlmOps.shingleTable(advBench, "doc_id")
+      try graft.ext.LlmOps.bandedSignatures(cSh, "doc_id")
+        .join(graft.ext.LlmOps.bandedSignatures(bSh, "doc_id")
+          .withColumnRenamed("doc_id", "bench_id"), "band")
+        .select(col("doc_id"), col("bench_id")).distinct().count()
+      finally { cSh.unpersist(); bSh.unpersist(); () }
+    }
+    val gateVerdict =
+      if (graft.ext.LlmOps.fitsCandBroadcastGate(nCand, 64L << 20))
+        "ADMITS them (gate did NOT engage — investigate)"
+      else "REJECTS them: the shuffle-join fallback engaged"
+    report ++= s"""
+      |Adversarial decontamination: ${f"$nCand%,d"} candidate pairs from the
+      |50%-contaminated corpus → the 64 MB default budget $gateVerdict
+      |and completed (table row above). The clean-corpus regime (1% benchmark
+      |rows, earlier decontaminate rows) stays on the broadcast path.
+      |""".stripMargin
+
     report ++= s"""
       |Context: ${n / 1000000}M rows ≈ ${n / 600000}× the sf0.1 bench tables. The
       |reference's published single-pipeline figures are 50,000 rows/s read /
@@ -200,16 +259,21 @@ object Stress {
       |~6.5× at 1M docs; band keys are int64 md5-prefixes, so the LSH
       |self-join shuffles 8-byte keys instead of hex strings.
       |""".stripMargin
-    // carry over the ANN-recall section (maintained by AnnRecallSpec
-    // runs + hand notes) so a stress re-run doesn't erase it
+    // carry over EVERYTHING below the generated-content end marker (the
+    // ANN-recall section, hand notes, anything added later) so a stress
+    // re-run never erases a hand-maintained section. Files written before
+    // the marker existed fall back to the ANN-recall heading.
+    val endMarker = "<!-- graft:stress generated content ends here -->"
     val path = java.nio.file.Paths.get("/root/repo/STRESS.md")
-    val recallTail =
+    val tail =
       if (java.nio.file.Files.exists(path)) {
         val old = java.nio.file.Files.readString(path)
-        val i = old.indexOf("## ANN recall")
-        if (i >= 0) "\n" + old.substring(i) else ""
+        val m = old.indexOf(endMarker)
+        val i = if (m >= 0) m + endMarker.length else old.indexOf("## ANN recall")
+        if (i >= 0) "\n" + old.substring(i).dropWhile(_ == '\n') else ""
       } else ""
-    java.nio.file.Files.writeString(path, report.toString + recallTail)
+    java.nio.file.Files.writeString(path,
+      report.toString + "\n" + endMarker + "\n" + tail)
     println("wrote STRESS.md")
     spark.stop()
   }

@@ -78,6 +78,18 @@ class BenchFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("renderJsonBudget: a pathological sfDir can never push the line over budget") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val results = (1 to 50).map(i => f"q_$i%03d" -> i * 0.01).toMap
+    val hugeSf = "/x" * 2000 // 4000-byte path: the fixed envelope alone overflows
+    val line = Bench.renderJsonBudget(results, hugeSf)
+    assert(line.length <= 1900, s"${line.length} bytes")
+    val parsed = JsonMethods.parse(line) // floor line must still parse
+    assert((parsed \ "metric") == JString("total"))
+    assert((parsed \ "queries_file") == JString("BENCH_LOCAL.json"))
+  }
+
   test("renderJsonBudget passes the full line through when it fits") {
     val small = Map("a" -> 0.1, "b" -> 0.2)
     assert(Bench.renderJsonBudget(small, "sf") == Bench.renderJson(small, "sf"))

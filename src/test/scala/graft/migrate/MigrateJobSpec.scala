@@ -300,6 +300,38 @@ class MigrateJobSpec extends SparkSpec {
     assert(per == math.max(1, 4000 / spark.sparkContext.defaultParallelism))
   }
 
+  test("global rate limit re-derives when parallelism changes (per-epoch recompute)") {
+    // SURVEY §7.4 risk 6: under dynamic allocation the per-partition rate
+    // must track executor count epoch to epoch. The division is pure, so
+    // drive it across a scale-up/scale-down sequence a local session can't
+    // physically take on and pin the contract:
+    //  - scale-up: per-partition share shrinks, total stays ≤ the global
+    //    budget and within one row/s/partition of it (integer floor);
+    //  - scale-down to 1: the full budget lands on the one partition;
+    //  - over-parallelized (more partitions than budget): floor at 1, the
+    //    only regime allowed to exceed the global budget — a 0 rate would
+    //    stall every task forever.
+    val global = 4000
+    for (p <- Seq(1, 4, 32, 1000)) {
+      val per = MigrateJob.perPartitionRate(global, p)
+      assert(per == global / p, s"parallelism $p")
+      assert(per.toLong * p <= global && (per + 1).toLong * p > global,
+        s"total within one floor-step of the budget at parallelism $p")
+    }
+    assert(MigrateJob.perPartitionRate(global, 1) == global)
+    assert(MigrateJob.perPartitionRate(global, 8000) == 1, "floor, never 0")
+    assert(MigrateJob.perPartitionRate(global, 0) == global, "degenerate parallelism guard")
+    // the Config hook re-reads parallelism on EVERY call (nothing cached):
+    // two derivations at different global rates from one base config both
+    // reflect the session's live parallelism
+    val base = MigrateJob.Config(pkCols = Seq("o_orderkey"))
+    val live = spark.sparkContext.defaultParallelism
+    assert(base.withGlobalRateLimit(spark, 4000).maxRowsPerSecondPerPartition.get
+      == MigrateJob.perPartitionRate(4000, live))
+    assert(base.withGlobalRateLimit(spark, 400).maxRowsPerSecondPerPartition.get
+      == MigrateJob.perPartitionRate(400, live))
+  }
+
   test("expected failure: schema-mismatched CSV import surfaces nulls the count gate catches") {
     // mirror of the reference's negative tests (02-native-tooling.md:137-146):
     // import with a wrong declared type must not silently pass validation
