@@ -117,32 +117,43 @@ object DualWrite {
   def lwwStreamBounded(
       stream: org.apache.spark.sql.Dataset[(String, Long, String)],
       stateTtlMs: Option[Long]): org.apache.spark.sql.Dataset[(String, Long, String)] = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import org.apache.spark.sql.streaming.GroupStateTimeout
     import stream.sparkSession.implicits._
     val timeoutConf = stateTtlMs match {
       case Some(_) => GroupStateTimeout.ProcessingTimeTimeout
       case None => GroupStateTimeout.NoTimeout
     }
     stream.groupByKey(_._1)
-      .mapGroupsWithState[(Long, String), (String, Long, String)](timeoutConf) {
-        case (pk, rows, state: GroupState[(Long, String)]) =>
-          if (state.hasTimedOut) {
-            val (wt, v) = state.get
-            state.remove()
-            (pk, wt, v)
-          } else {
-            val ord = Ordering.Tuple2[Long, String]
-            val incoming = rows.map(r => (r._2, r._3)).max(ord)
-            val winner = state.getOption match {
-              case Some(cur) if ord.gteq(cur, incoming) => cur
-              case _ => incoming
-            }
-            state.update(winner)
-            stateTtlMs.foreach(state.setTimeoutDuration)
-            (pk, winner._1, winner._2)
-          }
-      }
+      .mapGroupsWithState[(Long, String), (String, Long, String)](timeoutConf)(
+        lwwUpdate(stateTtlMs))
   }
+
+  /** The per-key state transition of [[lwwStreamBounded]], factored out so
+    * the TTL contract is testable deterministically via `TestGroupState`
+    * (driving real ProcessingTimeTimeout timers needs wall-clock idle time
+    * and continuous empty micro-batches — see the scaladoc above). On
+    * timeout: emit the winner one final time and REMOVE the state (the
+    * bounded-growth half). Otherwise: LWW-merge the incoming rows into
+    * state and re-arm the TTL (the idle clock resets on every update).
+    */
+  private[graft] def lwwUpdate(stateTtlMs: Option[Long])(
+      pk: String, rows: Iterator[(String, Long, String)],
+      state: org.apache.spark.sql.streaming.GroupState[(Long, String)]): (String, Long, String) =
+    if (state.hasTimedOut) {
+      val (wt, v) = state.get
+      state.remove()
+      (pk, wt, v)
+    } else {
+      val ord = Ordering.Tuple2[Long, String]
+      val incoming = rows.map(r => (r._2, r._3)).max(ord)
+      val winner = state.getOption match {
+        case Some(cur) if ord.gteq(cur, incoming) => cur
+        case _ => incoming
+      }
+      state.update(winner)
+      stateTtlMs.foreach(state.setTimeoutDuration)
+      (pk, winner._1, winner._2)
+    }
 
   /** T5 periodic validation: run a count-gate (A1) every trigger interval —
     * the 60s continuous-validation loop

@@ -200,10 +200,17 @@ object Stress {
       graft.ext.LlmOps.decontaminateMinhash(advCorpus, advBench, "doc_id", 0.5)
         .agg(count(lit(1))).collect()
     }
-    bench(s"decontam minhash 50% contaminated forced-broadcast ${nAdv / 1000000}M docs", nAdv) {
+    // the comparison row may legitimately DIE (multi-GB broadcast build —
+    // the failure mode the gate exists to remove); record that as a result
+    // instead of aborting the whole stress run
+    try bench(s"decontam minhash 50% contaminated forced-broadcast ${nAdv / 1000000}M docs", nAdv) {
       graft.ext.LlmOps.decontaminateMinhash(advCorpus, advBench, "doc_id", 0.5,
           candBroadcastBudgetBytes = Long.MaxValue)
         .agg(count(lit(1))).collect()
+    } catch {
+      case e: Throwable =>
+        report ++= s"| decontam minhash 50% contaminated forced-broadcast ${nAdv / 1000000}M docs | FAILED (${e.getClass.getSimpleName}) | — |\n"
+        println(s"forced-broadcast comparison failed (expected at scale): $e")
     }
     // gate-engagement proof for the report: count the candidate pairs the
     // gated run saw and record the gate's verdict at the default budget.

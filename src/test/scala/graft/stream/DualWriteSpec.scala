@@ -107,6 +107,69 @@ class DualWriteSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounded LWW TTL evicts idle keys: state tracks the live key set, not every key ever seen") {
+    // the point of lwwStreamBounded over the plain groupBy form: over a
+    // long stream with a churning key space, state must stay bounded by
+    // the RECENTLY-ACTIVE keys. Driving real ProcessingTimeTimeout timers
+    // in a spec needs wall-clock idling while the engine spins continuous
+    // empty micro-batches (processAllAvailable never converges — see the
+    // lwwStreamBounded scaladoc), so the TTL contract is pinned
+    // deterministically through the factored-out transition function and
+    // Spark's TestGroupState timer harness instead.
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val ttl = Some(500L)
+    def freshState(now: Long) = TestGroupState.create[(Long, String)](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = now, Optional.empty[Long](), hasTimedOut = false)
+
+    // a long synthetic stream: 1000 keys arrive, every one arms a TTL timer
+    val armed = (1 to 1000).map { i =>
+      val st = freshState(now = 1000L)
+      val out = DualWrite.lwwUpdate(ttl)(s"k$i", Iterator((s"k$i", i.toLong, s"v$i")), st)
+      assert(out == (s"k$i", i.toLong, s"v$i"))
+      assert(st.isUpdated && st.getTimeoutTimestampMs.isPresent)
+      st
+    }
+    assert(armed.forall(_.getTimeoutTimestampMs.get() == 1000L + 500L),
+      "every idle key must be scheduled for eviction one TTL after its last update")
+
+    // ...the keys idle past the TTL: the timer batch EVICTS (removes) each
+    // one after a final emit — state size tracks the live set, not history
+    val evicted = (1 to 1000).map { i =>
+      val st = TestGroupState.create[(Long, String)](
+        Optional.of((i.toLong, s"v$i")), GroupStateTimeout.ProcessingTimeTimeout,
+        batchProcessingTimeMs = 2000L, Optional.empty[Long](), hasTimedOut = true)
+      val out = DualWrite.lwwUpdate(ttl)(s"k$i", Iterator.empty, st)
+      assert(out == (s"k$i", i.toLong, s"v$i"), "eviction emits the winner one final time")
+      st
+    }
+    assert(evicted.forall(_.isRemoved), "idle keys must leave the state store")
+
+    // activity RE-ARMS the clock: an update on live state pushes the
+    // timeout out from the CURRENT batch time
+    val live = TestGroupState.create[(Long, String)](
+      Optional.of((10L, "old")), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 5000L, Optional.empty[Long](), hasTimedOut = false)
+    DualWrite.lwwUpdate(ttl)("k", Iterator(("k", 5L, "older-loser")), live)
+    assert(live.get == ((10L, "old")), "older row must not regress LWW state")
+    assert(live.getTimeoutTimestampMs.get() == 5500L, "every update re-arms the TTL")
+
+    // eviction is SAFE, not lossy: a late row for an evicted key simply
+    // re-creates state (fresh group) and LWW re-resolves on the sink
+    val reborn = freshState(now = 9000L)
+    val out = DualWrite.lwwUpdate(ttl)("k1", Iterator(("k1", 999L, "resurrected")), reborn)
+    assert(out == ("k1", 999L, "resurrected") && reborn.isUpdated)
+
+    // and the NoTimeout form (the processAllAvailable-friendly test mode)
+    // must not arm timers at all
+    val noTtl = TestGroupState.create[(Long, String)](
+      Optional.empty(), GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 1000L, Optional.empty[Long](), hasTimedOut = false)
+    DualWrite.lwwUpdate(None)("k", Iterator(("k", 1L, "v")), noTtl)
+    assert(!noTtl.getTimeoutTimestampMs.isPresent)
+  }
+
   test("dropDuplicatesWithinWatermark dedups replayed writes (T3 built-in form)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

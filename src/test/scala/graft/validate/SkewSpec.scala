@@ -74,4 +74,63 @@ class SkewSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("hot-PK full-outer diff: AQE cannot split a full-outer SMJ — the PK-uniqueness contract is the mitigation") {
+    // The full-outer members (classify/classifyByHash) CANNOT lean on AQE:
+    // OptimizeSkewedJoin never splits either side of a full-outer SMJ (a
+    // split side would need its partner replicated, which full-outer
+    // semantics forbid). This pins that boundary executably: same scaled
+    // thresholds as the left-anti test, a hot origin PK, and the final
+    // adaptive plan must show a full-outer SMJ with NO skew=true handling —
+    // while the result stays correct. The 100 TB posture therefore rests on
+    // the diff contract itself: PKs are unique per side (the reference's
+    // primary-key model), and unique keys hash-balance, so the full-outer
+    // exchange never builds a hot partition in the first place. If a Spark
+    // upgrade ever learns to split full-outer joins, this assertion fails
+    // loudly and the comment (and SURVEY §3.2) should be updated.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+      // origin: 100k rows, half replayed onto pk 0 (~6.5 MB in one
+      // partition at these thresholds); target keeps unique PKs so the
+      // full-outer match stays 1:1 per hot row
+      val origin = spark.range(100000).select(
+        when(col("id") % 2 === 0, lit(0L)).otherwise(col("id")).as("pk"),
+        concat(lit("v"), lpad(col("id").cast("string"), 120, "x")).as("payload"))
+      val classified = Diff.classify(
+        origin,
+        spark.range(100000).select(col("id").as("pk"),
+          concat(lit("v"), lpad(col("id").cast("string"), 120, "x")).as("payload")),
+        Seq("pk"), Seq("payload"))
+      val counts = classified.groupBy(Diff.StatusCol).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // odd origin ids exist in target with identical payload → valid;
+      // the 50k hot rows all land on pk 0 whose target payload matches
+      // only the id=0 row; even target ids (except 0) have no origin row
+      assert(counts.getOrElse("missing", 0L) == 0L, s"hot pk exists in target: $counts")
+      assert(counts("extra_in_target") == 49999L, s"even target ids 2..99998: $counts")
+      assert(counts("valid") + counts.getOrElse("mismatch", 0L) == 100000L, counts.toString)
+
+      val plan = finalPlan(classified.queryExecution.executedPlan).toString
+      assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+        s"expected a full-outer SMJ:\n$plan")
+      assert(!plan.contains("skew=true"),
+        s"AQE must NOT claim to skew-split a full-outer join; if it does, " +
+          s"Spark learned a new trick — revisit this pin:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
