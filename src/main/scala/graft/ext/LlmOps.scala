@@ -751,6 +751,35 @@ object LlmOps {
     * prefilter+verify shape that survives a benchmark side beyond broadcast
     * size.
     */
+  /** The end product of decontamination: the corpus minus a flagged id
+    * set, as an anti-join. Same adversarial-scale hazard as the minhash
+    * candidate set: the flagged side is CONTAMINATION-proportional — tiny
+    * for a clean corpus, half the corpus in the adversarial regime — so a
+    * hard-wired broadcast hint is an OOM, not a plan choice. The flagged
+    * ids are persisted and counted (the count doubles as the purge report)
+    * and the gate picks the join shape: under the byte budget the anti-join
+    * broadcasts (corpus never shuffles); over it the hint is simply
+    * DROPPED — a plain shuffled anti-join on the id, which AQE may still
+    * re-plan to broadcast at runtime if the actual size allows. Both shapes
+    * are row-identical; only the id column moves on the flagged side
+    * ([[BytesPerBroadcastId]]/row model).
+    */
+  val BytesPerBroadcastId = 64L
+
+  def purge(corpus: DataFrame, flagged: DataFrame, idCol: String,
+            flaggedBroadcastBudgetBytes: Long = 64L << 20): DataFrame = {
+    val ids = flagged.select(col(idCol)).distinct().persist()
+    try {
+      val n = ids.count()
+      val right =
+        if (n <= flaggedBroadcastBudgetBytes / BytesPerBroadcastId) broadcast(ids)
+        else ids
+      val out = corpus.join(right, Seq(idCol), "left_anti").persist()
+      out.count() // materialize before the flagged cache is released
+      out
+    } finally { ids.unpersist(); () }
+  }
+
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                          threshold: Double, fpp: Double = 0.01,
                          materialize: Boolean = true): DataFrame = {

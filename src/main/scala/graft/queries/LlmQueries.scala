@@ -354,15 +354,18 @@ object LlmQueries {
     }),
 
     // the end product of decontamination (the analog of dedup_corpus for
-    // the dedup family): the corpus with contaminated docs removed —
-    // broadcast anti-join of the corpus against the (small) flagged set
+    // the dedup family): the corpus with contaminated docs removed. The
+    // flagged set is CONTAMINATION-proportional, so LlmOps.purge counts it
+    // against a byte gate and only broadcasts the anti-join side under
+    // budget (clean corpus — this fixture); over budget the hint drops to
+    // a plain shuffled anti-join (adversarial regime, same rows).
     "decontaminate_purge" -> ((s, d) => {
       val all = docsWithDups(t(s, d, "documents"))
       val bench = all.filter(col("doc_id") < 100000 && col("doc_id") % 10 === 0)
       val corpus = all.filter(col("doc_id") >= 100000 || col("doc_id") % 10 =!= 0)
       val flagged = LlmOps.decontaminate(corpus, bench, "doc_id", threshold = 0.5)
         .filter(col("contaminated")).select(col("doc_id"))
-      corpus.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      LlmOps.purge(corpus, flagged, "doc_id")
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),

@@ -263,6 +263,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(!LlmOps.fitsCandBroadcastGate(65L, 64L << 10))
   }
 
+  test("purge: broadcast gate fallback is row-identical and drops the right docs") {
+    val corpus = docs((1L to 10L).map(i => (i, s"doc number $i content")): _*)
+    val flagged = Seq(2L, 4L, 4L, 6L).toDF("doc_id") // dup flag must not matter
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val broadcastShape = ids(LlmOps.purge(corpus, flagged, "doc_id"))
+    val shuffleShape = ids(LlmOps.purge(corpus, flagged, "doc_id",
+      flaggedBroadcastBudgetBytes = 0L))
+    assert(broadcastShape == Seq(1L, 3L, 5L, 7L, 8L, 9L, 10L))
+    assert(shuffleShape == broadcastShape, "gate shapes must be result-identical")
+  }
+
   test("packSequences: two-level shard packing ≡ single per-lang window; width-invariant") {
     val d = (0L until 37L).map(i =>
         (i, ("tok " * (1 + (i % 7).toInt)).trim, if (i % 3 == 0) "en" else "fr"))
