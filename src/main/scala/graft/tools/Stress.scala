@@ -130,6 +130,29 @@ object Stress {
         .agg(count(lit(1))).collect()
     }
 
+    // sequence packing at corpus scale: the r8 two-level plan (bounded
+    // per-(lang, shard) windows + tiny base-offset aggregate) vs the
+    // single per-lang window it replaced (VERDICT r7 risk #1: lang
+    // cardinality is 5 here, so the old form sorts ~nDocs/5 rows per TASK
+    // regardless of cores — already visible at 10M docs, catastrophic at
+    // 100 TB). Identical output, spec- and property-pinned.
+    val langedDocs = docs.withColumn("lang",
+      element_at(array(lit("en"), lit("fr"), lit("de"), lit("ja"), lit("zh")),
+        (col("doc_id") % 5 + 1).cast("int")))
+    bench(s"pack_sequences two-level ${nDocs / 1000000}M docs", nDocs) {
+      graft.ext.LlmOps.packSequences(langedDocs)
+        .agg(sum(col("start_off")), max(col("bin"))).collect()
+    }
+    bench(s"pack_sequences single-window (old form) ${nDocs / 1000000}M docs", nDocs) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      langedDocs.withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .withColumn("bin", expr("start_off div 64"))
+        .agg(sum(col("start_off")), max(col("bin"))).collect()
+    }
+
     // decontamination: 1% of the corpus plays the benchmark (ids %100==0;
     // their %10==1 neighbors share text with id-1 docs, so real overlap
     // exists). Compares the broadcast-bench form against the bloom

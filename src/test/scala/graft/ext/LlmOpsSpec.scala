@@ -297,6 +297,46 @@ class LlmOpsSpec extends SparkSpec {
       "default width puts all 37 docs in one shard — still identical")
   }
 
+  test("packSequences property: matches a plain-Scala reference on sparse ids, any width") {
+    // engine-independent reference: per lang, order by doc_id, running
+    // token sum. Random corpora stress what the fixture can't — GAPPY id
+    // spaces (shards of unequal row counts, empty shards), uneven lang
+    // mixes, widths from one-doc-per-shard to everything-in-one-shard.
+    // Fixed-seed sampling, same pattern as TextOpsPropertiesSpec.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](gen: Gen[A], n: Int): Seq[A] =
+      (1L to n).flatMap(seed => gen.apply(Gen.Parameters.default, Seed(seed)))
+    val corpusGen = for {
+      n <- Gen.choose(1, 50)
+      ids <- Gen.pick(n, 0L until 400L)
+      rows <- Gen.sequence[List[(Long, String, String)], (Long, String, String)](
+        ids.toList.map { id =>
+          for {
+            nw <- Gen.choose(1, 9)
+            lang <- Gen.oneOf("en", "fr", "de")
+          } yield (id, ("w " * nw).trim, lang)
+        })
+      width <- Gen.oneOf(1L, 2L, 3L, 7L, 64L, 1L << 20)
+    } yield (rows, width)
+    for ((rows, width) <- samples(corpusGen, 8)) {
+      val expected = rows.groupBy(_._3).flatMap { case (lang, rs) =>
+        var off = 0L
+        rs.sortBy(_._1).map { case (id, text, _) =>
+          val nt = text.split(" ").length
+          val row = (id, lang, nt, off, off / 64, off % 64)
+          off += nt
+          row
+        }
+      }.toSeq.sortBy(_._1)
+      val got = LlmOps.packSequences(rows.toDF("doc_id", "text", "lang"), width)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      assert(got == expected, s"width=$width rows=$rows")
+    }
+  }
+
   test("winnowing: shared substring of length >= k+w-1 shares a fingerprint") {
     // k=5, w=4 → guarantee threshold is 8 chars; give the docs a long
     // common run with different surroundings
