@@ -149,6 +149,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("audit: decontaminate_minhash broadcast path keeps the corpus shuffle-free") {
+    // the clean-corpus twin of the fallback test below: when the gate
+    // admits the candidates, the verify stage must be pure broadcast
+    // joins — ZERO shuffle exchanges, the corpus shingle table is read
+    // once and never repartitioned
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val cSh = graft.ext.LlmOps.shingleTable(docs.filter(col("doc_id") % 10 =!= 0), "doc_id")
+    val bSh = graft.ext.LlmOps.shingleTable(docs.filter(col("doc_id") % 10 === 0), "doc_id")
+    try {
+      import spark.implicits._
+      val cand = Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "bench_id")
+      val plan = physical(graft.ext.LlmOps
+        .minhashVerify(cSh, bSh, cand, "doc_id", 0.5, broadcastCands = true))
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"broadcast-path verify must not exchange anything:\n$plan")
+      assert(plan.toString.contains("BroadcastHashJoin"), plan.toString)
+    } finally { cSh.unpersist(); bSh.unpersist(); () }
+  }
+
   test("audit: decontaminate_minhash fallback verifies via a shuffled equi-join") {
     // the adversarial-contamination shape: candidates too big to broadcast
     // must equi-join the corpus shingle table on the doc id — never a
