@@ -296,21 +296,90 @@ object LlmOps {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
 
-  /** Embedding near-duplicate pairs *within a coarse bucket* (here: the
-    * cluster label — the IVF posture: compare only within a cell, shuffle on
-    * the bucket key, never all-pairs). Norms are precomputed per vector on
-    * each join side, so each pair costs one dot product instead of three
-    * (no persist — one extra norm pass per side beats leaving cached state
-    * behind).
+  /** Bound on the pairwise-cell size for the embedding-similarity family
+    * ([[embeddingNearDups]], [[knnJoin]]). The coarse bucket (`label`) comes
+    * from the DATA, so at 100× corpus scale with a fixed label vocabulary
+    * each cell grows 100× and in-cell pairwise work grows 10,000× — the cell
+    * itself must be bounded, not just the pairing restricted to cells.
+    * Cells above this are sub-bucketed by hyperplane-LSH sign bits
+    * (graft_lsh_sig low bits, depth per cell so the expected sub-cell is
+    * ≤ maxCell/2 — similar vectors agree on plane signs, so near-neighbors
+    * stay co-bucketed); any (label, sub) bucket STILL above maxCell is
+    * degenerate (near-identical vectors share every sign bit, no depth
+    * splits them) and is excluded from pairing and COUNTED into the
+    * `capped_cells` output column — the same cap-and-count contract as
+    * dedupCandidates' `maxBucket`/`capped_lsh_buckets`. Pair enumeration
+    * inside a degenerate bucket is quadratic in its *output* (a cell of n
+    * identical vectors has n²/2 qualifying pairs), so no pair-form operator
+    * can include it sub-quadratically; cluster-form dedup ([[dedupCorpus]])
+    * is the scale-safe tool there. Net bound: pairwise work ≤ N·maxCell
+    * (linear in corpus at fixed maxCell) instead of Σ cell².
     */
-  def embeddingNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val e = ensureFns(embeddings).select(col("vec_id"), col("label"), col("embedding"))
+  val DefaultMaxCell = 4096
+
+  /** Attach the bounded pairwise-cell key: `cell_n` = label-cell size,
+    * `sub` = LSH sub-bucket (0 when the cell is within bound), `bucket_n` =
+    * (label, sub) bucket size. Callers pair on (label, sub) and must drop
+    * buckets with `bucket_n > maxCell` (see [[DefaultMaxCell]]). Two window
+    * counts, both hash-partitioned on (a prefix of) the same key the
+    * pairwise join shuffles on.
+    *
+    * graft_lsh_sig's planes span 64 dims (a plane touching a missing dim
+    * contributes bit 0 — see LshOps.sigOf), so embeddings with ≪64 dims
+    * degenerate to sig 0: the oversize cell then cannot split and is
+    * capped-and-counted whole — bounded (never quadratic), just blunt.
+    * Real embedding columns are ≥64-dim, where the split is effective.
+    */
+  private[graft] def withPairCells(e: DataFrame, maxCell: Int): DataFrame = {
+    val half = math.max(1, maxCell / 2)
+    // agg + join, NOT a window: label cardinality is data-sized and may be
+    // tiny, and a corpus window partitioned on label alone processes one
+    // label's whole sub-corpus in ONE task at 100 TB (the pack_sequences
+    // lesson, pinned there by PlanAuditSpec). The per-label/per-bucket
+    // count tables are one row per (label[, sub]) — corpus-small — and the
+    // joins shuffle on the same keys the pairwise join partitions by.
+    val cellN = e.groupBy("label").agg(count(lit(1)).as("cell_n"))
+    val sub = e.join(cellN, "label")
+      .withColumn("sub",
+        when(col("cell_n") <= maxCell, lit(0L))
+          .otherwise(expr(
+            s"graft_lsh_sig(embedding) & (shiftleft(1L, cast(ceil(log2(cell_n / ${half}.0D)) as int)) - 1L)")))
+    val bucketN = sub.groupBy("label", "sub").agg(count(lit(1)).as("bucket_n"))
+    sub.join(bucketN, Seq("label", "sub"))
+  }
+
+  /** One-row frame with `capped_cells` = number of (label, sub) buckets the
+    * maxCell cap excludes. A global scalar aggregate — exactly one row by
+    * construction, so broadcasting it onto the result is contractually
+    * safe (no byte gate needed). Cross-joined onto the operator output so
+    * the cap is VISIBLE in the result, lazily (no extra driver job).
+    */
+  private def cappedCellsCol(cells: DataFrame, maxCell: Int): DataFrame =
+    cells.filter(col("bucket_n") > maxCell)
+      .agg(countDistinct(struct(col("label"), col("sub"))).as("capped_cells"))
+
+  /** Embedding near-duplicate pairs *within a coarse bucket* (the cluster
+    * label — the IVF posture: compare only within a cell, shuffle on the
+    * bucket key, never all-pairs), with the per-cell quadratic term bounded
+    * by [[DefaultMaxCell]] sub-bucketing — `capped_cells` in the output
+    * counts excluded degenerate buckets (0 = exact result). Norms are
+    * precomputed per vector on each join side, so each pair costs one dot
+    * product instead of three (no persist — one extra norm pass per side
+    * beats leaving cached state behind).
+    */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double,
+                        maxCell: Int = DefaultMaxCell): DataFrame = {
+    val e = withPairCells(
+      ensureFns(embeddings).select(col("vec_id"), col("label"), col("embedding")), maxCell)
       .withColumn("nrm", sqrt(dot("embedding", "embedding")))
-    e.as("x").join(e.as("y"),
-        col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+    val kept = e.filter(col("bucket_n") <= maxCell)
+    kept.as("x").join(kept.as("y"),
+        col("x.label") === col("y.label") && col("x.sub") === col("y.sub") &&
+          col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         round(dot("x.embedding", "y.embedding") / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
       .filter(col("cos") >= threshold)
+      .crossJoin(broadcast(cappedCellsCol(e, maxCell)))
   }
 
   /** k-NN join: the top-k cosine neighbors of EVERY vector, restricted to
@@ -319,21 +388,29 @@ object LlmOps {
     * query [[cosineTopK]]. One shuffle on the label to co-locate each cell,
     * pairwise dots inside the cell only (never all-pairs across cells),
     * then the `graft_topk` bounded-heap aggregate to keep k (see below —
-    * NOT a window). At 100 TB the label plays the IVF cell id: cells bound
-    * the quadratic term, and the top-k exchange carries #vectors×k rows.
+    * NOT a window). At 100 TB the label plays the IVF cell id, and the cell
+    * itself is bounded by [[DefaultMaxCell]] LSH sub-bucketing (`label`
+    * alone is data-sized — see DefaultMaxCell's doc): pairwise work is
+    * ≤ N·maxCell, and the top-k exchange carries #vectors×k rows.
+    * `capped_cells` in the output counts excluded degenerate buckets
+    * (0 = every vector was ranked; vectors in capped buckets get no rows).
     *
     * Zero-norm vectors (cosine undefined → null) are excluded from BOTH
     * sides up front: they can neither rank nor be ranked against.
     */
-  def knnJoin(embeddings: DataFrame, k: Int): DataFrame = {
+  def knnJoin(embeddings: DataFrame, k: Int,
+              maxCell: Int = DefaultMaxCell): DataFrame = {
     // norms are attached per SIDE (each side recomputes its own — one
     // 64-mult pass per vector, trivial next to the pairwise stage); no
     // persist, so the operator leaves no cached state behind
-    val e = ensureFns(embeddings).select(col("vec_id"), col("label"), col("embedding"))
-      .withColumn("nrm", sqrt(dot("embedding", "embedding")))
-      .filter(col("nrm") > 0)
-    val pairs = e.as("x").join(e.as("y"),
-        col("x.label") === col("y.label") && col("x.vec_id") =!= col("y.vec_id"))
+    val e = withPairCells(
+      ensureFns(embeddings).select(col("vec_id"), col("label"), col("embedding"))
+        .withColumn("nrm", sqrt(dot("embedding", "embedding")))
+        .filter(col("nrm") > 0), maxCell)
+    val kept = e.filter(col("bucket_n") <= maxCell)
+    val pairs = kept.as("x").join(kept.as("y"),
+        col("x.label") === col("y.label") && col("x.sub") === col("y.sub") &&
+          col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         round(dot("x.embedding", "y.embedding") / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
     // top-k via the graft_topk bounded-heap aggregate, NOT a window: the
@@ -348,6 +425,7 @@ object LlmOps {
       .select(col("a"), posexplode(col("nn")).as(Seq("pos", "nn")))
       .select(col("a"), col("nn.id").as("b"), col("nn.score").as("cos"),
         (col("pos") + 1).cast("int").as("rank"))
+      .crossJoin(broadcast(cappedCellsCol(e, maxCell)))
   }
 
   /** Winnowing document fingerprints (the MOSS scheme, Schleimer et al.

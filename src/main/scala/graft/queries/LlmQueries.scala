@@ -686,7 +686,8 @@ object LlmQueries {
                  round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
                        / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
                           * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))),
-                       6) AS cos
+                       6) AS cos,
+                 0::BIGINT AS capped_cells
           FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
           WHERE round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
                       / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
@@ -886,7 +887,8 @@ object LlmQueries {
              ON x.label = y.label AND x.vec_id <> y.vec_id),
          r AS (SELECT *, row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rank
                FROM p)
-         SELECT a, b, cos, rank FROM r WHERE rank <= 3 ORDER BY a, rank""",
+         SELECT a, b, cos, rank, 0::BIGINT AS capped_cells
+         FROM r WHERE rank <= 3 ORDER BY a, rank""",
     "text_winnow" ->
       """WITH g AS (
            SELECT doc_id,

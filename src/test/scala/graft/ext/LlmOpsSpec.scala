@@ -222,6 +222,50 @@ class LlmOpsSpec extends SparkSpec {
     byA.values.foreach(rs => assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq))
   }
 
+  test("degenerate embedding cells are capped out of pairing and counted") {
+    // 40 identical vectors in one label: no LSH depth can split them (all
+    // share every plane sign), so at maxCell=8 their bucket is excluded
+    // from pairing and surfaced in capped_cells — the maxBucket contract.
+    val hot = (1L to 40L).map(i => (i, Seq(1.0f, 0.0f), 0))
+    val small = Seq((41L, Seq(0.0f, 1.0f), 1), (42L, Seq(0.0f, 1.0f), 1),
+      (43L, Seq(1.0f, 0.0f), 1))
+    val e = (hot ++ small).toDF("vec_id", "embedding", "label")
+    val dups = LlmOps.embeddingNearDups(e, 0.95, maxCell = 8).collect()
+    assert(dups.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((41L, 42L)),
+      "pairs must come only from the small label; the degenerate cell is capped")
+    assert(dups.forall(_.getLong(3) == 1L), "capped_cells must report the excluded bucket")
+    val knn = LlmOps.knnJoin(e, 2, maxCell = 8).collect()
+    assert(knn.forall(r => r.getLong(0) > 40L),
+      "vectors in a capped bucket get no neighbor rows")
+    assert(knn.forall(_.getLong(4) == 1L))
+  }
+
+  test("oversize spread cells are LSH sub-bucketed without losing identical-pair recall") {
+    // 50 spread directions + 10 identical clones in ONE label cell of 60:
+    // above maxCell=24 the cell splits on hyperplane sign bits. Identical
+    // vectors share the full signature, so every clone pair survives the
+    // split; the result is a subset of the uncapped (exact) pairing.
+    // 64-dim (the testdata shape): graft_lsh_sig's planes span 64 dims, so
+    // shorter vectors degenerate to sig 0 and the cell can't split.
+    // Hash-style deterministic components — a smooth curve fixture clumps
+    // into a few LSH arcs and re-skews the sub-buckets.
+    def fuzz(i: Long, j: Int): Float = {
+      val s = math.sin(i * 12.9898 + j * 78.233) * 43758.5453
+      ((s - math.floor(s)) * 2 - 1).toFloat
+    }
+    val spread = (1L to 50L).map(i => (i, Seq.tabulate(64)(fuzz(i, _)), 0))
+    val cloneVec = Seq.tabulate(64)(fuzz(999L, _))
+    val clones = (101L to 110L).map(i => (i, cloneVec, 0))
+    val e = (spread ++ clones).toDF("vec_id", "embedding", "label")
+    val capped = LlmOps.embeddingNearDups(e, 0.999, maxCell = 24).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = LlmOps.embeddingNearDups(e, 0.999, maxCell = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clonePairs = (for (a <- 101L to 110L; b <- (a + 1) to 110L) yield (a, b)).toSet
+    assert(clonePairs.subsetOf(capped), "co-signed clones must stay co-bucketed")
+    assert(capped.subsetOf(exact), "sub-bucketing must never invent pairs")
+  }
+
   test("decontaminateMinhash flags near-dup corpus docs, not clean ones") {
     val bench = docs(
       10L -> "the quick brown fox jumps over the lazy dog near the river bank",

@@ -30,7 +30,10 @@ class PlanAuditSpec extends SparkSpec {
       val plan = (DiffQueries.qs ++ LlmQueries.qs ++ JoinQueries.qs)(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian:\n$plan")
-      assert(!plan.contains("BroadcastNestedLoopJoin") || name == "sim_search_topk",
+      // sim_search_topk: single query vector broadcast; sim_knn_join: the
+      // 1-row capped_cells global-aggregate attach — both 1-row build sides
+      assert(!plan.contains("BroadcastNestedLoopJoin") ||
+          Set("sim_search_topk", "sim_knn_join")(name),
         s"$name has a nested-loop join:\n$plan")
     }
   }
@@ -149,6 +152,47 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("audit: embedding pairwise cells are bounded — self-join keys on (label, sub)") {
+    // The r8 weak mark: `label` comes from the data, so pairing on label
+    // alone is quadratic in the cell at 100× scale. Pin (a) the self-join
+    // equi-keys include the LSH sub-bucket, (b) on a skewed fixture the
+    // split actually bounds every kept bucket at maxCell while keeping the
+    // non-degenerate mass paired (coverage, not blanket exclusion).
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    import spark.implicits._
+    // 64-dim spread vectors (the testdata shape — graft_lsh_sig's planes
+    // span 64 dims; shorter inputs degenerate to sig 0 and can't split).
+    // Deterministic hash-style components: a smooth curve fixture clumps
+    // into a few LSH arcs, which tests skew, not the split.
+    def fuzz(i: Long, j: Int): Float = {
+      val s = math.sin(i * 12.9898 + j * 78.233) * 43758.5453
+      ((s - math.floor(s)) * 2 - 1).toFloat
+    }
+    val e = (1L to 200L).map(i => (i, Seq.tabulate(64)(fuzz(i, _)), 0))
+      .toDF("vec_id", "embedding", "label")
+    val maxCell = 32
+    val cells = graft.ext.LlmOps.withPairCells(e, maxCell)
+    val kept = cells.filter(col("bucket_n") <= maxCell)
+    val biggest = kept.groupBy(col("label"), col("sub")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect()(0).getLong(0)
+    assert(biggest <= maxCell, s"kept pairwise cell exceeds the bound: $biggest")
+    assert(kept.count() >= 160L,
+      "the split must bound cells by SPLITTING, not by excluding the corpus")
+    val phys = physical(graft.ext.LlmOps.knnJoin(e, 3, maxCell))
+    val selfJoins = phys.collect {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(selfJoins.exists(_.size >= 2),
+      s"the pairwise self-join must key on (label, sub), not label alone:\n$phys")
+    // cell sizes come from agg+join, never a corpus window partitioned on
+    // the data-sized label (single-task-per-label at 100 TB — the
+    // pack_sequences lesson)
+    assert(phys.collect { case w: WindowExec => w }.isEmpty,
+      s"the embedding family must not window the corpus:\n$phys")
+  }
+
   test("audit: decontaminate_minhash broadcast path keeps the corpus shuffle-free") {
     // the clean-corpus twin of the fallback test below: when the gate
     // admits the candidates, the verify stage must be pure broadcast
@@ -207,10 +251,11 @@ class PlanAuditSpec extends SparkSpec {
     // BroadcastNestedLoopJoin is allowed only where a broadcast single-row
     // side makes it the intended plan (the ANN query-vector cross joins).
     // ANN query-vector cross joins + the 1-row×1-row summary compares
-    // (source-count vs target-count), where a broadcast nested loop over
-    // single-row sides IS the right plan
+    // (source-count vs target-count) + the capped_cells scalar attach in
+    // the embedding family, where a broadcast nested loop over single-row
+    // sides IS the right plan
     val bnljOk = Set("sim_search_topk", "sim_search_ivf", "dedup_embedding_cos",
-      "count_star", "dual_write", "validate_sample")
+      "sim_knn_join", "count_star", "dual_write", "validate_sample")
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =
