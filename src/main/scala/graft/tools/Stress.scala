@@ -57,8 +57,11 @@ object Stress {
         .withColumn("o_totalprice",
           when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
             .otherwise(col("o_totalprice")))
+      // AssumeUnique: o_orderkey is spark.range-generated (unique by
+      // construction) — keeps this row a pure SMJ measurement; the gate's
+      // own cost/behavior is spec-covered (DiffSpec dup-PK cases)
       Diff.report(orders, tw, Seq("o_orderkey"),
-        Seq("o_custkey", "o_totalprice")).collect()
+        Seq("o_custkey", "o_totalprice"), onDup = Diff.AssumeUnique).collect()
     }
     bench("diff_missing skewed PK (1% hot key)", n) {
       // replayed hot key: 1% of origin shares one PK — the shape the

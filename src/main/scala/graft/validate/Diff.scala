@@ -28,16 +28,71 @@ object Diff {
 
   val StatusCol = "diff_status"
 
+  /** How the diff family treats duplicated PKs. The full-outer join's
+    * semantics assume PK uniqueness: a PK duplicated d× on one side
+    * multiplies into d output rows (d×d if both sides) — silently wrong
+    * counts AND a hot PK partition the AQE skew-split can't help, because
+    * the skew IS the key (SkewSpec proves the shape). Cassandra can't
+    * produce duplicate PKs, but a half-migrated parquet export, a bad
+    * upstream union, or a writetime-versioned dump can.
+    *
+    *  - [[FailOnDup]] (default): runtime gate — one count+approx_count_distinct
+    *    aggregate per side; exact countDistinct only when the approx
+    *    disagrees with the row count (the screen: HLL++ is exact at small
+    *    cardinality, and at large cardinality approx==count under
+    *    duplication is a measure-zero coincidence). Throws with the dup
+    *    count, pointing at the two remediations.
+    *  - [[CollapseLww]]: pre-collapse each side with [[lwwMerge]] (max
+    *    writetime — the reference's own conflict rule,
+    *    docs/04-cdm-approach.md:837-841), then diff. No gate jobs.
+    *  - [[AssumeUnique]]: caller vouches (e.g. both sides just came out of
+    *    lwwMerge or a PK-grouped write); zero overhead.
+    */
+  sealed trait DupPkPolicy
+  case object FailOnDup extends DupPkPolicy
+  final case class CollapseLww(writetime: String,
+                               tieBreak: Seq[String] = Nil) extends DupPkPolicy
+  case object AssumeUnique extends DupPkPolicy
+
+  /** Number of surplus rows beyond one-per-PK (0 ⇔ PKs unique). One
+    * aggregate job in the common case; a second exact-distinct job only
+    * when the approximate screen cannot certify uniqueness.
+    */
+  private[graft] def dupPkCount(df: DataFrame, pk: Seq[String]): Long = {
+    val k = struct(pk.map(col): _*)
+    val r = df.agg(count(lit(1)).as("n"), approx_count_distinct(k).as("ad")).head()
+    val n = r.getLong(0)
+    if (r.getLong(1) == n) 0L
+    else n - df.agg(countDistinct(k).as("d")).head().getLong(0)
+  }
+
+  private def gated(df: DataFrame, pk: Seq[String], side: String,
+                    policy: DupPkPolicy): DataFrame = policy match {
+    case AssumeUnique => df
+    case FailOnDup =>
+      val d = dupPkCount(df, pk)
+      require(d == 0L,
+        s"$side side has $d surplus duplicate-PK row(s) on (${pk.mkString(", ")}): " +
+          "the diff full-outer join would multiply them into phantom rows. " +
+          "Pre-collapse with Diff.CollapseLww(writetimeCol) or fix the feed.")
+      df
+    case CollapseLww(wt, tb) => lwwMerge(df, pk, wt, tb)
+  }
+
   private def eqPred(compare: Seq[String]): Column =
     compare.map(c => col(s"o_$c") <=> col(s"t_$c"))
       .reduceOption(_ && _).getOrElse(lit(true)) // PK-only table: trivially equal
 
-  /** Per-row classification over a single full-outer join on the PK. */
+  /** Per-row classification over a single full-outer join on the PK.
+    * Both sides pass the [[DupPkPolicy]] gate first — see its doc.
+    */
   def classify(origin: DataFrame, target: DataFrame,
-               pk: Seq[String], compare: Seq[String]): DataFrame = {
-    val oSel = origin.select(
+               pk: Seq[String], compare: Seq[String],
+               onDup: DupPkPolicy = FailOnDup): DataFrame = {
+    val (o, t) = (gated(origin, pk, "origin", onDup), gated(target, pk, "target", onDup))
+    val oSel = o.select(
       pk.map(col) ++ (compare.map(c => col(c).as(s"o_$c")) :+ lit(1).as("_o_present")): _*)
-    val tSel = target.select(
+    val tSel = t.select(
       pk.map(col) ++ (compare.map(c => col(c).as(s"t_$c")) :+ lit(1).as("_t_present")): _*)
     oSel.join(tSel, pk, "full_outer")
       .withColumn(StatusCol,
@@ -56,10 +111,12 @@ object Diff {
     * only (pk, hash) moves, not every compare column.
     */
   def classifyByHash(origin: DataFrame, target: DataFrame,
-                     pk: Seq[String], compare: Seq[String]): DataFrame = {
+                     pk: Seq[String], compare: Seq[String],
+                     onDup: DupPkPolicy = FailOnDup): DataFrame = {
     import graft.core.Hashing
-    val oSel = origin.select(pk.map(col) :+ Hashing.fastRowHash(compare).as("_o_h"): _*)
-    val tSel = target.select(pk.map(col) :+ Hashing.fastRowHash(compare).as("_t_h"): _*)
+    val (o, t) = (gated(origin, pk, "origin", onDup), gated(target, pk, "target", onDup))
+    val oSel = o.select(pk.map(col) :+ Hashing.fastRowHash(compare).as("_o_h"): _*)
+    val tSel = t.select(pk.map(col) :+ Hashing.fastRowHash(compare).as("_t_h"): _*)
     oSel.join(tSel, pk, "full_outer")
       .withColumn(StatusCol,
         when(col("_o_h").isNull, lit("extra_in_target"))
@@ -72,8 +129,9 @@ object Diff {
     * (reference log shape: lab/exercises/04-cdm-migration.md:254).
     */
   def report(origin: DataFrame, target: DataFrame,
-             pk: Seq[String], compare: Seq[String]): DataFrame =
-    classify(origin, target, pk, compare)
+             pk: Seq[String], compare: Seq[String],
+             onDup: DupPkPolicy = FailOnDup): DataFrame =
+    classify(origin, target, pk, compare, onDup)
       .groupBy(col(StatusCol)).agg(count(lit(1)).as("n"))
       .orderBy(StatusCol)
 
@@ -87,8 +145,9 @@ object Diff {
     * (docs/04-cdm-approach.md:358).
     */
   def mismatched(origin: DataFrame, target: DataFrame,
-                 pk: Seq[String], compare: Seq[String]): DataFrame =
-    classify(origin, target, pk, compare)
+                 pk: Seq[String], compare: Seq[String],
+                 onDup: DupPkPolicy = FailOnDup): DataFrame =
+    classify(origin, target, pk, compare, onDup)
       .filter(col(StatusCol) === "mismatch")
 
   /** Sampled validation (validate_migration.py:43-72): take the first n rows
@@ -109,12 +168,15 @@ object Diff {
     // degrades to a sort-merge join that shuffles the full target. Instead:
     // INNER join streaming the target with the broadcast sample (BHJ
     // build-right is supported for inner) — target is scanned once, never
-    // shuffled — and recover `missing` arithmetically as sampled - found
-    // (PKs are unique on both sides).
+    // shuffled — and recover `missing` arithmetically as sampled - found.
+    // found/mismatched count DISTINCT sample PKs (not join rows), so a
+    // duplicate-PK target can't inflate found past sampled or go negative
+    // on missing; a PK is `mismatched` if ANY of its target rows differs.
+    val pkStruct = struct(pk.map(col): _*)
     val joined = tSel.join(broadcast(sSel), pk, "inner")
       .agg(
-        count(lit(1)).as("found"),
-        count(when(!eqPred(compare), 1)).as("mismatched"))
+        countDistinct(pkStruct).as("found"),
+        countDistinct(when(!eqPred(compare), pkStruct)).as("mismatched"))
     sSel.agg(count(lit(1)).as("sampled")).crossJoin(joined)
       .select(col("sampled"), col("found"),
         (col("sampled") - col("found")).as("missing"), col("mismatched"))

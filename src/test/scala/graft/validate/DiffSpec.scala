@@ -53,6 +53,45 @@ class DiffSpec extends SparkSpec {
     assert(missing + overlap == orders.count())
   }
 
+  test("dup-PK gate: FailOnDup fires, CollapseLww pre-collapses, AssumeUnique bypasses") {
+    import spark.implicits._
+    // key 2 is duplicated with two writetime versions — the full-outer join
+    // would multiply it into phantom rows without the gate
+    val dupped = Seq((1L, "a", 10L), (2L, "old", 20L), (2L, "new", 30L))
+      .toDF("k", "v", "wt")
+    val clean = Seq((1L, "a", 10L), (2L, "new", 30L)).toDF("k", "v", "wt")
+    val err = intercept[IllegalArgumentException] {
+      Diff.classify(dupped, clean, Seq("k"), Seq("v"))
+    }
+    assert(err.getMessage.contains("duplicate-PK") &&
+      err.getMessage.contains("origin"), err.getMessage)
+    // CollapseLww keeps max-writetime per key first → all-valid diff
+    val collapsed = Diff.report(dupped, clean, Seq("k"), Seq("v"),
+      onDup = Diff.CollapseLww("wt")).collect()
+    assert(collapsed.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("valid" -> 2L))
+    // AssumeUnique reproduces the ungated (phantom-row) shape — caller owns it
+    val phantom = Diff.classify(dupped, dupped, Seq("k"), Seq("v"),
+      onDup = Diff.AssumeUnique)
+    assert(phantom.count() == 5L) // 1 + 2×2: the multiplication the gate stops
+    // dupPkCount screen: exact path only engages on apparent mismatch
+    assert(Diff.dupPkCount(dupped, Seq("k")) == 1L)
+    assert(Diff.dupPkCount(clean, Seq("k")) == 0L)
+  }
+
+  test("validateSample survives a duplicate-PK target (found ≤ sampled, no negative missing)") {
+    import spark.implicits._
+    val origin = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    // target duplicates key 1 (one matching + one mismatching row) and
+    // lacks key 3 entirely
+    val target = Seq((1L, "a"), (1L, "z"), (2L, "b")).toDF("k", "v")
+    val r = Diff.validateSample(origin, target, Seq("k"), Seq("v"), 3).collect()(0)
+    assert(r.getLong(0) == 3L, "sampled")
+    assert(r.getLong(1) == 2L, "found counts distinct PKs, not join rows")
+    assert(r.getLong(2) == 1L, "missing stays non-negative")
+    assert(r.getLong(3) == 1L, "a PK with any mismatching row is mismatched")
+  }
+
   test("lwwMerge is idempotent and union-order-insensitive") {
     val o = orders.withColumn("writetime", Common.usOf(col("o_orderdate")))
       .withColumn("src", lit(0))

@@ -108,11 +108,16 @@ class SkewSpec extends SparkSpec {
       val origin = spark.range(100000).select(
         when(col("id") % 2 === 0, lit(0L)).otherwise(col("id")).as("pk"),
         concat(lit("v"), lpad(col("id").cast("string"), 120, "x")).as("payload"))
-      val classified = Diff.classify(
-        origin,
-        spark.range(100000).select(col("id").as("pk"),
-          concat(lit("v"), lpad(col("id").cast("string"), 120, "x")).as("payload")),
-        Seq("pk"), Seq("payload"))
+      val target = spark.range(100000).select(col("id").as("pk"),
+        concat(lit("v"), lpad(col("id").cast("string"), 120, "x")).as("payload"))
+      // the r9 gate catches exactly this fixture — assert it fires, then
+      // bypass it (AssumeUnique) to demonstrate the ungated hazard below
+      val gateErr = intercept[IllegalArgumentException] {
+        Diff.classify(origin, target, Seq("pk"), Seq("payload"))
+      }
+      assert(gateErr.getMessage.contains("49999 surplus duplicate-PK"))
+      val classified = Diff.classify(origin, target,
+        Seq("pk"), Seq("payload"), onDup = Diff.AssumeUnique)
       val counts = classified.groupBy(Diff.StatusCol).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       // odd origin ids exist in target with identical payload → valid;
