@@ -318,14 +318,23 @@ object MigrateJob {
     * guardrail can cost before the run aborts anyway.
     */
   def run(spark: SparkSession, source: DataFrame, targetDir: String,
+          cfg: Config): Result =
+    run(spark, DataFrameSource(source), ParquetBucketSink(targetDir), cfg)
+
+  /** Seam form: any [[MigrateSource]] → any [[MigrateSink]] (see
+    * Connector.scala — the Cassandra pair constructs the standard
+    * connector invocation; the parquet pair is the spec-exercised double).
+    */
+  def run(spark: SparkSession, source: MigrateSource, sink: MigrateSink,
           cfg: Config): Result = {
     require(cfg.pkCols.nonEmpty, "pkCols required for token bucketing")
-    require(!source.columns.contains("bucket"),
+    val src = source.read(spark)
+    require(!src.columns.contains("bucket"),
       "source already has a 'bucket' column; it would collide with the partition tag")
     require(!cfg.columnsToTarget.contains("bucket") && !cfg.columnsToExclude.contains("bucket"),
       "'bucket' is the reserved partition tag: it is carried automatically — " +
         "do not list it in columnsToTarget/columnsToExclude")
-    val ledger = s"$targetDir/_ledger/run.jsonl"
+    val ledger = sink.ledgerPath
     val status = bucketStatus(ledger)
     val (lo, hi) = cfg.bucketRange.getOrElse((0, cfg.tokenBuckets - 1))
     val pending = (lo to hi).filterNot(b => status.get(b).contains("done"))
@@ -338,7 +347,7 @@ object MigrateJob {
     for (wave <- pending.grouped(waveSize)) {
       val t0 = System.nanoTime()
       try {
-        val w = runWave(spark, source, targetDir, cfg, wave, errors)
+        val w = runWave(spark, src, sink, cfg, wave, errors)
         // budget check BEFORE the done rows: an aborted run must leave its
         // wave re-drivable (the wave's writes are idempotent to redo)
         budget.check()
@@ -375,20 +384,6 @@ object MigrateJob {
     */
   val PerBucketCounterCap = 128
 
-  /** Delete `baseDir`'s partition dirs for the wave's buckets — one
-    * listStatus round trip, deletes only what exists and is being
-    * re-driven.
-    */
-  private def clearStalePartitions(fs: org.apache.hadoop.fs.FileSystem,
-                                   baseDir: String, wave: Seq[Int]): Unit = {
-    val base = new org.apache.hadoop.fs.Path(baseDir)
-    if (!fs.exists(base)) return
-    val waveDirs = wave.map(b => s"bucket=$b").toSet
-    fs.listStatus(base).foreach { st =>
-      if (waveDirs.contains(st.getPath.getName)) fs.delete(st.getPath, true)
-    }
-  }
-
   /** Per-wave outcome: per-bucket counts when the wave is small enough to
     * observe them ([[PerBucketCounterCap]]), totals always.
     */
@@ -397,7 +392,7 @@ object MigrateJob {
       totalRows: Long, totalSkipped: Long)
 
   /** One scan-wave: migrate `wave`'s buckets in a single source pass. */
-  private def runWave(spark: SparkSession, source: DataFrame, targetDir: String,
+  private def runWave(spark: SparkSession, source: DataFrame, sink: MigrateSink,
                       cfg: Config, wave: Seq[Int],
                       errors: LongAccumulator): WaveResult = {
     // The bucket tag is computed from the SOURCE pk, BEFORE the transform
@@ -506,21 +501,13 @@ object MigrateJob {
       case Some(r) => rateLimited(observed, r)
       case None => observed
     }
-    // Clear the wave's existing partition dirs BEFORE writing: dynamic
-    // overwrite only replaces partitions PRESENT in the new data, so a
-    // re-driven bucket that now yields zero rows would silently keep its
-    // stale output. One listStatus per base dir (not one RPC per bucket);
-    // a failed write after the clear just re-drives the wave (ledger
-    // records failed), which rewrites everything cleared.
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(targetDir), spark.sparkContext.hadoopConfiguration)
-    clearStalePartitions(fs, targetDir, wave)
-    clearStalePartitions(fs, s"$targetDir/_errors", wave)
-    def writeWave(): Unit =
-      pass.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(targetDir)
+    // Clear any partial state BEFORE writing (sink-specific idempotency
+    // hook — the parquet sink deletes the wave's partition dirs so a
+    // re-driven bucket that now yields zero rows can't keep stale output;
+    // upsert sinks no-op). A failed write after the clear just re-drives
+    // the wave (ledger records failed), which rewrites everything cleared.
+    sink.clearWave(spark, wave)
+    def writeWave(): Unit = sink.writeWave(pass, wave)
     if (midWaveBudget)
       withBudgetWatcher(spark, errors, cfg.errorLimit,
         s"graft-migrate-wave-${wave.headOption.getOrElse(0)}")(writeWave())
@@ -552,11 +539,7 @@ object MigrateJob {
       // the transform chain — the Transformer determinism contract (see
       // trait doc) is what guarantees the same rows get flagged here as
       // were counted and filtered in the first pass.
-      routed(flag(transformed).filter(col("_gr")).drop("_gr"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(s"$targetDir/_errors")
+      sink.writeErrors(routed(flag(transformed).filter(col("_gr")).drop("_gr")), wave)
       // with the mid-wave budget active the tasks already fed the
       // accumulator row-by-row — adding the total again would double-count
       if (!midWaveBudget) errors.add(result.totalSkipped)
