@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Board-wide broadcast-gate lint (VERDICT r8 #4): every `broadcast(` hint
+  * in src/main must be either inside a byte-gated helper or on this
+  * allowlist with a cited size bound. The r8 purge gate was found by a
+  * manual sweep; this encodes the convention so a future operator can't
+  * silently regress it — a NEW (or edited) broadcast call site fails here
+  * until its bound is reviewed and listed.
+  *
+  * Matching is by line-content substring, deliberately: line numbers
+  * drift, but editing the call itself (changing what is broadcast) also
+  * invalidates the entry and forces re-review.
+  */
+class BroadcastGateLintSpec extends AnyFunSuite {
+
+  /** snippet that must appear in the call-site line → the size bound that
+    * justifies the broadcast.
+    */
+  private val allowlist: Seq[(String, String)] = Seq(
+    ("broadcast(sSel)",
+      "Diff.validateSample: sample side is .limit(n) — ≤ n rows by construction"),
+    ("broadcast(query.select(col(\"embedding\").as(\"q\")))",
+      "LlmOps.cosineTopK: the single query vector — 1 row by contract"),
+    ("broadcast(cappedCellsCol(",
+      "LlmOps knnJoin/embeddingNearDups: groupless global aggregate — exactly 1 row"),
+    ("broadcast(labDf)",
+      "LlmOps.duplicateClusters: labels of collected edges — behind fitsDriverGate (byte-budgeted)"),
+    ("crossJoin(broadcast(q))",
+      "LlmOps ivfSearch/lshSearch: the single query vector — 1 row by contract"),
+    ("broadcast(probed.select(col(\"label\")))",
+      "LlmOps.ivfSearch: probed centroid ids — ≤ nprobe rows by .limit(nprobe)"),
+    ("c.join(broadcast(q), \"blk\")",
+      "LlmOps.lshSearch: the query's band keys — ≤ bands rows per query"),
+    ("broadcast(benchGrams)",
+      "LlmOps.decontaminate: benchmark n-gram set — benchmark suites are contractually small (plan-audited)"),
+    ("if (n <= flaggedBroadcastBudgetBytes / BytesPerBroadcastId) broadcast(ids)",
+      "LlmOps.purge: the byte gate IS on this line"),
+    ("broadcast(bBand",
+      "LlmOps.decontaminateMinhash: benchmark band table — benchmark-small by contract"),
+    ("broadcast(cand.join(broadcast(bench), \"bench_id\"))",
+      "LlmOps.decontaminateMinhash verify: executes only in the fitsCandBroadcastGate branch; bench is contract-small"),
+    (".join(broadcast(bench), \"bench_id\")",
+      "LlmOps.decontaminateMinhash shuffled fallback: only the contract-small bench side is hinted"),
+    ("broadcast(bases)",
+      "LlmOps.packSequences two-level: per-(lang, shard) aggregate — bounded at idSpan/shardWidth rows"),
+    ("broadcast(t(s, d, \"customer\"))",
+      "JoinQueries J5 demo: caller-designated small dimension — the operator's own semantic"))
+
+  test("every broadcast( in src/main is gated or allowlisted with a cited bound") {
+    val root = Paths.get("src/main/scala")
+    assert(Files.exists(root), s"run from the repo root; missing $root")
+    val offenders = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .flatMap { p: Path =>
+        Files.readAllLines(p).asScala.zipWithIndex.collect {
+          case (line, i)
+            if line.contains("broadcast(")
+              && !line.trim.startsWith("//") && !line.trim.startsWith("*")
+              && !allowlist.exists { case (snippet, _) => line.contains(snippet) } =>
+            s"$p:${i + 1}: ${line.trim}"
+        }
+      }.toList
+    assert(offenders.isEmpty,
+      "unreviewed broadcast hint(s) — verify the build side is byte-gated " +
+        "or bounded by construction, then add an allowlist entry with the " +
+        s"bound:\n${offenders.mkString("\n")}")
+  }
+
+  test("allowlist entries are live (no stale snippets masking future call sites)") {
+    val root = Paths.get("src/main/scala")
+    val sources = Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map(p => new String(Files.readAllBytes(p), "UTF-8"))
+      .toList
+    val stale = allowlist.collect {
+      case (snippet, why) if !sources.exists(_.contains(snippet)) => s"$snippet ($why)"
+    }
+    assert(stale.isEmpty,
+      s"allowlist entries with no matching call site — delete them:\n${stale.mkString("\n")}")
+  }
+}
