@@ -594,6 +594,104 @@ object LlmOps {
       .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
       .distinct()
 
+  /** SimHash radius-2 near-dup pairs, 32-bit small-corpus form: 3 pigeonhole
+    * blocks of 11/11/10 bits (radius+1 blocks, so any pair within hamming
+    * distance 2 agrees on ≥1 whole block), STREAMING self-join on the block
+    * key. Buckets are ~N/2^11 — big — so the codegen'd join beats
+    * materializing each bucket's pair array (measured within one session at
+    * sf0.1: self-join 1.33 s, grouped 1.51 s). Output (a, b, hamming).
+    */
+  def simhashNearDups32(docs: DataFrame): DataFrame = {
+    val sh = withSimhash(withWords(ensureFns(docs)))
+      .select(col("doc_id"), col("simhash"))
+    // blocks of 11/11/10 bits: block b = bits [b*11, min((b+1)*11, 32))
+    val blocked = sh.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        """transform(sequence(0, 2), b -> concat(cast(b as string), ':',
+             cast((simhash div shiftleft(1L, b * 11)) % shiftleft(1L, if(b = 2, 10, 11)) as string)))"""))
+        .as("blk"))
+    blocked.as("x").join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .filter(col("hamming") <= 2)
+      .distinct()
+  }
+
+  /** SimHash radius-2 near-dup pairs, 64-lane scale form: same plan shape
+    * (block equi-join, never all-pairs) but 20-bit blocks over the
+    * 60-effective-bit simhash64, so expected bucket size is N/2^20 — small
+    * — and the GROUPED pair generation ([[hammingPairsByBlock]]: one scan,
+    * one shuffle, no join) wins. Lanes 60-63 are structurally zero
+    * (15-nibble element hashes), so any radius-2 pair still agrees on ≥1
+    * whole block; the mask pins Spark and DuckDB to the same non-negative
+    * `div` domain. Output (a, b, hamming).
+    */
+  def simhashNearDups64(docs: DataFrame): DataFrame = {
+    val sh = withSimhash64(withWords(ensureFns(docs)))
+      .select(col("doc_id"), col("simhash64"))
+    val blocked = sh.select(col("doc_id"), col("simhash64"),
+      explode(expr(
+        """transform(sequence(0, 2), b -> concat(cast(b as string), ':',
+             cast(((simhash64 & 1152921504606846975L) div shiftleft(1L, b * 20)) % shiftleft(1L, 20) as string)))"""))
+        .as("blk"))
+    hammingPairsByBlock(blocked, "simhash64", radius = 2)
+  }
+
+  /** Corpus-size crossover for [[simhashNearDups]]: the 32-bit form's
+    * 11-bit blocks keep expected bucket size N/2^11 — fine while that stays
+    * ≈64 members (N ≤ 2^11·64 = 131072), past which the in-bucket pair term
+    * grows quadratically and the 20-bit-block / 64-lane form (expected
+    * bucket N/2^20) takes over. Derived from the bucket-size rule the two
+    * registry variants document; both branches are oracle-green.
+    */
+  val SimhashCrossoverDocs = 131072L
+
+  /** Radius-2 simhash near-dups with the form picked by corpus size at
+    * [[SimhashCrossoverDocs]]. `corpusSizeHint` skips the count pass when
+    * the caller already knows N (a catalog row count, a previous stage's
+    * observe()); without it one count job runs first. NOTE the two branches
+    * hash at different widths (32 vs 64 lanes), so pair sets near the
+    * radius boundary can differ marginally between them — the dial trades
+    * granularity for bucket control, exactly like the registry's two keys.
+    */
+  def simhashNearDups(docs: DataFrame, corpusSizeHint: Option[Long] = None): DataFrame = {
+    val n = corpusSizeHint.getOrElse(docs.count())
+    if (n <= SimhashCrossoverDocs) simhashNearDups32(docs) else simhashNearDups64(docs)
+  }
+
+  /** Measured packing crossover (STRESS.md PackProbe table: single-window
+    * 1.8/6.3/24.4 s vs two-level 10.9/11.0/15.8 s at 2/10/40M docs in ONE
+    * language): the single-task-per-lang window is FASTER below ~10M docs
+    * per language (no shard machinery), and the two-level form overtakes
+    * between 10M and 40M. 16M sits inside the measured bracket.
+    */
+  val PackCrossoverDocsPerLang = 16000000L
+
+  /** Shard width for [[packSequences]] given the largest per-language doc
+    * count: below the crossover, one giant shard recovers the single-window
+    * plan INSIDE the same operator (output is width-invariant,
+    * property-pinned); above it, the production 2^20 ids/shard two-level
+    * form. Pure, so the selection rule is testable without a corpus.
+    */
+  def packShardWidth(maxDocsPerLang: Long): Long =
+    if (maxDocsPerLang <= PackCrossoverDocsPerLang) Long.MaxValue else 1L << 20
+
+  /** [[packSequences]] with the shard width auto-selected at the measured
+    * crossover: one groupBy(lang) count pass (tiny result — #langs rows)
+    * decides, then the same width-invariant operator runs. Callers that
+    * already know the per-lang histogram should call packSequences with
+    * [[packShardWidth]] directly and skip the count.
+    */
+  def packSequencesAuto(docs: DataFrame): DataFrame = {
+    val maxPerLang = docs.groupBy(col("lang")).count()
+      .agg(max(col("count"))).head().getAs[Any](0) match {
+        case null => 0L
+        case n: Long => n
+      }
+    packSequences(docs, packShardWidth(maxPerLang))
+  }
+
   /** IVF index build: per-bucket (cluster label) element-wise centroid.
     * Sums go through DECIMAL so centroids are exact and partitioning-
     * independent (float summation order would make the index

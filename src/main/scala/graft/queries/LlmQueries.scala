@@ -224,31 +224,16 @@ object LlmQueries {
     // below (64-lane hash, 20-bit blocks, expected bucket N/2^20) — same
     // plan shape, wider hash. This 32-bit form stays as the cheap
     // small-corpus variant.
-    "dedup_simhash_hamming" -> ((s, d) => {
-      // This variant keeps the STREAMING self-join (uncached): 11-bit
+    "dedup_simhash_hamming" -> ((s, d) =>
+      // The 32-bit variant keeps the STREAMING self-join (uncached): 11-bit
       // blocks make buckets big (~N/2^11 members), and the grouped form's
       // per-bucket pair array materialization loses to the codegen'd join
       // there (measured within one session at sf0.1: self-join 1.33 s,
-      // grouped 1.51 s, r6's persist+count 1.56 s — the simhash chain the
-      // join recomputes per side is only 0.29 s of that). The grouped form
-      // wins where buckets are small: dedup_simhash (dup clusters) and
-      // hamming64 (20-bit blocks). Rule: bucket size picks the form.
-      val sh = LlmOps.withSimhash(LlmOps.withWords(docsWithDups(t(s, d, "documents"))))
-        .select(col("doc_id"), col("simhash"))
-      // blocks of 11/11/10 bits: block b = bits [b*11, min((b+1)*11, 32))
-      val blocked = sh.select(col("doc_id"), col("simhash"),
-        explode(expr(
-          """transform(sequence(0, 2), b -> concat(cast(b as string), ':',
-               cast((simhash div shiftleft(1L, b * 11)) % shiftleft(1L, if(b = 2, 10, 11)) as string)))"""))
-          .as("blk"))
-      blocked.as("x").join(blocked.as("y"),
-          col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
-        .filter(col("hamming") <= 2)
-        .distinct()
-        .orderBy(col("a"), col("b"))
-    }),
+      // grouped 1.51 s, r6's persist+count 1.56 s). Rule: bucket size picks
+      // the form — LlmOps.simhashNearDups auto-dispatches 32↔64 on the
+      // corpus-size crossover; this key pins the 32-bit branch explicitly.
+      LlmOps.simhashNearDups32(docsWithDups(t(s, d, "documents")))
+        .orderBy(col("a"), col("b"))),
 
     // the 64-lane scale form of the hamming search (VERDICT r4 #4): same
     // plan shape — block equi-join, never all-pairs — but 20-bit blocks
@@ -256,25 +241,14 @@ object LlmQueries {
     // per block value instead of N/2^11. Blocks are 20/20/20 over bits
     // 0-59; lanes 60-63 are structurally zero (15-nibble element hashes),
     // so any radius-2 pair still agrees on >= 1 whole block.
-    "dedup_simhash_hamming64" -> ((s, d) => {
-      // grouped pair generation — see dedup_simhash: one scan, one shuffle
-      val sh = LlmOps.withSimhash64(LlmOps.withWords(docsWithDups(t(s, d, "documents"))))
-        .select(col("doc_id"), col("simhash64"))
-      // Mask to the 60 live bits BEFORE blocking: with the current
-      // tokenizer simhash64 is always non-negative (lanes 60-63 vote
-      // negative on 15-nibble element hashes), but if shingling ever
-      // produced an empty hash array all 64 vote bits would set and the
-      // value would go NEGATIVE — where Spark's `div` (truncate toward
-      // zero) and DuckDB's `//` (floor) diverge. The mask pins both
-      // engines to the same non-negative domain; the oracle applies it too.
-      val blocked = sh.select(col("doc_id"), col("simhash64"),
-        explode(expr(
-          """transform(sequence(0, 2), b -> concat(cast(b as string), ':',
-               cast(((simhash64 & 1152921504606846975L) div shiftleft(1L, b * 20)) % shiftleft(1L, 20) as string)))"""))
-          .as("blk"))
-      LlmOps.hammingPairsByBlock(blocked, "simhash64", radius = 2)
-        .orderBy(col("a"), col("b"))
-    }),
+    "dedup_simhash_hamming64" -> ((s, d) =>
+      // grouped pair generation over 20-bit blocks (expected bucket
+      // N/2^20); the 60-bit mask keeps Spark's `div` (truncate) and
+      // DuckDB's `//` (floor) on the same non-negative domain — full
+      // rationale on LlmOps.simhashNearDups64. This key pins the 64-lane
+      // branch of LlmOps.simhashNearDups explicitly.
+      LlmOps.simhashNearDups64(docsWithDups(t(s, d, "documents")))
+        .orderBy(col("a"), col("b"))),
 
     // exact n-gram Jaccard over LSH candidates (verify step after banding)
     "dedup_ngram_jaccard" -> ((s, d) => {

@@ -266,6 +266,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(capped.subsetOf(exact), "sub-bucketing must never invent pairs")
   }
 
+  test("scale-form auto-selection: simhash 32↔64 at the corpus-size crossover") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again",
+      3L -> "entirely different words about spark catalyst tungsten codegen shuffles")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val below = LlmOps.simhashNearDups(d, corpusSizeHint = Some(1000L))
+    assert(below.columns.toSeq == Seq("a", "b", "hamming"))
+    assert(rows(below) == rows(LlmOps.simhashNearDups32(d)),
+      "at/below the crossover the 32-bit branch must run")
+    val above = LlmOps.simhashNearDups(d,
+      corpusSizeHint = Some(LlmOps.SimhashCrossoverDocs + 1))
+    assert(rows(above) == rows(LlmOps.simhashNearDups64(d)),
+      "above the crossover the 64-lane branch must run")
+    // no hint → a count pass decides; this 3-doc corpus picks the 32 branch
+    assert(rows(LlmOps.simhashNearDups(d)) == rows(LlmOps.simhashNearDups32(d)))
+  }
+
+  test("scale-form auto-selection: pack shard width at the measured crossover") {
+    assert(LlmOps.packShardWidth(1000L) == Long.MaxValue,
+      "below the crossover one giant shard recovers the single-window plan")
+    assert(LlmOps.packShardWidth(LlmOps.PackCrossoverDocsPerLang) == Long.MaxValue)
+    assert(LlmOps.packShardWidth(LlmOps.PackCrossoverDocsPerLang + 1) == (1L << 20),
+      "above the crossover the production two-level width runs")
+    // auto wiring end-to-end: width-invariance means auto must reproduce
+    // the explicit multi-shard rows exactly on any corpus
+    val p = spark.read.parquet(s"${sf()}/documents.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(key(LlmOps.packSequencesAuto(p)) == key(LlmOps.packSequences(p, 16L)))
+  }
+
   test("decontaminateMinhash flags near-dup corpus docs, not clean ones") {
     val bench = docs(
       10L -> "the quick brown fox jumps over the lazy dog near the river bank",
