@@ -225,7 +225,10 @@ object Stress {
           spark.read.parquet(s"$base/emb_skew10.parquet"), 3, maxCell = 128)
         .agg(count(lit(1))).collect()
     }
-    report ++= f"""
+    // narrative notes are buffered and appended AFTER the table — an
+    // inline append here would split the markdown table in two
+    val notes = new StringBuilder
+    notes ++= f"""
       |Capped kNN growth at 10× the vectors: ${knn10 / knn1}%.1f× wall-clock
       |(quadratic label-only pairing would be ~100×, and its 1× row — 10⁴-row
       |cells uncapped — is already ~10¹⁰ dots, not runnable at all).
@@ -290,6 +293,7 @@ object Stress {
       if (graft.ext.LlmOps.fitsCandBroadcastGate(nCand, 64L << 20))
         "ADMITS them (gate did NOT engage — investigate)"
       else "REJECTS them: the shuffle-join fallback engaged"
+    report ++= notes
     report ++= s"""
       |Adversarial decontamination: ${f"$nCand%,d"} candidate pairs from the
       |50%-contaminated corpus → the 64 MB default budget $gateVerdict

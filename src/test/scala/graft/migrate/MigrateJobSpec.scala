@@ -50,6 +50,19 @@ class ControlCharFailTransformer extends MigrateJob.Transformer {
     throw new RuntimeException("bad" + 7.toChar + "bell" + 8.toChar + "\tand \"quotes\" " + 27.toChar + "[0m\nnewline")
 }
 
+/** EXECUTOR-side failure on high buckets: raise_error fires per ROW inside
+  * the write tasks, so the wave dies as a task/partition failure mid-write
+  * (not a driver-side plan error) — the crash shape trackRun.autoRerun
+  * exists for (docs/04-cdm-approach.md:422-434).
+  */
+class FailHighBucketRows extends MigrateJob.Transformer {
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("o_orderstatus",
+      org.apache.spark.sql.functions.when(col("bucket") >= 2,
+          expr("raise_error('injected partition failure')"))
+        .otherwise(col("o_orderstatus")))
+}
+
 class MigrateJobSpec extends SparkSpec {
   private lazy val orders = spark.read.parquet(s"${sf()}/orders.parquet")
 
@@ -179,6 +192,44 @@ class MigrateJobSpec extends SparkSpec {
     assert(ex.getMessage.contains("error budget exceeded mid-wave"))
     assert(elapsedSec < 8.0,
       f"watcher must cancel the 10s job promptly, took $elapsedSec%.1f s")
+  }
+
+  test("crash recovery: a task failure mid-wave resumes to exactly-once output, done buckets untouched") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp()
+    // two-bucket waves: wave {0,1} commits clean, wave {2,3} dies INSIDE
+    // its write tasks (raise_error per row — a partition failure, not a
+    // driver error). The file sink's commit protocol abandons the failed
+    // wave's output, the ledger records both buckets failed.
+    val cfg = MigrateJob.Config(pkCols = Seq("o_orderkey"), tokenBuckets = 4,
+      bucketsPerScan = 2)
+    val failing = cfg.copy(transformerClass = Some("graft.migrate.FailHighBucketRows"))
+    val err = intercept[Exception] { MigrateJob.run(spark, orders, dir, failing) }
+    assert(Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).exists(e => String.valueOf(e.getMessage).contains("injected partition failure")),
+      s"the wave must die on the injected task failure, got $err")
+    val ledger = s"$dir/_ledger/run.jsonl"
+    assert(MigrateJob.completedBuckets(ledger) == Set(0, 1))
+    assert(Set(2, 3).forall(b => MigrateJob.bucketStatus(ledger).get(b).contains("failed")))
+    // snapshot the committed buckets' files: resume must not rewrite them
+    def files(b: Int): Map[String, Long] = {
+      val d = java.nio.file.Paths.get(dir, s"bucket=$b")
+      java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = Map(0 -> files(0), 1 -> files(1))
+    val second = MigrateJob.run(spark, orders, dir, cfg)
+    assert(second.buckets.toSet == Set(2, 3), "only the failed wave re-drives")
+    assert(Map(0 -> files(0), 1 -> files(1)) == before,
+      "completed buckets' files must not be re-executed or rewritten")
+    // exactly-once: every origin row exactly once across all buckets
+    val out = spark.read.parquet(s"$dir/bucket=*")
+    assert(out.count() == orders.count())
+    assert(out.select("o_orderkey").distinct().count() == orders.count(),
+      "resume must not duplicate rows from the failed wave's first attempt")
+    assert(MigrateJob.completedBuckets(ledger) == Set(0, 1, 2, 3))
   }
 
   test("resume re-drives failed buckets after a mid-run failure") {
