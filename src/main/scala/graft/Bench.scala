@@ -139,10 +139,12 @@ object Bench {
     val best = line(bySlowest.take(lo), bySlowest.length - lo)
     if (best.length <= budget) best
     else
-      // even keep=0 over budget (pathological sfDir path): drop the sf
-      // field — every remaining field is a bounded number or fixed string,
-      // so this floor line always fits the tail window
+      // even keep=0 over budget (pathological sfDir path): the sf VALUE is
+      // the unbounded culprit, but consumers key on the field — emit
+      // "sf":null so the artifact schema stays fixed across paths (ADVICE
+      // r8); every other field is a bounded number or fixed string, so
+      // this floor line always fits the tail window
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":{},""" +
-        s""""queries_omitted":${bySlowest.length},"queries_file":"BENCH_LOCAL.json"}"""
+        s""""queries_omitted":${bySlowest.length},"queries_file":"BENCH_LOCAL.json","sf":null}"""
   }
 }

@@ -931,29 +931,32 @@ object LlmOps {
     * set, as an anti-join. Same adversarial-scale hazard as the minhash
     * candidate set: the flagged side is CONTAMINATION-proportional — tiny
     * for a clean corpus, half the corpus in the adversarial regime — so a
-    * hard-wired broadcast hint is an OOM, not a plan choice. The flagged
-    * ids are persisted and counted (the count doubles as the purge report)
-    * and the gate picks the join shape: under the byte budget the anti-join
-    * broadcasts (corpus never shuffles); over it the hint is simply
-    * DROPPED — a plain shuffled anti-join on the id, which AQE may still
-    * re-plan to broadcast at runtime if the actual size allows. Both shapes
-    * are row-identical; only the id column moves on the flagged side
-    * ([[BytesPerBroadcastId]]/row model).
+    * hard-wired broadcast hint is an OOM, not a plan choice. One eager
+    * count over the flagged ids picks the join shape: under the byte
+    * budget the anti-join broadcasts (corpus never shuffles); over it the
+    * hint is simply DROPPED — a plain shuffled anti-join on the id, which
+    * AQE may still re-plan to broadcast at runtime if the actual size
+    * allows. Both shapes are row-identical; only the id column moves on
+    * the flagged side ([[BytesPerBroadcastId]]/row model).
+    *
+    * The returned anti-join is LAZY and nothing is persisted (ADVICE r8):
+    * the result is ~the whole corpus, and pinning corpus-scale data in
+    * executor storage until session end is the exact pressure the byte
+    * gates exist to avoid. Cost: the flagged→distinct lineage recomputes
+    * once when the caller materializes (the flagged side is
+    * contamination-report-sized, not corpus-sized); the corpus is read
+    * exactly once either way.
     */
   val BytesPerBroadcastId = 64L
 
   def purge(corpus: DataFrame, flagged: DataFrame, idCol: String,
             flaggedBroadcastBudgetBytes: Long = 64L << 20): DataFrame = {
-    val ids = flagged.select(col(idCol)).distinct().persist()
-    try {
-      val n = ids.count()
-      val right =
-        if (n <= flaggedBroadcastBudgetBytes / BytesPerBroadcastId) broadcast(ids)
-        else ids
-      val out = corpus.join(right, Seq(idCol), "left_anti").persist()
-      out.count() // materialize before the flagged cache is released
-      out
-    } finally { ids.unpersist(); () }
+    val ids = flagged.select(col(idCol)).distinct()
+    val n = ids.count()
+    val right =
+      if (n <= flaggedBroadcastBudgetBytes / BytesPerBroadcastId) broadcast(ids)
+      else ids
+    corpus.join(right, Seq(idCol), "left_anti")
   }
 
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, idCol: String,

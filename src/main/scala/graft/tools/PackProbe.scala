@@ -23,7 +23,7 @@ object PackProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    for (n <- sizes) {
+    for ((n, sizeIx) <- sizes.zipWithIndex) {
       // ~8 whitespace tokens per doc, deterministic; ONE language
       val docs = spark.range(n).select(
         col("id").as("doc_id"),
@@ -35,8 +35,9 @@ object PackProbe {
         f
         println(f"$name%-14s n=${n / 1000000}%3dM ${(System.nanoTime() - t0) / 1e9}%8.1f s")
       }
-      // two-level first on odd-M sizes would over-fit noise windows; at
-      // three sizes just alternate the order per size
+      // alternate which form runs first per SIZE INDEX (the old megabyte
+      // parity never alternated for the all-even default sizes — ADVICE
+      // r8), so neither form systematically enjoys the warm JVM
       def two(): Unit = LlmOps.packSequences(docs)
         .agg(sum(col("start_off")), max(col("bin"))).collect()
       def one(): Unit = {
@@ -48,7 +49,7 @@ object PackProbe {
           .withColumn("bin", expr("start_off div 64"))
           .agg(sum(col("start_off")), max(col("bin"))).collect()
       }
-      if ((n / 1000000) % 2 == 0) { timed("two-level")(two()); timed("single-window")(one()) }
+      if (sizeIx % 2 == 0) { timed("two-level")(two()); timed("single-window")(one()) }
       else { timed("single-window")(one()); timed("two-level")(two()) }
     }
     spark.stop()

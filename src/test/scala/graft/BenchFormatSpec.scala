@@ -88,6 +88,9 @@ class BenchFormatSpec extends AnyFunSuite {
     val parsed = JsonMethods.parse(line) // floor line must still parse
     assert((parsed \ "metric") == JString("total"))
     assert((parsed \ "queries_file") == JString("BENCH_LOCAL.json"))
+    // schema stays fixed across paths: the floor line keeps the sf FIELD
+    // (null value), so consumers keying on it never see a missing field
+    assert((parsed \ "sf") == JNull)
   }
 
   test("renderJsonBudget passes the full line through when it fits") {

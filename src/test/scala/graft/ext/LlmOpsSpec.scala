@@ -50,8 +50,20 @@ class LlmOpsSpec extends SparkSpec {
     def countJobs(tag: String)(body: => Unit): Int = {
       sc.setJobGroup(tag, tag)
       try body finally sc.clearJobGroup()
-      Thread.sleep(500) // let the async listener bus feed the status tracker
-      sc.statusTracker.getJobIdsForGroup(tag).length
+      // the async listener bus feeds the status tracker after the action
+      // returns: poll until the group's count is stable across consecutive
+      // reads (bounded) — a fixed sleep under-reports on a loaded host
+      // (ADVICE r8)
+      var last = -1
+      var stable = 0
+      var waitedMs = 0
+      while (stable < 3 && waitedMs < 10000) {
+        val cur = sc.statusTracker.getJobIdsForGroup(tag).length
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+        Thread.sleep(100)
+        waitedMs += 100
+      }
+      last
     }
     try {
       sh.count() // materialize the shingle cache OUTSIDE the audited windows
