@@ -107,6 +107,47 @@ class DualWriteSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounded LWW runs on the RocksDB state store (the 100 TB key-space provider)") {
+    // the default (HDFS-backed in-memory) store holds every key's state on
+    // heap; a 100 TB migration's live key set needs the spill-to-disk
+    // RocksDB provider. Pin that lwwStreamBounded runs — and resolves LWW
+    // identically — on RocksDB, and that the provider actually engaged
+    // (rocksdb metrics in the state operator's progress, not just a conf
+    // that silently fell back).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(String, Long, String)]
+    val out = DualWrite.lwwStreamBounded(mem.toDS(), stateTtlMs = None)
+    val q = out.toDF().toDF("pk", "wt", "v")
+      .writeStream.format("memory").queryName("lww_rocksdb_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(("k1", 100L, "old"), ("k1", 200L, "new"), ("k2", 10L, "x"))
+      q.processAllAvailable()
+      mem.addData(("k1", 150L, "late-loser"), ("k3", 5L, "y"))
+      q.processAllAvailable()
+      val last = spark.table("lww_rocksdb_out")
+        .groupBy("pk").agg(max_by(col("v"), col("wt")).as("v"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(last == Map("k1" -> "new", "k2" -> "x", "k3" -> "y"))
+      val custom = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+      assert(custom.exists(_.toLowerCase.contains("rocksdb")),
+        s"state operator must report rocksdb metrics, got: $custom")
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("bounded LWW TTL evicts idle keys: state tracks the live key set, not every key ever seen") {
     // the point of lwwStreamBounded over the plain groupBy form: over a
     // long stream with a churning key space, state must stay bounded by
