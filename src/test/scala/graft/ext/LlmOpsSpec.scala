@@ -278,6 +278,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(capped.subsetOf(exact), "sub-bucketing must never invent pairs")
   }
 
+  test("capped cells keep near-duplicate recall ≥0.9 where splitting engages") {
+    // The cap is an approximation — quantify what it costs ON ITS PURPOSE.
+    // 2000 spread vectors + 200 planted near-dup pairs (one component
+    // nudged: cos ≈ 0.9999) in ONE label cell; maxCell=128 forces a
+    // depth-5 split (32 sub-buckets). Near-identical vectors agree on
+    // nearly every hyperplane sign, so planted pairs should almost always
+    // stay co-bucketed; only a projection sitting near a masked plane's
+    // boundary can separate one. Pin ≥0.9 planted-pair recall for the
+    // near-dup operator (deterministic fixture, so this is a fixed number
+    // — the floor leaves room only for the boundary flips).
+    def fuzz(i: Long, j: Int): Float = {
+      val s = math.sin(i * 12.9898 + j * 78.233) * 43758.5453
+      ((s - math.floor(s)) * 2 - 1).toFloat
+    }
+    val base = (1L to 1800L).map(i => (i, Seq.tabulate(64)(fuzz(i, _)), 0))
+    val planted = (1L to 200L).map { i =>
+      val v = Seq.tabulate(64)(fuzz(i, _))
+      (10000L + i, v.updated(0, v.head + 0.01f), 0)
+    }
+    val e = (base ++ planted).toDF("vec_id", "embedding", "label")
+    def pairs(maxCell: Int) =
+      LlmOps.embeddingNearDups(e, 0.999, maxCell).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(128)
+    val exact = pairs(Int.MaxValue)
+    val plantedPairs = (1L to 200L).map(i => (i, 10000L + i)).toSet
+    assert(plantedPairs.subsetOf(exact), "sanity: the nudge keeps cos ≥ 0.999")
+    val recall = (capped & plantedPairs).size.toDouble / plantedPairs.size
+    info(f"planted near-dup recall under depth-5 split: $recall%.3f")
+    assert(recall >= 0.9, f"near-dup recall $recall%.3f under the cap")
+    assert(capped.subsetOf(exact))
+  }
+
   test("scale-form auto-selection: simhash 32↔64 at the corpus-size crossover") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog again and again",
