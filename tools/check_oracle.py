@@ -12,7 +12,20 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p)[:-8]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    # testdata tables are single files; generated tiers (GenSf) are
+    # Spark-written parquet DIRECTORIES — glob their part files
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    # events.ts: testdata is TIMESTAMP(NANOS), which duckdb 1.0 reads as a
+    # us-truncated TIMESTAMP; GenSf tiers carry raw int64 nanos (Spark 4
+    # can't write NANOS). make_timestamp(ns // 1000) is the identical
+    # truncation, so both shapes present the same view type and values.
+    if name == "events":
+        t = con.execute(f"SELECT typeof(ts) FROM '{src}' LIMIT 1").fetchone()[0]
+        if t == "BIGINT":
+            con.execute(f"CREATE VIEW events AS SELECT * REPLACE "
+                        f"(make_timestamp(ts // 1000) AS ts) FROM '{src}'")
+            continue
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 ok = bad = 0
