@@ -44,7 +44,11 @@ object GenSf {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    generate(spark, src, out, factor)
+    spark.stop()
+  }
 
+  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     // events.ts is parquet TIMESTAMP(NANOS) — Spark 4 inference rejects it;
     // read through the same explicit raw-nanos schema Common.events uses.
     // The scaled copy then carries ts as plain int64 nanos, which that
@@ -110,6 +114,5 @@ object GenSf {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(f"$name%-12s ${spark.read.parquet(s"$out/$name.parquet").count()}%,d rows")
     }
-    spark.stop()
   }
 }
