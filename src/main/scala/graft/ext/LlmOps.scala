@@ -302,7 +302,7 @@ object LlmOps {
     * each cell grows 100× and in-cell pairwise work grows 10,000× — the cell
     * itself must be bounded, not just the pairing restricted to cells.
     * Cells above this are sub-bucketed by hyperplane-LSH sign bits
-    * (graft_lsh_sig low bits, depth per cell so the expected sub-cell is
+    * (graft_lsh_sig_any low bits, depth per cell so the expected sub-cell is
     * ≤ maxCell/2 — similar vectors agree on plane signs, so near-neighbors
     * stay co-bucketed); any (label, sub) bucket STILL above maxCell is
     * degenerate (near-identical vectors share every sign bit, no depth
@@ -324,11 +324,11 @@ object LlmOps {
     * counts, both hash-partitioned on (a prefix of) the same key the
     * pairwise join shuffles on.
     *
-    * graft_lsh_sig's planes span 64 dims (a plane touching a missing dim
-    * contributes bit 0 — see LshOps.sigOf), so embeddings with ≪64 dims
-    * degenerate to sig 0: the oversize cell then cannot split and is
-    * capped-and-counted whole — bounded (never quadratic), just blunt.
-    * Real embedding columns are ≥64-dim, where the split is effective.
+    * The split key is graft_lsh_sig_any (LshOps.sigOfAny), whose planes
+    * span exactly the input's dimensions — any embedding width splits
+    * (bit-identical to graft_lsh_sig at the testdata's 64 dims). Only a
+    * truly degenerate cell (near-identical vectors co-sign every plane)
+    * cannot split, and that is capped-and-counted, not paired.
     */
   private[graft] def withPairCells(e: DataFrame, maxCell: Int): DataFrame = {
     val half = math.max(1, maxCell / 2)
@@ -343,7 +343,7 @@ object LlmOps {
       .withColumn("sub",
         when(col("cell_n") <= maxCell, lit(0L))
           .otherwise(expr(
-            s"graft_lsh_sig(embedding) & (shiftleft(1L, cast(ceil(log2(cell_n / ${half}.0D)) as int)) - 1L)")))
+            s"graft_lsh_sig_any(embedding) & (shiftleft(1L, cast(ceil(log2(cell_n / ${half}.0D)) as int)) - 1L)")))
     val bucketN = sub.groupBy("label", "sub").agg(count(lit(1)).as("bucket_n"))
     sub.join(bucketN, Seq("label", "sub"))
   }
@@ -358,23 +358,75 @@ object LlmOps {
     cells.filter(col("bucket_n") > maxCell)
       .agg(countDistinct(struct(col("label"), col("sub"))).as("capped_cells"))
 
+  /** Target per-salt slice of a pairwise bucket (rows). The maxCell bound
+    * makes in-cell pair work *finite*, but the (label, sub) equi-join
+    * still computes one bucket's whole pairwise block in ONE task — and
+    * AQE's skew-join cannot rescue it, because AQE judges skew by shuffle
+    * INPUT bytes (a 4096-row bucket is ~1 MB in) while the skew here is in
+    * the join OUTPUT (4096² ≈ 16M pairs out). With few distinct buckets
+    * (sf1: 10 labels, every cell under maxCell → 10 join keys) that strands
+    * all pair work on ≤10 of the cluster's cores. So each bucket is salted
+    * into ceil(bucket_n / chunk) slices: the probe side keys each row into
+    * one slice (`pmod(hash(vec_id), nSalt)`), the build side replicates
+    * each row into every slice (`explode(sequence(...))`). Exact same pair
+    * set; per-task pair work ≤ chunk·maxCell (with chunk=512, maxCell=4096:
+    * ≤2M dots ≈ a right-sized task), and the replication factor is bounded
+    * by maxCell/chunk = 8 — a constant, so the salted build-side shuffle
+    * stays O(corpus) at any scale. nSalt derives from `bucket_n`, already
+    * joined onto every row, so both sides agree on the slice count with no
+    * extra pass.
+    */
+  val PairSaltChunk = 512
+
+  /** The (probe, build) pair for the bounded pairwise self-join: `x` keyed
+    * into its bucket's salt slice, `y` replicated across the slices. Join
+    * on (label, sub, salt) — see [[PairSaltChunk]]. `saltChunk ≥ maxCell`
+    * disables salting (nSalt = 1 everywhere): the A/B-probe/parity form.
+    */
+  private[graft] def withPairSalt(kept: DataFrame, saltChunk: Int): (DataFrame, DataFrame) = {
+    val nSalt = greatest(lit(1),
+      ceil(col("bucket_n") / lit(saltChunk.toDouble)).cast("int"))
+    val x = kept.withColumn("salt", pmod(hash(col("vec_id")), nSalt))
+    val y = kept.withColumn("salt", explode(sequence(lit(0), nSalt - lit(1))))
+    // Repartition BOTH sides on the full pair key, explicitly. Without
+    // this the pair join's parallelism is whatever the cell-count lineage
+    // left behind — hashpartitioning(label) with data-few labels, i.e. a
+    // handful of active tasks even under a broadcast join (the streamed
+    // side's partitioning IS the parallelism; the salt alone only changes
+    // the lookup key). With it, tasks spread over every (label, sub, salt)
+    // slice. In the sort-merge regime this is exactly the join's required
+    // distribution (same keys, same partition count), so ENSURE_
+    // REQUIREMENTS adds no second exchange; the explicit partition count
+    // also keeps AQE from byte-coalescing the compute-heavy slices (the
+    // skew here is in join OUTPUT, invisible to input-byte heuristics).
+    val n = kept.sparkSession.sessionState.conf.numShufflePartitions
+    (x.repartition(n, col("label"), col("sub"), col("salt")),
+      y.repartition(n, col("label"), col("sub"), col("salt")))
+  }
+
   /** Embedding near-duplicate pairs *within a coarse bucket* (the cluster
     * label — the IVF posture: compare only within a cell, shuffle on the
     * bucket key, never all-pairs), with the per-cell quadratic term bounded
     * by [[DefaultMaxCell]] sub-bucketing — `capped_cells` in the output
-    * counts excluded degenerate buckets (0 = exact result). Norms are
-    * precomputed per vector on each join side, so each pair costs one dot
-    * product instead of three (no persist — one extra norm pass per side
-    * beats leaving cached state behind).
+    * counts excluded degenerate buckets (0 = exact result). Each bucket's
+    * pairwise block is salted across ceil(bucket_n/[[PairSaltChunk]])
+    * tasks (exact — see [[withPairSalt]]), so in-cell pair work
+    * parallelizes past the distinct-bucket count. Norms are precomputed
+    * per vector on each join side, so each pair costs one dot product
+    * instead of three (no persist — one extra norm pass per side beats
+    * leaving cached state behind).
     */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double,
-                        maxCell: Int = DefaultMaxCell): DataFrame = {
+                        maxCell: Int = DefaultMaxCell,
+                        saltChunk: Int = PairSaltChunk): DataFrame = {
     val e = withPairCells(
       ensureFns(embeddings).select(col("vec_id"), col("label"), col("embedding")), maxCell)
       .withColumn("nrm", sqrt(dot("embedding", "embedding")))
     val kept = e.filter(col("bucket_n") <= maxCell)
-    kept.as("x").join(kept.as("y"),
+    val (xs, ys) = withPairSalt(kept, saltChunk)
+    xs.as("x").join(ys.as("y"),
         col("x.label") === col("y.label") && col("x.sub") === col("y.sub") &&
+          col("x.salt") === col("y.salt") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         round(dot("x.embedding", "y.embedding") / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
@@ -385,7 +437,8 @@ object LlmOps {
   /** k-NN join: the top-k cosine neighbors of EVERY vector, restricted to
     * its coarse bucket (cluster label) — the batch form of similarity
     * search a dedup/retrieval pipeline runs corpus-wide, vs the single-
-    * query [[cosineTopK]]. One shuffle on the label to co-locate each cell,
+    * query [[cosineTopK]]. One shuffle on (label, sub, salt) to co-locate
+    * each bounded, salted cell slice ([[withPairSalt]]),
     * pairwise dots inside the cell only (never all-pairs across cells),
     * then the `graft_topk` bounded-heap aggregate to keep k (see below —
     * NOT a window). At 100 TB the label plays the IVF cell id, and the cell
@@ -399,7 +452,8 @@ object LlmOps {
     * sides up front: they can neither rank nor be ranked against.
     */
   def knnJoin(embeddings: DataFrame, k: Int,
-              maxCell: Int = DefaultMaxCell): DataFrame = {
+              maxCell: Int = DefaultMaxCell,
+              saltChunk: Int = PairSaltChunk): DataFrame = {
     // norms are attached per SIDE (each side recomputes its own — one
     // 64-mult pass per vector, trivial next to the pairwise stage); no
     // persist, so the operator leaves no cached state behind
@@ -408,8 +462,10 @@ object LlmOps {
         .withColumn("nrm", sqrt(dot("embedding", "embedding")))
         .filter(col("nrm") > 0), maxCell)
     val kept = e.filter(col("bucket_n") <= maxCell)
-    val pairs = kept.as("x").join(kept.as("y"),
+    val (xs, ys) = withPairSalt(kept, saltChunk)
+    val pairs = xs.as("x").join(ys.as("y"),
         col("x.label") === col("y.label") && col("x.sub") === col("y.sub") &&
+          col("x.salt") === col("y.salt") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         round(dot("x.embedding", "y.embedding") / (col("x.nrm") * col("y.nrm")), 6).as("cos"))

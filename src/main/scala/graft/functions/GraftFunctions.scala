@@ -91,6 +91,12 @@ object GraftFunctions {
         require(args.length == 1, "graft_lsh_sig takes (array<float|double>)")
         LshSig(args(0))
       }),
+    (FunctionIdentifier("graft_lsh_sig_any"),
+      new ExpressionInfo(classOf[LshSigAny].getName, "graft_lsh_sig_any"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_lsh_sig_any takes (array<float|double>)")
+        LshSigAny(args(0))
+      }),
     (FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_might_contain"),
       (args: Seq[Expression]) => {

@@ -344,6 +344,72 @@ object LshOps {
     }
     sig
   }
+
+  /** ±1 weight bits for dims [64·w, 64·w+64) of plane `p` — the SAME
+    * md5("p:i") parity construction as [[planeMasks]] extended to any
+    * global dim index, so word 0 IS planeMasks(p). Computed lazily and
+    * cached: one md5 per (plane, dim) ever, never per row.
+    */
+  private val maskWords = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+  def maskWord(p: Int, w: Int): Long =
+    if (w == 0) planeMasks(p)
+    else maskWords.computeIfAbsent((p.toLong << 32) | w, { key =>
+      val plane = (key >> 32).toInt
+      val word = (key & 0xffffffffL).toInt
+      val d = java.security.MessageDigest.getInstance("MD5")
+      (0 until 64).foldLeft(0L) { (acc, b) =>
+        d.reset()
+        val h = d.digest(s"$plane:${(word << 6) + b}".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) acc | (1L << b) else acc
+      }
+    })
+
+  /** As [[sigOf]] but the planes span EXACTLY the input's dimensions —
+    * no 64-dim pin, so a 32-dim (or 1536-dim) embedding gets real sign
+    * bits instead of degenerating to 0. The quantization and sign rule are
+    * identical; at n = 64 this is bit-identical to [[sigOf]]
+    * (spec-pinned). Not oracle-mirrored: this form backs the pairwise
+    * cell SPLIT (graft.ext.LlmOps.withPairCells), where the only contract
+    * is determinism + identical vectors sharing every bit; sim_search_lsh
+    * keeps [[sigOf]], whose 64-dim HOF/DuckDB twin is bit-pinned.
+    */
+  def sigOfAny(xs: org.apache.spark.sql.catalyst.util.ArrayData,
+               isFloat: Boolean): Long = {
+    val n = xs.numElements()
+    var maxAbs = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) return 0L
+      val v = if (isFloat) xs.getFloat(i).toDouble else xs.getDouble(i)
+      maxAbs = Math.max(maxAbs, Math.abs(v))
+      i += 1
+    }
+    val scale = if (n == 0) 1e-30 else Math.max(maxAbs / 127.0, 1e-30)
+    val codes = new Array[Int](n)
+    var ctot = 0L
+    i = 0
+    while (i < n) {
+      val v = if (isFloat) xs.getFloat(i).toDouble else xs.getDouble(i)
+      codes(i) = Math.floor(v / scale + 0.5d).toInt
+      ctot += codes(i)
+      i += 1
+    }
+    var sig = 0L
+    var p = 0
+    while (p < PlaneCount) {
+      var sp = 0L
+      var j = 0
+      var mask = maskWord(p, 0)
+      while (j < n) {
+        if ((j & 63) == 0 && j != 0) mask = maskWord(p, j >> 6)
+        if (((mask >> (j & 63)) & 1L) != 0L) sp += codes(j)
+        j += 1
+      }
+      if (2 * sp - ctot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
 }
 
 /** `graft_lsh_sig(embedding)` → bigint: the 32-plane hyperplane-LSH
@@ -381,5 +447,39 @@ case class LshSig(child: Expression) extends
       s"${ev.value} = graft.functions.LshOps.sigOf($a, $isFloat);")
 
   override protected def withNewChildInternal(newChild: Expression): LshSig =
+    copy(child = newChild)
+}
+
+/** `graft_lsh_sig_any(embedding)` → bigint: [[LshSig]] with the planes
+  * spanning exactly the input's dimensions ([[LshOps.sigOfAny]]) — the
+  * splitting form for [[graft.ext.LlmOps.withPairCells]], valid at any
+  * embedding width. Bit-identical to graft_lsh_sig at 64 dims.
+  */
+case class LshSigAny(child: Expression) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_sig_any requires array<float|double>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_sig_any"
+
+  override def nullSafeEval(a: Any): Any =
+    LshOps.sigOfAny(a.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.LshOps.sigOfAny($a, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): LshSigAny =
     copy(child = newChild)
 }

@@ -257,8 +257,8 @@ class LlmOpsSpec extends SparkSpec {
     // above maxCell=24 the cell splits on hyperplane sign bits. Identical
     // vectors share the full signature, so every clone pair survives the
     // split; the result is a subset of the uncapped (exact) pairing.
-    // 64-dim (the testdata shape): graft_lsh_sig's planes span 64 dims, so
-    // shorter vectors degenerate to sig 0 and the cell can't split.
+    // 64-dim (the testdata shape); the split key graft_lsh_sig_any spans
+    // any width -- the 32-dim case is pinned in its own test below.
     // Hash-style deterministic components — a smooth curve fixture clumps
     // into a few LSH arcs and re-skews the sub-buckets.
     def fuzz(i: Long, j: Int): Float = {
@@ -309,6 +309,59 @@ class LlmOpsSpec extends SparkSpec {
     info(f"planted near-dup recall under depth-5 split: $recall%.3f")
     assert(recall >= 0.9, f"near-dup recall $recall%.3f under the cap")
     assert(capped.subsetOf(exact))
+  }
+
+  test("oversize cells split at any embedding width (graft_lsh_sig_any)") {
+    // r9: the split key used to be 64-dim-pinned — a 32-dim corpus
+    // degenerated to sig 0 and oversize cells capped whole. The
+    // generalized planes must now sub-bucket a 32-dim oversize cell, and
+    // the capped pairing must stay a subset of the exact pairing.
+    def fuzz(i: Long, j: Int): Float = {
+      val s = math.sin(i * 12.9898 + j * 78.233) * 43758.5453
+      ((s - math.floor(s)) * 2 - 1).toFloat
+    }
+    val e = (1L to 60L).map(i => (i, Seq.tabulate(32)(fuzz(i, _)), 0))
+      .toDF("vec_id", "embedding", "label")
+    val maxCell = 24
+    val cells = LlmOps.withPairCells(e, maxCell)
+    val kept = cells.filter(col("bucket_n") <= maxCell)
+    assert(kept.select(countDistinct(col("sub"))).collect()(0).getLong(0) > 1L,
+      "a 32-dim oversize cell must split into sub-buckets")
+    val biggest = kept.groupBy(col("label"), col("sub"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).collect()(0).getLong(0)
+    assert(biggest <= maxCell, s"kept bucket exceeds the bound: $biggest")
+    assert(kept.count() >= 48L, "the split must bound cells by splitting, not excluding")
+    val capped = LlmOps.embeddingNearDups(e, 0.5, maxCell).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = LlmOps.embeddingNearDups(e, 0.5, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact), "sub-bucketing must never invent pairs")
+  }
+
+  test("pairwise salt slices are exact: salted output == unsalted output") {
+    // The salt parallelizes a bucket's pairwise block across
+    // ceil(bucket_n/chunk) tasks (withPairSalt) — it must never change the
+    // pair set. 120 spread vectors in 2 labels, chunk=16 → ~4 slices per
+    // bucket; compare against saltChunk=Int.MaxValue (nSalt=1 everywhere).
+    def fuzz(i: Long, j: Int): Float = {
+      val s = math.sin(i * 12.9898 + j * 78.233) * 43758.5453
+      ((s - math.floor(s)) * 2 - 1).toFloat
+    }
+    val e = (1L to 120L).map(i => (i, Seq.tabulate(64)(fuzz(i, _)), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+    // the fixture must actually engage slicing (nSalt > 1 somewhere)
+    val cells = LlmOps.withPairCells(e, 1024)
+    val (xs, _) = LlmOps.withPairSalt(cells, 16)
+    assert(xs.select(countDistinct(col("salt"))).collect()(0).getLong(0) > 1L,
+      "fixture too small: salting never engaged")
+    def dupSet(chunk: Int) =
+      LlmOps.embeddingNearDups(e, 0.5, saltChunk = chunk).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(dupSet(16) == dupSet(Int.MaxValue))
+    def knnSet(chunk: Int) =
+      LlmOps.knnJoin(e, 3, saltChunk = chunk).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(knnSet(16) == knnSet(Int.MaxValue))
   }
 
   test("scale-form auto-selection: simhash 32↔64 at the corpus-size crossover") {

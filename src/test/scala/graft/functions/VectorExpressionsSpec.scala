@@ -159,4 +159,35 @@ class VectorExpressionsSpec extends SparkSpec {
     assert("""\*\(\d+\) Project \[graft_lsh_sig""".r.findFirstIn(plan).isDefined,
       s"expected graft_lsh_sig inside a codegen span:\n$plan")
   }
+
+  test("graft_lsh_sig_any: bit-identical to graft_lsh_sig at 64 dims, live at any width") {
+    GraftFunctions.ensure(spark)
+    // 64-dim fixtures: the generalized planes' word 0 IS planeMasks, so
+    // the two forms must agree on every vector
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+      .select(expr("graft_lsh_sig(embedding)").as("pinned"),
+        expr("graft_lsh_sig_any(embedding)").as("any"))
+    assert(emb.filter(col("pinned") =!= col("any")).count() == 0L)
+    // 32-dim spread vectors: the pinned form degenerates to sig 0 (every
+    // plane touches a missing dim); the generalized form must separate them
+    def fuzz(i: Long, j: Int): Float = {
+      val s = math.sin(i * 12.9898 + j * 78.233) * 43758.5453
+      ((s - math.floor(s)) * 2 - 1).toFloat
+    }
+    val short = (1L to 50L).map(i => (i, Seq.tabulate(32)(fuzz(i, _))))
+      .toDF("vec_id", "embedding")
+      .select(expr("graft_lsh_sig(embedding)").as("pinned"),
+        expr("graft_lsh_sig_any(embedding)").as("any"))
+      .collect()
+    assert(short.forall(_.getLong(0) == 0L), "the 64-dim form should degenerate here")
+    assert(short.map(_.getLong(1)).distinct.length > 10,
+      "the generalized form must produce varied signatures at 32 dims")
+    // >64 dims: dims past 64 must influence the generalized signature
+    val long1 = Seq((1L, Seq.tabulate(128)(fuzz(1L, _)))).toDF("vec_id", "embedding")
+    val long2 = Seq((1L, Seq.tabulate(128)(j => if (j < 64) fuzz(1L, j) else -fuzz(1L, j))))
+      .toDF("vec_id", "embedding")
+    val s1 = long1.select(expr("graft_lsh_sig_any(embedding)")).collect()(0).getLong(0)
+    val s2 = long2.select(expr("graft_lsh_sig_any(embedding)")).collect()(0).getLong(0)
+    assert(s1 != s2, "dims beyond 64 must reach the generalized planes")
+  }
 }

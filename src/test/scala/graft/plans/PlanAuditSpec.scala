@@ -160,8 +160,9 @@ class PlanAuditSpec extends SparkSpec {
     // non-degenerate mass paired (coverage, not blanket exclusion).
     import org.apache.spark.sql.functions.{col, count, lit, max}
     import spark.implicits._
-    // 64-dim spread vectors (the testdata shape — graft_lsh_sig's planes
-    // span 64 dims; shorter inputs degenerate to sig 0 and can't split).
+    // 64-dim spread vectors (the testdata shape; the split key
+    // graft_lsh_sig_any spans any width — 32-dim split pinned in
+    // LlmOpsSpec).
     // Deterministic hash-style components: a smooth curve fixture clumps
     // into a few LSH arcs, which tests skew, not the split.
     def fuzz(i: Long, j: Int): Float = {
@@ -184,8 +185,9 @@ class PlanAuditSpec extends SparkSpec {
       case j: ShuffledHashJoinExec => j.leftKeys
       case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys
     }
-    assert(selfJoins.exists(_.size >= 2),
-      s"the pairwise self-join must key on (label, sub), not label alone:\n$phys")
+    assert(selfJoins.exists(_.size >= 3),
+      "the pairwise self-join must key on (label, sub, salt), not label " +
+        s"alone — sub bounds the cell, salt splits its pairwise block:\n$phys")
     // cell sizes come from agg+join, never a corpus window partitioned on
     // the data-sized label (single-task-per-label at 100 TB — the
     // pack_sequences lesson)
