@@ -37,9 +37,12 @@ object LlmOps {
   def hashSql(sExpr: String, seedExpr: String): String =
     s"cast(conv(substr(md5(concat($sExpr, ':', $seedExpr)), 1, 15), 16, 10) as bigint)"
 
-  /** Lower-cased whitespace tokens of `text`. */
+  /** Lower-cased whitespace tokens of `text`. Registers the graft_*
+    * functions as a side effect (it is the entry gateway for the text
+    * family, whose downstream columns use [[round6]]).
+    */
   def withWords(df: DataFrame): DataFrame =
-    df.withColumn("words", expr("split(lower(text), ' ')"))
+    ensureFns(df).withColumn("words", expr("split(lower(text), ' ')"))
 
   /** Word 3-gram shingles (docs shorter than 3 words shingle to the whole
     * text so every doc has ≥1 shingle).
@@ -267,8 +270,25 @@ object LlmOps {
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(array_distinct(a), array_distinct(b)))
     val union = size(array_distinct(a)) + size(array_distinct(b)) - inter
-    round(inter.cast("double") / union.cast("double"), 6)
+    round6(inter.cast("double") / union.cast("double"))
   }
+
+  /** 6-decimal round by plain double math ([[graft.functions.GraftRound]]),
+    * value-compatible with `round(c, 6)` away from the half-boundary knife
+    * edge (where Spark's BigDecimal path and the DuckDB oracle's own
+    * double-math round already disagree with each other). Used on every
+    * similarity-score column because Spark's `round` costs a BigDecimal
+    * conversion PER VALUE — on the pairwise hot path the SaltProbe anatomy
+    * measured it at more than the 64-dim dot product itself.
+    */
+  def round6(c: Column): Column = roundAt(c, 6)
+
+  /** [[round6]] at any literal scale (embed_quantize rounds at 9). The
+    * session must have the graft functions registered by evaluation time —
+    * every LlmOps entry point and [[withWords]] ensure that.
+    */
+  def roundAt(c: Column, scale: Int): Column =
+    call_function("graft_round", c, lit(scale))
 
   /** Exact dot product of two float-array columns, accumulated in double in
     * array order (portable across engines). Uses the native codegen'd
@@ -283,7 +303,7 @@ object LlmOps {
     * order differences in the last ulps).
     */
   def cosine(a: String, b: String): Column =
-    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+    round6(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))))
 
   /** Brute-force top-k cosine neighbors of one query vector (broadcast the
     * single-row query; the corpus is scanned once, never shuffled). The
@@ -429,7 +449,7 @@ object LlmOps {
           col("x.salt") === col("y.salt") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        round(dot("x.embedding", "y.embedding") / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
+        round6(dot("x.embedding", "y.embedding") / (col("x.nrm") * col("y.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
       .crossJoin(broadcast(cappedCellsCol(e, maxCell)))
   }
@@ -468,7 +488,7 @@ object LlmOps {
           col("x.salt") === col("y.salt") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        round(dot("x.embedding", "y.embedding") / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
+        round6(dot("x.embedding", "y.embedding") / (col("x.nrm") * col("y.nrm"))).as("cos"))
     // top-k via the graft_topk bounded-heap aggregate, NOT a window: the
     // window form shuffles and sorts the FULL pairwise set on `a` (at 1M
     // vectors / 1000-cells that is ~10^9 rows through one exchange). The
@@ -775,8 +795,8 @@ object LlmOps {
     val q = query.select(col("embedding").as("qv"))
     val probed = ivfCentroids(emb).crossJoin(broadcast(q))
       .select(col("label"),
-        round(expr("graft_dot(cvec, qv)") /
-          (sqrt(expr("graft_dot(cvec, cvec)")) * sqrt(expr("graft_dot(qv, qv)"))), 6)
+        round6(expr("graft_dot(cvec, qv)") /
+          (sqrt(expr("graft_dot(cvec, cvec)")) * sqrt(expr("graft_dot(qv, qv)"))))
           .as("ccos"))
       .orderBy(col("ccos").desc, col("label")).limit(nprobe)
     emb.join(broadcast(probed.select(col("label"))), "label")
@@ -953,7 +973,7 @@ object LlmOps {
       .groupBy(col(idCol), col("n_shingles"))
       .agg(count(lit(1)).as("n_shared"))
       .withColumn("contam_ratio",
-        round(col("n_shared").cast("double") / col("n_shingles").cast("double"), 6))
+        round6(col("n_shared").cast("double") / col("n_shingles").cast("double")))
       .withColumn("contaminated", col("contam_ratio") >= threshold)
   }
 
@@ -1054,7 +1074,7 @@ object LlmOps {
         .groupBy(col(idCol), col("n_shingles"))
         .agg(count(lit(1)).as("n_shared"))
         .withColumn("contam_ratio",
-          round(col("n_shared").cast("double") / col("n_shingles").cast("double"), 6))
+          round6(col("n_shared").cast("double") / col("n_shingles").cast("double")))
         .withColumn("contaminated", col("contam_ratio") >= threshold)
       if (materialize) { val p = out.persist(); p.count(); p } else out
     } finally { if (materialize) { benchGrams.unpersist(); () } }
@@ -1225,7 +1245,7 @@ object LlmOps {
         size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)")))
       .withColumn("stop_hits", expr("size(filter(words, w -> w in ('the', 'a')))"))
       .withColumn("stop_ratio",
-        round(col("stop_hits").cast("double") / col("n_tokens").cast("double"), 6))
+        round6(col("stop_hits").cast("double") / col("n_tokens").cast("double")))
       .withColumn("lang_guess", when(col("stop_hits") > 0, "en").otherwise("unk"))
       .withColumn("quality",
         col("n_tokens").between(10, 1000) && col("stop_ratio") < 0.5)

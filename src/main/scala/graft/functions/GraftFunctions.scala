@@ -97,6 +97,18 @@ object GraftFunctions {
         require(args.length == 1, "graft_lsh_sig_any takes (array<float|double>)")
         LshSigAny(args(0))
       }),
+    (FunctionIdentifier("graft_round"),
+      new ExpressionInfo(classOf[GraftRound].getName, "graft_round"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_round takes (double, int literal scale)")
+        val scale = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(i: Int,
+              org.apache.spark.sql.types.IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"graft_round scale must be an int literal (it is baked into codegen), got $other")
+        }
+        GraftRound(args(0), scale)
+      }),
     (FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_might_contain"),
       (args: Seq[Expression]) => {

@@ -441,8 +441,8 @@ object LlmQueries {
           size(col("shingles")).as("n_grams"),
           size(array_distinct(col("shingles"))).as("n_distinct"))
         .withColumn("rep_ratio",
-          round((col("n_grams") - col("n_distinct")).cast("double") /
-            col("n_grams").cast("double"), 6))
+          LlmOps.round6((col("n_grams") - col("n_distinct")).cast("double") /
+            col("n_grams").cast("double")))
         .withColumn("repetitive", col("rep_ratio") > 0.05)
         .orderBy(col("doc_id"))),
 
@@ -502,15 +502,15 @@ object LlmQueries {
       LlmOps.withWords(t(s, d, "documents"))
         .withColumn("n_tokens", size(col("words")))
         .withColumn("mean_wlen",
-          round(octet_length(concat_ws("", col("words"))).cast("double") /
-            col("n_tokens").cast("double"), 6))
+          LlmOps.round6(octet_length(concat_ws("", col("words"))).cast("double") /
+            col("n_tokens").cast("double")))
         .withColumn("stop_ratio",
-          round(expr("size(filter(words, w -> w in ('the', 'a')))").cast("double") /
-            col("n_tokens").cast("double"), 6))
+          LlmOps.round6(expr("size(filter(words, w -> w in ('the', 'a')))").cast("double") /
+            col("n_tokens").cast("double")))
         .withColumn("symbol_ratio",
-          round((octet_length(col("text")) -
+          LlmOps.round6((octet_length(col("text")) -
             octet_length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).cast("double") /
-            octet_length(col("text")).cast("double"), 6))
+            octet_length(col("text")).cast("double")))
         .withColumn("fail_rule",
           when(!col("n_tokens").between(20, 90), "token_count")
             .when(!col("mean_wlen").between(2.0, 12.0), "word_length")
@@ -538,15 +538,15 @@ object LlmQueries {
     // referenced inside a lambda body would otherwise be re-inlined per
     // element).
     "embed_quantize" -> ((s, d) =>
-      t(s, d, "embeddings")
+      { graft.functions.GraftFunctions.ensure(s); t(s, d, "embeddings") }
         .withColumn("scale", expr(
           "greatest(array_max(transform(embedding, v -> abs(cast(v as double)))) / 127.0, 1e-30d)"))
         .withColumn("codes", expr(
           "transform(embedding, v -> cast(floor(cast(v as double) / scale + 0.5d) as int))"))
         .select(col("vec_id"),
-          round(col("scale"), 9).as("scale_r"),
+          LlmOps.roundAt(col("scale"), 9).as("scale_r"),
           expr("aggregate(codes, 0, (acc, c) -> acc + c)").as("code_sum"),
-          round(expr(
+          LlmOps.roundAt(expr(
             "array_max(zip_with(codes, embedding, (c, v) -> abs(c * scale - cast(v as double))))"),
             9).as("max_err"),
           size(col("codes")).as("dim"))

@@ -44,8 +44,8 @@ object IngestPipeline {
     LlmOps.withWords(docs)
       .withColumn("n_tokens", size(col("words")))
       .withColumn("stop_ratio",
-        round(expr("size(filter(words, w -> w in ('the', 'a')))").cast("double") /
-          col("n_tokens").cast("double"), 6))
+        LlmOps.round6(expr("size(filter(words, w -> w in ('the', 'a')))").cast("double") /
+          col("n_tokens").cast("double")))
       .withColumn("passes",
         col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
           col("stop_ratio") < cfg.maxStopRatio)

@@ -41,6 +41,30 @@ object SaltProbe {
       .filter(l => l.contains("Exchange") || l.contains("SortMergeJoin")
         || l.contains("AQEShuffleRead") || l.contains("ShuffledHashJoin"))
       .mkString("\n"))
+
+    // cost anatomy of one pairwise pass (salted, default chunk): is the
+    // time in pair ENUMERATION, the dot product, or round()'s BigDecimal?
+    import org.apache.spark.sql.functions.{col, count, expr, lit, sqrt, sum}
+    import graft.functions.GraftFunctions
+    GraftFunctions.ensure(spark)
+    def pairSides() = {
+      val cells = LlmOps.withPairCells(
+        e.select(col("vec_id"), col("label"), col("embedding")), 4096)
+        .withColumn("nrm", sqrt(expr("graft_dot(embedding, embedding)")))
+      val kept = cells.filter(col("bucket_n") <= 4096)
+      LlmOps.withPairSalt(kept, 512)
+    }
+    def joined = { val (xs, ys) = pairSides()
+      xs.as("x").join(ys.as("y"),
+        col("x.label") === col("y.label") && col("x.sub") === col("y.sub") &&
+          col("x.salt") === col("y.salt") && col("x.vec_id") =!= col("y.vec_id")) }
+    def agg1(c: org.apache.spark.sql.Column): Unit =
+      noop(joined.agg(c.as("v")))
+    println(f"enumerate only               ${med(3)(agg1(count(lit(1))))}%.3f s")
+    println(f"+ dot                        ${med(3)(agg1(sum(expr("graft_dot(x.embedding, y.embedding)"))))}%.3f s")
+    println(f"+ dot/nrm (no round)         ${med(3)(agg1(sum(expr("graft_dot(x.embedding, y.embedding)") / (col("x.nrm") * col("y.nrm")))))}%.3f s")
+    println(f"+ round(dot/nrm, 6)          ${med(3)(agg1(sum(org.apache.spark.sql.functions.round(expr("graft_dot(x.embedding, y.embedding)") / (col("x.nrm") * col("y.nrm")), 6))))}%.3f s")
+    println(f"+ graft_round(dot/nrm, 6)    ${med(3)(agg1(sum(org.apache.spark.sql.functions.call_function("graft_round", expr("graft_dot(x.embedding, y.embedding)") / (col("x.nrm") * col("y.nrm")), org.apache.spark.sql.functions.lit(6)))))}%.3f s")
     spark.stop()
   }
 }
