@@ -1241,8 +1241,10 @@ object LlmOps {
   def textStats(docs: DataFrame): DataFrame =
     withShingles(withWords(ensureFns(docs)))
       .withColumn("n_tokens", size(col("words")))
-      .withColumn("n_tokens_re",
-        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)")))
+      // graft_retoken_count == size(regexp_extract_all(text,
+      // '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)) (spec-pinned) without
+      // allocating the token array per row
+      .withColumn("n_tokens_re", expr("graft_retoken_count(text)"))
       .withColumn("stop_hits", expr("size(filter(words, w -> w in ('the', 'a')))"))
       .withColumn("stop_ratio",
         round6(col("stop_hits").cast("double") / col("n_tokens").cast("double")))

@@ -97,6 +97,18 @@ object GraftFunctions {
         require(args.length == 1, "graft_lsh_sig_any takes (array<float|double>)")
         LshSigAny(args(0))
       }),
+    (FunctionIdentifier("graft_retoken_count"),
+      new ExpressionInfo(classOf[RetokenCount].getName, "graft_retoken_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_retoken_count takes (string)")
+        RetokenCount(args(0))
+      }),
+    (FunctionIdentifier("graft_symbol_bytes"),
+      new ExpressionInfo(classOf[SymbolBytes].getName, "graft_symbol_bytes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_symbol_bytes takes (string)")
+        SymbolBytes(args(0))
+      }),
     (FunctionIdentifier("graft_round"),
       new ExpressionInfo(classOf[GraftRound].getName, "graft_round"),
       (args: Seq[Expression]) => {

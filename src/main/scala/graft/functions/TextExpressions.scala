@@ -14,6 +14,59 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextOps {
 
+  /** UTF-8 bytes belonging to characters OUTSIDE [A-Za-z0-9 ] — the
+    * symbol-ratio numerator ([[SymbolBytes]]). Byte-level counting is
+    * exactly `octet_length(s) - octet_length(regexp_replace(s,
+    * '[^A-Za-z0-9 ]', ''))`: every byte of a multi-byte character is
+    * ≥ 0x80 (so the whole character's bytes count, as the regex removes
+    * them all) and class members are single ASCII bytes. One branchy pass,
+    * no regex engine, no stripped-string allocation — the TextProbe
+    * anatomy measured the regexp_replace form at 3.3 s of
+    * text_quality_filter's 6.4 s at sf1.
+    */
+  def symbolBytes(s: UTF8String): Int = {
+    val n = s.numBytes()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      val keep = b == 32 || (b >= 48 && b <= 57) ||
+        (b >= 65 && b <= 90) || (b >= 97 && b <= 122)
+      if (!keep) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Count of matches of `[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]` — the BPE-ish
+    * token count ([[RetokenCount]]), without materializing the token array
+    * `regexp_extract_all` builds per row. The alternation is a three-case
+    * state machine over code points, exactly as the regex engines (Java
+    * util.regex for Spark, RE2 for the DuckDB oracle — both code-point
+    * semantics for character classes) scan it left to right: a maximal
+    * ASCII-letter run counts once, each ASCII digit counts once, every
+    * other non-space code point counts once, spaces separate. UTF-8
+    * continuation bytes ((b & 0xC0) == 0x80) are skipped so a multi-byte
+    * character counts once at its lead byte.
+    */
+  def retokenCount(s: UTF8String): Int = {
+    val n = s.numBytes()
+    var c = 0
+    var inLetters = false
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if ((b >= 65 && b <= 90) || (b >= 97 && b <= 122)) {
+        if (!inLetters) { c += 1; inLetters = true }
+      } else {
+        inLetters = false
+        if (b != 32 && (b & 0xc0) != 0x80) c += 1 // digit, symbol, or lead byte
+      }
+      i += 1
+    }
+    c
+  }
+
   /** md5-prefix hash of every char k-gram of `s`, one pass over the utf-8
     * bytes: char-start offsets are computed incrementally (no per-gram
     * substring objects, no quadratic utf-8 re-scans), each gram hashed
@@ -548,5 +601,61 @@ case class Simhash64(child: Expression)
     defineCodeGen(ctx, ev, arr => s"graft.functions.TextOps.simhash64($arr)")
 
   override protected def withNewChildInternal(newChild: Expression): Simhash64 =
+    copy(child = newChild)
+}
+
+/** `graft_symbol_bytes(text)` → int: UTF-8 bytes of characters outside
+  * [A-Za-z0-9 ] (see [[TextOps.symbolBytes]]) — the symbol-ratio numerator
+  * of the quality gate, value-identical to the
+  * `octet_length(s) - octet_length(regexp_replace(s, '[^A-Za-z0-9 ]', ''))`
+  * formulation it replaces (spec-pinned) without the per-row regex engine
+  * and stripped-string allocation. Null in → null out.
+  */
+case class SymbolBytes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_symbol_bytes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_symbol_bytes requires string, got $t")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    TextOps.symbolBytes(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextOps.symbolBytes($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): SymbolBytes =
+    copy(child = newChild)
+}
+
+/** `graft_retoken_count(text)` → int: matches of the token alternation
+  * `[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]` (see [[TextOps.retokenCount]]) —
+  * value-identical to `size(regexp_extract_all(text, …, 0))` (spec-pinned)
+  * without allocating the extracted-token array per row. Null in → null out.
+  */
+case class RetokenCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_retoken_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_retoken_count requires string, got $t")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    TextOps.retokenCount(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextOps.retokenCount($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): RetokenCount =
     copy(child = newChild)
 }

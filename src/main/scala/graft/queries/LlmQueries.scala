@@ -507,9 +507,12 @@ object LlmQueries {
         .withColumn("stop_ratio",
           LlmOps.round6(expr("size(filter(words, w -> w in ('the', 'a')))").cast("double") /
             col("n_tokens").cast("double")))
+        // graft_symbol_bytes == octet_length(text) - octet_length(
+        // regexp_replace(text, '[^A-Za-z0-9 ]', '')) (spec-pinned), minus
+        // the per-row regex engine — TextProbe measured the regex form at
+        // half this query's sf1 runtime
         .withColumn("symbol_ratio",
-          LlmOps.round6((octet_length(col("text")) -
-            octet_length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).cast("double") /
+          LlmOps.round6(expr("graft_symbol_bytes(text)").cast("double") /
             octet_length(col("text")).cast("double")))
         .withColumn("fail_rule",
           when(!col("n_tokens").between(20, 90), "token_count")

@@ -174,4 +174,55 @@ class TextExpressionsSpec extends SparkSpec {
     intercept[Exception] { arr.select(expr("graft_sliding_min(a, 0)")).collect() }
     intercept[Exception] { arr.select(expr("graft_minhash(a, 0)")).collect() }
   }
+
+  test("graft_symbol_bytes equals the regexp_replace byte-difference form") {
+    // adversarial class coverage: multi-byte chars (every byte must count),
+    // boundary ASCII codes around the kept ranges, empty string, all-kept,
+    // all-symbols — then the full sf0.01 documents corpus
+    val fixtures = (texts ++ Seq(
+      "", "    ", "@[`{/:0aZz9 A", "\t\n", "é", "漢", "a漢b!c",
+      "")).toDF("text")
+    val cmp = fixtures.union(
+        spark.read.parquet(s"${sf("sf0.01")}/documents.parquet").select(col("text")))
+      .select(
+        expr("graft_symbol_bytes(text)").as("native"),
+        (octet_length(col("text")) -
+          octet_length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).as("regex"))
+    assert(cmp.filter(col("native") =!= col("regex")).count() == 0)
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(expr("graft_symbol_bytes(text)")).collect().head
+    assert(n.isNullAt(0))
+    // plan assert on the parquet scan — the literal fixture constant-folds
+    // into a LocalTableScan with no codegen span at all
+    val plan = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+      .select(expr("graft_symbol_bytes(text)").as("b"))
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[graft_symbol_bytes""".r.findFirstIn(plan).isDefined,
+      s"expected graft_symbol_bytes inside a codegen span:\n$plan")
+  }
+
+  test("graft_retoken_count equals size(regexp_extract_all(...)) token counting") {
+    // the alternation's cases: maximal letter runs, per-digit, per-symbol,
+    // per-non-ASCII code point (incl. a 4-byte supplementary char — one
+    // match in both engines' code-point semantics), space separation,
+    // empty string, leading/trailing runs
+    val fixtures = (texts ++ Seq(
+      "", "    ", "abc123 x!y", "a1b2c3", "!!!", "é é", "漢字12ab",
+      "😀 emoji4byte", "ends with letters", "7")).toDF("text")
+    val cmp = fixtures.union(
+        spark.read.parquet(s"${sf("sf0.01")}/documents.parquet").select(col("text")))
+      .select(
+        expr("graft_retoken_count(text)").as("native"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0))).as("regex"))
+    assert(cmp.filter(col("native") =!= col("regex")).count() == 0)
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(expr("graft_retoken_count(text)")).collect().head
+    assert(n.isNullAt(0))
+    val plan = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+      .select(expr("graft_retoken_count(text)").as("c"))
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[graft_retoken_count""".r.findFirstIn(plan).isDefined,
+      s"expected graft_retoken_count inside a codegen span:\n$plan")
+  }
 }
