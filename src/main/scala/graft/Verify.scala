@@ -19,7 +19,7 @@ object Verify {
       // Deliberately NO spark.sql.extensions and NO nanosAsLong flag: this
       // is the "external driver with a vanilla session" posture — graft_*
       // functions self-register at query time (GraftFunctions.ensure) and
-      // events reads via an explicit schema (Common.eventsSchema).
+      // events reads via shape detection (Common.events).
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

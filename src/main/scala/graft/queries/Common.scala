@@ -29,12 +29,13 @@ object Common {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events.parquet schema, declared explicitly because `ts` is
-    * TIMESTAMP(NANOS) — a parquet type Spark 4's schema inference rejects
-    * outright (PARQUET_TYPE_ILLEGAL) unless the session-wide
-    * spark.sql.legacy.parquet.nanosAsLong flag is set. Declaring `ts` as
-    * LongType reads the raw nanos int64 directly, with no session conf
-    * required — an external driver's vanilla SparkSession works as-is.
+  /** events.parquet raw-int64 schema, for the two `ts` shapes Spark 4's
+    * schema inference can't read as a timestamp: parquet TIMESTAMP(NANOS)
+    * (inference rejects it outright — PARQUET_TYPE_ILLEGAL — unless the
+    * session-wide spark.sql.legacy.parquet.nanosAsLong flag is set) and the
+    * GenSf tiers' plain int64 nanos. Declaring `ts` as LongType reads the
+    * raw nanos int64 directly, with no session conf required — an external
+    * driver's vanilla SparkSession works as-is.
     */
   val eventsSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
@@ -49,15 +50,49 @@ object Common {
 
   /** events with `ts` normalized: `ts_us` (epoch micros, matches DuckDB
     * epoch_us(ts)) and `ts` re-typed as a µs TimestampType for
-    * window()/to_date(). `div` (integer division) — a double division would
-    * lose precision above 2^53 ns.
+    * window()/to_date() — whatever the on-disk shape ([[eventsRawUs]]).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
-    s.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    eventsRawUs(s, s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
+
+  /** events with `ts_us` (int64 epoch micros) attached and `ts` left in its
+    * on-disk type. The testdata has shipped `ts` in three shapes across
+    * rounds — parquet TIMESTAMP(NANOS), TIMESTAMP(MICROS), and the GenSf
+    * tiers' plain int64 nanos — so the shape is detected from the file
+    * footer (driver-side only, no job): a µs/ns timestamp type reads
+    * natively; int64-backed shapes read through [[eventsSchema]] with
+    * `ts div 1000` (integer division — a double division would lose
+    * precision above 2^53 ns).
+    */
+  private def eventsRawUs(s: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val inferred =
+      try s.read.parquet(path).schema.find(_.name == "ts").map(_.dataType)
+      catch { case _: Throwable => None } // TIMESTAMP(NANOS): inference rejects
+    inferred match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        // native µs timestamp (NTZ cast is wall-clock-preserving: sessions
+        // here are UTC-pinned, same convention as usOf)
+        s.read.parquet(path)
+          .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      case _ =>
+        s.read.schema(eventsSchema).parquet(path)
+          .withColumn("ts_us", expr("ts div 1000"))
+    }
+  }
+
+  /** events in the raw-int64-NANOS shape ([[eventsSchema]]'s contract) from
+    * any on-disk shape — what [[graft.tools.GenSf]] writes, so generated
+    * tiers always carry the BIGINT-nanos form regardless of the source
+    * tier's shape (and the oracle harness's BIGINT shim keeps working).
+    */
+  def eventsRawNanos(s: SparkSession, path: String): DataFrame =
+    eventsRawUs(s, path)
+      .withColumn("ts", col("ts_us") * lit(1000L))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
 
   /** Epoch-micros of a TIMESTAMP_NTZ column (testdata dates are NTZ;
     * unix_micros only takes TIMESTAMP — with the session in UTC the cast is

@@ -49,13 +49,14 @@ object GenSf {
   }
 
   def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
-    // events.ts is parquet TIMESTAMP(NANOS) — Spark 4 inference rejects it;
-    // read through the same explicit raw-nanos schema Common.events uses.
-    // The scaled copy then carries ts as plain int64 nanos, which that
-    // schema reads identically.
+    // events.ts ships in different shapes across testdata rounds
+    // (TIMESTAMP(NANOS)/(MICROS), int64 nanos) — normalize through
+    // Common.eventsRawNanos so the generated tier ALWAYS carries plain
+    // int64 nanos, the one shape every consumer (Common.events, the
+    // oracle harness's BIGINT shim) already handles.
     def rd(t: String): DataFrame =
       if (t == "events")
-        spark.read.schema(graft.queries.Common.eventsSchema).parquet(s"$src/$t.parquet")
+        graft.queries.Common.eventsRawNanos(spark, s"$src/$t.parquet")
       else spark.read.parquet(s"$src/$t.parquet")
     def stride(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head().getLong(0) + 1L
