@@ -1253,4 +1253,208 @@ object LlmOps {
         col("n_tokens").between(10, 1000) && col("stop_ratio") < 0.5)
       .withColumn("fingerprint",
         expr("array_min(graft_hash_array(shingles, ':fp', 15))"))
+
+  // ---- trained IVF: spherical k-means (Lloyd) over the embedding corpus ----
+
+  /** Deterministic spherical k-means: `c` centroids refined by `iters` Lloyd
+    * iterations with COSINE assignment (the metric the search family ranks
+    * by — classic spherical k-means). Everything is engine-portable:
+    * seeding is the `c` smallest `vec_id`s (no RNG), assignment breaks ties
+    * on the smallest `cid`, and centroid updates go through DECIMAL sums
+    * (the [[ivfCentroids]] construction) so the trained index is exact and
+    * partitioning-independent.
+    *
+    * Scale shape: each iteration is one corpus scan against a broadcast of
+    * `c` centroid rows (per-vector cost = c dot products — the k-means cost
+    * model) plus one (cid, pos) partial-sum shuffle whose output is c×dim
+    * rows. Nothing in the plan is corpus-quadratic and no window touches
+    * the corpus; total cost is iters × scan, linear at any corpus size.
+    * This is the TRAINED alternative to [[ivfCentroids]], which trusts a
+    * data-provided cluster label; here the cells are learned from the
+    * vectors themselves, so the operator works on unlabeled corpora.
+    */
+  def kmeansCentroids(emb0: DataFrame, c: Int, iters: Int): DataFrame = {
+    val emb = kmeansInput(emb0)
+    var cents = kmeansSeed(emb, c)
+    for (_ <- 1 to iters)
+      cents = updateCentroids(assignCells(emb, cents))
+    cents
+  }
+
+  /** Normed, zero-norm-free corpus view (cosine is undefined on zero
+    * vectors — excluded up front, same contract as [[knnJoin]]).
+    */
+  private def kmeansInput(emb0: DataFrame): DataFrame =
+    ensureFns(emb0).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(dot("embedding", "embedding")))
+      .filter(col("nrm") > 0)
+
+  /** Seed centroids: the `c` smallest vec_ids, cid = rank. The rank window
+    * runs over the already-limited c-row frame — bounded by construction,
+    * never the corpus.
+    */
+  private def kmeansSeed(emb: DataFrame, c: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    emb.orderBy(col("vec_id")).limit(c)
+      .select((row_number().over(w) - 1).as("cid"),
+        col("embedding").cast("array<double>").as("cvec"))
+  }
+
+  /** Centroids + norm, zero-norm cells dropped (an empty/degenerate cell
+    * cannot rank by cosine; deterministic on both engines).
+    */
+  private def withCnorm(cents: DataFrame): DataFrame =
+    cents.withColumn("cnrm", sqrt(expr("graft_dot(cvec, cvec)")))
+      .filter(col("cnrm") > 0)
+
+  /** Hard assignment: argmax cosine over the broadcast centroid table, tie
+    * broken on the smallest cid via a single max(struct) aggregate — the
+    * struct compares (ccos, -cid) first, so the embedding payload rides
+    * along without ever being compared (cids are distinct). Partial-agg
+    * friendly: the per-vector argmax combines map-side.
+    */
+  private[graft] def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = emb.crossJoin(broadcast(withCnorm(cents)))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        round6(dot("embedding", "cvec") / (col("nrm") * col("cnrm"))).as("ccos"))
+    scored.groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"),
+        col("nrm").as("n0"), col("embedding").as("e"))).as("m"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cid"),
+        col("m.e").as("embedding"), col("m.n0").as("nrm"))
+  }
+
+  /** One Lloyd update: per-cell element-wise mean through DECIMAL partial
+    * sums (exact, partitioning-independent — the [[ivfCentroids]] rule).
+    */
+  private def updateCentroids(assigned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    assigned.select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") / count(lit(1))).as("cval"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cval))), x -> x.cval)").as("cvec"))
+  }
+
+  /** Final (vec_id, cid, embedding, nrm) assignment under the trained
+    * centroids — the index an IVF search probes.
+    */
+  def kmeansAssignments(emb0: DataFrame, c: Int, iters: Int): DataFrame =
+    assignCells(kmeansInput(emb0), kmeansCentroids(emb0, c, iters))
+
+  /** IVF search over TRAINED cells ([[kmeansCentroids]]), same two-stage
+    * shape as [[ivfSearch]]: rank the c trained centroids against the
+    * broadcast query, probe the best `nprobe` cells, exact-search only the
+    * vectors assigned to them. The accuracy/cost dial and the plan shape
+    * (corpus scanned, never shuffled except the bounded training aggs) are
+    * identical to the label-cell form — but needs no label column.
+    */
+  def ivfSearchKmeans(emb0: DataFrame, query: DataFrame, c: Int, iters: Int,
+                      nprobe: Int, k: Int): DataFrame = {
+    val emb = kmeansInput(emb0)
+    val cents = kmeansCentroids(emb0, c, iters)
+    val q = query.select(col("embedding").as("qv"))
+    val probed = withCnorm(cents).crossJoin(broadcast(q))
+      .select(col("cid"),
+        round6(expr("graft_dot(cvec, qv)") /
+          (col("cnrm") * sqrt(expr("graft_dot(qv, qv)")))).as("ccos"))
+      .orderBy(col("ccos").desc, col("cid")).limit(nprobe)
+    assignCells(emb, cents)
+      .join(broadcast(probed.select(col("cid"))), "cid")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cid"),
+        round6(dot("embedding", "qv") / (col("nrm") * sqrt(dot("qv", "qv")))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+  }
+
+  // ---- char-n-gram LM quality scoring (the CCNet-style LM filter) ----
+
+  /** Per-document language-model quality score: average log10 probability
+    * of the document's char trigrams under the corpus's own trigram
+    * distribution, with the model truncated to the `vocabK` most frequent
+    * grams (ties broken on the gram hash) and out-of-vocabulary grams
+    * floored at half a count — the classic quality signal a CCNet-style
+    * filter thresholds on (boilerplate scores high, alphabet soup low).
+    *
+    * Scale shape: gram extraction is the narrow codegen'd graft_gram_hash
+    * pass (no gram strings materialized); the count table is bounded by the
+    * trigram-hash vocabulary (charset³, NOT corpus size); the scoring join
+    * broadcasts only the top-`vocabK` rows (bounded by construction); the
+    * per-doc average shuffles on doc_id. No corpus-sized build side exists
+    * at any scale. The per-doc avg sums doubles in partition order —
+    * round6 buffers the reordering noise (≤1e-11 at 10⁴ grams/doc, five
+    * orders under the rounding step).
+    */
+  def lmScore(docs: DataFrame, vocabK: Int = 4096): DataFrame = {
+    val g = ensureFns(docs)
+      .select(col("doc_id"), explode(expr("graft_gram_hash(text, 3, ':lm', 15)")).as("h"))
+    val counts = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).cast("double").as("n"))
+    val vocab = counts.orderBy(col("c").desc, col("h")).limit(vocabK)
+    g.join(broadcast(vocab), Seq("h"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        coalesce(log10(col("c").cast("double") / col("n")),
+          log10(lit(0.5) / col("n"))).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), round6(avg(col("logp"))).as("avg_logp"))
+  }
+
+  // ---- incremental dedup against a persisted signature store ----
+
+  /** Write the corpus MinHash signature store: (id, sig) parquet at `path`.
+    * Computed ONCE per corpus snapshot; every later increment probes the
+    * store ([[incrementalDupes]]) without re-shingling a byte of corpus
+    * text — at 100 TB this is the difference between a per-batch corpus
+    * pass and a per-batch BATCH pass. The store is fingerprint-only
+    * (k int64s per doc, ~100 bytes/row): ~10⁻⁴ of the text it indexes.
+    */
+  def writeSignatureStore(docs: DataFrame, idCol: String, path: String,
+                          k: Int = 8): Unit = {
+    val sh = shingleTable(docs, idCol)
+    try withMinhashSig(sh, k).select(col(idCol), col("sig"))
+      .write.mode("overwrite").parquet(path)
+    finally { sh.unpersist(); () }
+  }
+
+  /** Near-duplicates of a NEW BATCH against the stored corpus signatures:
+    * band the store (integer work only — no corpus text touched), shingle
+    * and band the batch (the increment is the only side that pays text
+    * cost), equi-join on the band hash, then exact-Jaccard verify that
+    * re-shingles ONLY candidate corpus docs — the corpus side is
+    * semi-joined down to candidates BEFORE any text expression, so the
+    * verify text pass is candidate-proportional, not corpus-proportional.
+    *
+    * Output: (a = batch id, b = corpus id, jac) for pairs with exact
+    * n-gram Jaccard ≥ `threshold`. Eagerly materialized like
+    * [[minhashCandidatesFrom]]: the result is duplicate-proportional
+    * (small); the shingle/band intermediates it derives from are released
+    * here instead of squatting on executor storage.
+    */
+  def incrementalDupes(corpus: DataFrame, batch: DataFrame, idCol: String,
+                       storePath: String, threshold: Double, k: Int = 8,
+                       bands: Int = 4, r: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val store = ensureFns(spark.read.parquet(storePath))
+    val sBand = withBandHashes(store, bands, r)
+      .select(col(idCol).as("b"), explode(col("bands")).as("band"))
+    val bSh = shingleTable(batch, idCol)
+    val bBand = withBandHashes(withMinhashSig(bSh, k), bands, r)
+      .select(col(idCol).as("a"), explode(col("bands")).as("band"))
+    val cand = bBand.join(sBand, "band").select(col("a"), col("b")).distinct()
+    // verify: the corpus pays text cost only for candidate docs
+    val candCorpus = corpus.join(cand.select(col("b")),
+      corpus(idCol) === col("b"), "left_semi")
+    val cSh = shingleTable(candCorpus, idCol)
+    val out = cand
+      .join(bSh.select(col(idCol).as("a"), col("shingles").as("sa")), "a")
+      .join(cSh.select(col(idCol).as("b"), col("shingles").as("sb")), "b")
+      .select(col("a"), col("b"), jaccard(col("sa"), col("sb")).as("jac"))
+      .filter(col("jac") >= threshold)
+      .persist()
+    out.count() // materialize BEFORE dropping the caches it derives from
+    bSh.unpersist()
+    cSh.unpersist()
+    out
+  }
 }

@@ -561,7 +561,52 @@ object LlmQueries {
         .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"), "inner")
         .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
           size(col("embedding")).as("dim"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // spherical k-means training summary: per trained cell, the assigned
+    // population and the centroid norm — the index-build step of the
+    // trained-IVF family (sim_search_ivf trusts the data's label column;
+    // this learns cells from the vectors, so unlabeled corpora work too)
+    "ivf_train_kmeans" -> ((s, d) => {
+      val e = t(s, d, "embeddings").filter(col("vec_id") =!= 0)
+      val cents = LlmOps.kmeansCentroids(e, c = 4, iters = 2)
+      LlmOps.kmeansAssignments(e, c = 4, iters = 2)
+        .groupBy(col("cid")).agg(count(lit(1)).as("n_assigned"))
+        .join(cents, "cid")
+        .select(col("cid"),
+          col("n_assigned"),
+          LlmOps.round6(sqrt(expr("graft_dot(cvec, cvec)"))).as("cnorm"))
+        .orderBy(col("cid"))
+    }),
+
+    // IVF ANN over TRAINED cells: k-means (c=4, 2 Lloyd iterations) →
+    // probe best 2 trained cells → exact search inside them
+    "sim_search_ivf_kmeans" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      LlmOps.ivfSearchKmeans(e.filter(col("vec_id") =!= 0),
+        e.filter(col("vec_id") === 0), c = 4, iters = 2, nprobe = 2, k = 10)
+    }),
+
+    // char-trigram LM quality score (the CCNet-style filter signal): avg
+    // log10 gram probability under the corpus's own trigram model,
+    // truncated to the top-1024 grams, OOV floored at half a count
+    "quality_lm_score" -> ((s, d) =>
+      LlmOps.lmScore(t(s, d, "documents"), vocabK = 1024)
+        .orderBy(col("doc_id"))),
+
+    // incremental dedup: corpus signatures persisted ONCE to a parquet
+    // signature store; the new batch (the injected twins) is the only side
+    // that pays text cost — it probes the store's band table, and the
+    // exact-Jaccard verify re-shingles only candidate corpus docs
+    "dedup_incremental" -> ((s, d) => {
+      val all = docsWithDups(t(s, d, "documents"))
+      val corpus = all.filter(col("doc_id") < 100000L)
+      val batch = all.filter(col("doc_id") >= 100000L)
+      val store = scratch("dedup_incremental_sigstore", d)
+      LlmOps.writeSignatureStore(corpus, "doc_id", store)
+      LlmOps.incrementalDupes(corpus, batch, "doc_id", store, threshold = 0.5)
+        .orderBy(col("a"), col("b"))
+    })
   )
 
   /** DuckDB mirror of LlmOps.ivfSearch (nprobe=2, k=10, query = vec 0). */
@@ -587,6 +632,49 @@ object LlmQueries {
                  * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS cos
        FROM emb e JOIN probed USING (label), q
        ORDER BY cos DESC, vec_id LIMIT 10"""
+
+  // ---- DuckDB mirror of the spherical k-means chain (LlmOps.kmeansCentroids
+  // at c=4, iters=2 over the non-query vectors). One assignment step: round6
+  // cosine vs every live centroid, argmax with ties to the smallest cid
+  // (row_number mirrors Spark's max(struct(ccos, -cid))). One update step:
+  // DECIMAL-exact element-wise mean (the ivfCentroids construction).
+
+  private def duckKmeansAssign(i: Int, prevCent: String): String =
+    s"""s$i AS (SELECT m.vec_id, c.cid,
+                  round(list_dot_product(m.e, c.cvec) /
+                        (m.nrm * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS ccos
+           FROM emb m CROSS JOIN (SELECT * FROM $prevCent
+                  WHERE sqrt(list_dot_product(cvec, cvec)) > 0) c),
+        a$i AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY ccos DESC, cid) AS rn
+                  FROM s$i) WHERE rn = 1)"""
+
+  private def duckKmeansUpdate(i: Int): String =
+    s"""p$i AS (SELECT a$i.cid, generate_subscripts(m.e, 1) AS pos, unnest(m.e) AS v
+           FROM a$i JOIN emb m USING (vec_id)),
+        c$i AS (SELECT cid, pos,
+                  CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS cval
+           FROM p$i GROUP BY 1, 2),
+        cent$i AS (SELECT cid, list(cval ORDER BY pos) AS cvec FROM c$i GROUP BY 1)"""
+
+  /** CTE chain ending in `cent2` (trained centroids) and `a3` (the final
+    * vec_id → cid assignment under them). Seed = the 4 smallest vec_ids.
+    */
+  private lazy val duckKmeansChain: String =
+    s"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings
+           WHERE vec_id <> 0
+             AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0),
+        cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS cvec
+           FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 4)),
+        ${duckKmeansAssign(1, "cent0")},
+        ${duckKmeansUpdate(1)},
+        ${duckKmeansAssign(2, "cent1")},
+        ${duckKmeansUpdate(2)},
+        ${duckKmeansAssign(3, "cent2")}"""
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -966,6 +1054,62 @@ object LlmQueries {
     "multimodal_cols" ->
       """SELECT doc_id, lang, n_chars, label, len(embedding) AS dim
          FROM documents JOIN embeddings ON doc_id = vec_id
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    "ivf_train_kmeans" ->
+      s"""WITH $duckKmeansChain,
+          cnt AS (SELECT cid, count(*) AS n_assigned FROM a3 GROUP BY 1)
+          SELECT cnt.cid, cnt.n_assigned,
+                 round(sqrt(list_dot_product(c2.cvec, c2.cvec)), 6) AS cnorm
+          FROM cnt JOIN cent2 c2 USING (cid)
+          ORDER BY cid""",
+    "sim_search_ivf_kmeans" ->
+      s"""WITH $duckKmeansChain,
+          q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+          probed AS (SELECT cid,
+                       round(list_dot_product(c2.cvec, q.qv) /
+                             (sqrt(list_dot_product(c2.cvec, c2.cvec))
+                              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS ccos
+                     FROM cent2 c2 CROSS JOIN q
+                     WHERE sqrt(list_dot_product(c2.cvec, c2.cvec)) > 0
+                     ORDER BY ccos DESC, cid LIMIT 2)
+          SELECT m.vec_id, a3.cid,
+                 round(list_dot_product(m.e, q.qv) /
+                       (m.nrm * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+          FROM a3 JOIN probed USING (cid) JOIN emb m USING (vec_id) CROSS JOIN q
+          ORDER BY cos DESC, vec_id LIMIT 10""",
+    "quality_lm_score" ->
+      """WITH g AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, length(text) - 2),
+                        i -> ('0x' || substr(md5(substr(text, i, 3) || ':lm'), 1, 15))::BIGINT)) AS h
+                    FROM documents),
+         cnt AS (SELECT h, count(*) AS c FROM g GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt),
+         vocab AS (SELECT h, c FROM cnt ORDER BY c DESC, h LIMIT 1024),
+         scored AS (SELECT g.doc_id,
+                      coalesce(log10(v.c::DOUBLE / t.n), log10(0.5 / t.n)) AS logp
+                    FROM g LEFT JOIN vocab v USING (h) CROSS JOIN tot t)
+         SELECT doc_id, count(*) AS n_grams, round(avg(logp), 6) AS avg_logp
+         FROM scored GROUP BY 1 ORDER BY doc_id""",
+    "dedup_incremental" ->
+      s"""WITH all_docs AS ($docsDupSql),
+          cd AS (SELECT * FROM all_docs WHERE doc_id < 100000),
+          nd AS (SELECT * FROM all_docs WHERE doc_id >= 100000),
+          ${duckLshChain("cd", "c")},
+          ${duckLshChain("nd", "n")},
+          cand AS (SELECT DISTINCT nb.doc_id AS a, cb.doc_id AS b
+                   FROM nbands nb JOIN cbands cb USING (band))
+          SELECT cand.a, cand.b,
+                 round(len(list_intersect(list_distinct(pa.shingles), list_distinct(pb.shingles)))::DOUBLE
+                       / (len(list_distinct(pa.shingles)) + len(list_distinct(pb.shingles))
+                          - len(list_intersect(list_distinct(pa.shingles), list_distinct(pb.shingles))))::DOUBLE,
+                       6) AS jac
+          FROM cand
+          JOIN nsh pa ON pa.doc_id = cand.a
+          JOIN csh pb ON pb.doc_id = cand.b
+          WHERE round(len(list_intersect(list_distinct(pa.shingles), list_distinct(pb.shingles)))::DOUBLE
+                      / (len(list_distinct(pa.shingles)) + len(list_distinct(pb.shingles))
+                         - len(list_intersect(list_distinct(pa.shingles), list_distinct(pb.shingles))))::DOUBLE,
+                      6) >= 0.5
+          ORDER BY a, b"""
   )
 }

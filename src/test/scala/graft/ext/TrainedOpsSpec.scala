@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Contracts of the round-9 additions: trained-IVF (spherical k-means),
+  * char-trigram LM quality scoring, and incremental dedup against a
+  * persisted signature store.
+  */
+class TrainedOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two planted clusters on orthogonal axes; ids 1 and 2 are one member of
+    * each, so the deterministic seed (smallest vec_ids) starts one centroid
+    * in each cone.
+    */
+  private def planted = {
+    val a = (1L, Seq(1f, 0f, 0f, 0f)) +:
+      (3L to 10L).map(i => (i, Seq(1f, 0.01f * i, 0f, 0f)))
+    val b = (2L, Seq(0f, 1f, 0f, 0f)) +:
+      (11L to 20L).map(i => (i, Seq(0.01f * i, 1f, 0f, 0f)))
+    (a ++ b).toDF("vec_id", "embedding")
+  }
+
+  test("kmeans separates planted clusters and assignments are exhaustive") {
+    val assigned = LlmOps.kmeansAssignments(planted, c = 2, iters = 2)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned.size == 20)
+    val aCids = (Seq(1L) ++ (3L to 10L)).map(assigned).toSet
+    val bCids = (Seq(2L) ++ (11L to 20L)).map(assigned).toSet
+    assert(aCids.size == 1 && bCids.size == 1 && aCids != bCids,
+      s"planted clusters not separated: $assigned")
+  }
+
+  test("kmeans centroids are deterministic across runs (no RNG, exact sums)") {
+    def run() = LlmOps.kmeansCentroids(planted, c = 2, iters = 2)
+      .orderBy(col("cid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    assert(run().toSeq == run().toSeq)
+  }
+
+  test("assignment argmax breaks cosine ties on the smallest cid") {
+    val emb = Seq((7L, Seq(1f, 0f), 1.0))
+      .toDF("vec_id", "embedding", "nrm")
+    // two IDENTICAL centroids → equal rounded cosine → smallest cid wins
+    val cents = Seq((3, Seq(1.0, 0.0)), (1, Seq(1.0, 0.0)))
+      .toDF("cid", "cvec")
+    val got = LlmOps.assignCells(emb, cents).select(col("cid")).head().getInt(0)
+    assert(got == 1, s"tie must resolve to the smallest cid, got $got")
+  }
+
+  test("ivfSearchKmeans matches the brute-force top-k on the planted fixture") {
+    val query = Seq((0L, Seq(1f, 0.005f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = LlmOps.ivfSearchKmeans(planted, query, c = 2, iters = 2,
+        nprobe = 1, k = 3)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    // brute force with the operator's own rounding + tie-break
+    val q = Array(1.0, 0.005, 0.0, 0.0)
+    def cos(v: Seq[Float]): Double = {
+      val d = v.zip(q).map { case (x, y) => x.toDouble * y }.sum
+      val r = d / (math.sqrt(v.map(x => x.toDouble * x).sum) *
+        math.sqrt(q.map(x => x * x).sum))
+      math.floor(math.abs(r) * 1e6 + 0.5) * math.signum(r) / 1e6
+    }
+    val want = planted.collect()
+      .map(r => (r.getLong(0), cos(r.getSeq[Float](1))))
+      .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSeq
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("lmScore: hand-computed trigram model on a two-doc corpus") {
+    // grams: doc 1 "abcabc" → abc,bca,cab,abc; doc 2 "xyz" → xyz
+    // counts: abc=2, bca=1, cab=1, xyz=1; total n=5
+    val d = Seq((1L, "abcabc"), (2L, "xyz")).toDF("doc_id", "text")
+    val got = LlmOps.lmScore(d, vocabK = 100).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val e1 = (2 * math.log10(2.0 / 5) + 2 * math.log10(1.0 / 5)) / 4
+    val e2 = math.log10(1.0 / 5)
+    assert(got.map(x => (x._1, x._2)).toSeq == Seq((1L, 4L), (2L, 1L)))
+    assert(math.abs(got(0)._3 - e1) < 2e-6, s"doc1 ${got(0)._3} vs $e1")
+    assert(math.abs(got(1)._3 - e2) < 2e-6, s"doc2 ${got(1)._3} vs $e2")
+  }
+
+  test("lmScore: grams outside the top-K vocabulary get the OOV floor") {
+    val d = Seq((1L, "abcabc"), (2L, "xyz")).toDF("doc_id", "text")
+    // vocabK=1 keeps only the count-2 gram (abc); all others floor at 0.5/n
+    val got = LlmOps.lmScore(d, vocabK = 1).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val floor = math.log10(0.5 / 5)
+    val e1 = (2 * math.log10(2.0 / 5) + 2 * floor) / 4
+    assert(math.abs(got(1L) - e1) < 2e-6, s"doc1 ${got(1L)} vs $e1")
+    assert(math.abs(got(2L) - floor) < 2e-6, s"doc2 ${got(2L)} vs $floor")
+  }
+
+  test("incremental dedup: store probe finds the planted twin, verify kills " +
+    "band false positives, and the store holds fingerprints only") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "entirely different words about spark catalyst tungsten codegen"),
+      (3L, "a third corpus document with its own unique phrasing here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again"),
+      (102L, "completely novel batch content sharing nothing with the corpus"))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("sigstore").toString + "/store"
+    LlmOps.writeSignatureStore(corpus, "doc_id", store)
+    // the store is fingerprint-only: (id, sig) — no text column travels
+    assert(spark.read.parquet(store).columns.toSeq.sorted == Seq("doc_id", "sig"))
+    val got = LlmOps.incrementalDupes(corpus, batch, "doc_id", store,
+        threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((101L, 1L, 1.0)), s"got ${got.toSeq}")
+  }
+}

@@ -48,7 +48,15 @@ class BroadcastGateLintSpec extends AnyFunSuite {
     ("broadcast(bases)",
       "LlmOps.packSequences two-level: per-(lang, shard) aggregate — bounded at idSpan/shardWidth rows"),
     ("broadcast(t(s, d, \"customer\"))",
-      "JoinQueries J5 demo: caller-designated small dimension — the operator's own semantic"))
+      "JoinQueries J5 demo: caller-designated small dimension — the operator's own semantic"),
+    ("crossJoin(broadcast(withCnorm(cents)))",
+      "LlmOps.assignCells: the k-means centroid table — ≤ c rows by construction"),
+    ("broadcast(probed.select(col(\"cid\")))",
+      "LlmOps.ivfSearchKmeans: probed trained-cell ids — ≤ nprobe rows by .limit(nprobe)"),
+    ("g.join(broadcast(vocab), Seq(\"h\"), \"left\")",
+      "LlmOps.lmScore: the LM vocabulary — ≤ vocabK rows by .limit(vocabK)"),
+    ("crossJoin(broadcast(tot))",
+      "LlmOps.lmScore: groupless global gram-count aggregate — exactly 1 row"))
 
   test("every broadcast( in src/main is gated or allowlisted with a cited bound") {
     val root = Paths.get("src/main/scala")

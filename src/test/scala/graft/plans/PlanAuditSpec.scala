@@ -256,8 +256,12 @@ class PlanAuditSpec extends SparkSpec {
     // (source-count vs target-count) + the capped_cells scalar attach in
     // the embedding family, where a broadcast nested loop over single-row
     // sides IS the right plan
+    // ...plus the trained-IVF/LM family, whose cross joins carry only
+    // bounded builds: the c-row centroid table, the 1-row query vector,
+    // and lmScore's 1-row total-gram aggregate
     val bnljOk = Set("sim_search_topk", "sim_search_ivf", "dedup_embedding_cos",
-      "sim_knn_join", "count_star", "dual_write", "validate_sample")
+      "sim_knn_join", "count_star", "dual_write", "validate_sample",
+      "ivf_train_kmeans", "sim_search_ivf_kmeans", "quality_lm_score")
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =
