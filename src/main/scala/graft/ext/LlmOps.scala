@@ -1274,12 +1274,33 @@ object LlmOps {
     * vectors themselves, so the operator works on unlabeled corpora.
     */
   def kmeansCentroids(emb0: DataFrame, c: Int, iters: Int): DataFrame = {
+    // Materialize the trained table to a LOCAL relation: downstream plans
+    // reference the centroids from several subtrees (probe ranking + final
+    // assignment), and Spark reuses none of them (no shared exchange), so
+    // returning the lazy lineage re-runs the whole training — iters corpus
+    // scans — once per reference (measured: 18 parquet scans in the lazy
+    // sim_search_ivf_kmeans plan vs 4 with the local form). The collect is
+    // bounded by the `c` LITERAL (c rows of dim doubles), not by data —
+    // the same size contract as broadcasting the c-row table.
+    import scala.jdk.CollectionConverters._
+    val plan = kmeansCentroidsPlan(emb0, c, iters)
+    emb0.sparkSession.createDataFrame(plan.collect().toSeq.asJava, plan.schema)
+  }
+
+  /** The lazy training lineage behind [[kmeansCentroids]]. */
+  private def kmeansCentroidsPlan(emb0: DataFrame, c: Int, iters: Int): DataFrame = {
     val emb = kmeansInput(emb0)
     var cents = kmeansSeed(emb, c)
     for (_ <- 1 to iters)
       cents = updateCentroids(assignCells(emb, cents))
     cents
   }
+
+  /** Assign the corpus to an existing centroid table — build the index once
+    * with [[kmeansCentroids]], then reuse it across assignment + search.
+    */
+  def kmeansAssignTo(emb0: DataFrame, cents: DataFrame): DataFrame =
+    assignCells(kmeansInput(emb0), cents)
 
   /** Normed, zero-norm-free corpus view (cosine is undefined on zero
     * vectors — excluded up front, same contract as [[knnJoin]]).
@@ -1340,7 +1361,7 @@ object LlmOps {
     * centroids — the index an IVF search probes.
     */
   def kmeansAssignments(emb0: DataFrame, c: Int, iters: Int): DataFrame =
-    assignCells(kmeansInput(emb0), kmeansCentroids(emb0, c, iters))
+    kmeansAssignTo(emb0, kmeansCentroids(emb0, c, iters))
 
   /** IVF search over TRAINED cells ([[kmeansCentroids]]), same two-stage
     * shape as [[ivfSearch]]: rank the c trained centroids against the
@@ -1352,7 +1373,7 @@ object LlmOps {
   def ivfSearchKmeans(emb0: DataFrame, query: DataFrame, c: Int, iters: Int,
                       nprobe: Int, k: Int): DataFrame = {
     val emb = kmeansInput(emb0)
-    val cents = kmeansCentroids(emb0, c, iters)
+    val cents = kmeansCentroids(emb0, c, iters) // trained ONCE (local table)
     val q = query.select(col("embedding").as("qv"))
     val probed = withCnorm(cents).crossJoin(broadcast(q))
       .select(col("cid"),

@@ -570,7 +570,7 @@ object LlmQueries {
     "ivf_train_kmeans" -> ((s, d) => {
       val e = t(s, d, "embeddings").filter(col("vec_id") =!= 0)
       val cents = LlmOps.kmeansCentroids(e, c = 4, iters = 2)
-      LlmOps.kmeansAssignments(e, c = 4, iters = 2)
+      LlmOps.kmeansAssignTo(e, cents)
         .groupBy(col("cid")).agg(count(lit(1)).as("n_assigned"))
         .join(cents, "cid")
         .select(col("cid"),
