@@ -1410,7 +1410,13 @@ object LlmOps {
     val g = ensureFns(docs)
       .select(col("doc_id"), explode(expr("graft_gram_hash(text, 3, ':lm', 15)")).as("h"))
     val counts = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
-    val tot = counts.agg(sum(col("c")).cast("double").as("n"))
+    // total grams WITHOUT a second explode+groupBy pass: graft_gram_hash
+    // emits exactly max(numChars-2, 0) trigrams per doc (the winnow
+    // length relationship, spec-pinned), so the total is a narrow length
+    // sum — the lazy `counts` lineage is referenced only once (under
+    // vocab), sparing a corpus-gram shuffle that Spark would not reuse
+    val tot = ensureFns(docs).agg(
+      sum(greatest(length(col("text")) - 2, lit(0))).cast("double").as("n"))
     val vocab = counts.orderBy(col("c").desc, col("h")).limit(vocabK)
     g.join(broadcast(vocab), Seq("h"), "left")
       .crossJoin(broadcast(tot))

@@ -1083,7 +1083,8 @@ object LlmQueries {
                         i -> ('0x' || substr(md5(substr(text, i, 3) || ':lm'), 1, 15))::BIGINT)) AS h
                     FROM documents),
          cnt AS (SELECT h, count(*) AS c FROM g GROUP BY 1),
-         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt),
+         tot AS (SELECT CAST(sum(greatest(length(text) - 2, 0)) AS DOUBLE) AS n
+                 FROM documents),
          vocab AS (SELECT h, c FROM cnt ORDER BY c DESC, h LIMIT 1024),
          scored AS (SELECT g.doc_id,
                       coalesce(log10(v.c::DOUBLE / t.n), log10(0.5 / t.n)) AS logp

@@ -93,6 +93,19 @@ class TrainedOpsSpec extends SparkSpec {
     assert(math.abs(got(2L) - floor) < 2e-6, s"doc2 ${got(2L)} vs $floor")
   }
 
+  test("lmScore's total-gram shortcut: explode count == length sum, unicode incl.") {
+    // lmScore derives the model's total gram count from a narrow length sum
+    // instead of a second explode+groupBy pass — valid iff graft_gram_hash
+    // emits exactly max(numChars - 2, 0) trigrams per doc, across empty,
+    // sub-k, ASCII, and multi-byte/4-byte code points
+    graft.functions.GraftFunctions.ensure(spark)
+    val d = Seq((1L, "abcabc"), (2L, "xyz"), (3L, "ab"), (4L, ""),
+      (5L, "héllo 🌍 wörld")).toDF("doc_id", "text")
+    val exploded = d.select(explode(expr("graft_gram_hash(text, 3, ':lm', 15)"))).count()
+    val lensum = d.agg(sum(greatest(length(col("text")) - 2, lit(0)))).head().getLong(0)
+    assert(exploded == lensum, s"explode $exploded vs length-sum $lensum")
+  }
+
   test("incremental dedup: store probe finds the planted twin, verify kills " +
     "band false positives, and the store holds fingerprints only") {
     val corpus = Seq(
