@@ -234,6 +234,41 @@ object Stress {
       |cells uncapped — is already ~10¹⁰ dots, not runnable at all).
       |""".stripMargin
 
+    // ---- trained IVF (r9 fourth pass): spherical k-means over the
+    // unlabeled embedding corpus — each Lloyd iteration is one corpus scan
+    // vs a c-row broadcast table, so train+search cost must stay a small
+    // multiple of the brute-force single-query row above.
+    bench(s"kmeans IVF train+search c=16 ${nVec / 1000}k vectors", nVec) {
+      graft.ext.LlmOps.ivfSearchKmeans(emb.filter(col("vec_id") =!= 0),
+        emb.filter(col("vec_id") === 0), c = 16, iters = 2,
+        nprobe = 2, k = 10).collect()
+    }
+
+    // ---- LM quality scoring: two gram passes (per-doc stream + count
+    // table) and one narrow length sum — all linear in the corpus.
+    bench(s"LM trigram quality score ${nDocs / 1000000}M docs", nDocs) {
+      graft.ext.LlmOps.lmScore(docs)
+        .agg(sum(col("n_grams")), avg(col("avg_logp"))).collect()
+    }
+
+    // ---- incremental dedup: the store build pays the corpus's text cost
+    // ONCE; each batch probe pays batch + candidate cost only. The two
+    // rows separate the amortized cost from the per-increment cost (the
+    // %10==0 ids duplicate id-1's text, so every batch doc is a planted
+    // near-dup of a corpus doc — worst-case candidate load).
+    val incStore = s"$base/sigstore"
+    val incCorpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val incBatch = docs.filter(col("doc_id") % 10 === 0)
+    bench(s"sigstore build ${nDocs / 1000000}M-doc corpus (once per corpus)", nDocs) {
+      graft.ext.LlmOps.writeSignatureStore(incCorpus, "doc_id", incStore)
+    }
+    bench(s"incremental probe ${nDocs / 10 / 1000000}M-doc batch vs store", nDocs / 10) {
+      val out = graft.ext.LlmOps.incrementalDupes(incCorpus, incBatch,
+        "doc_id", incStore, threshold = 0.5)
+      out.agg(count(lit(1))).collect()
+      out.unpersist()
+    }
+
     // ---- adversarial contamination: HALF the corpus verbatim-copies a
     // benchmark doc. The candidate set is then corpus-proportional —
     // exactly the regime the r8 candidate-broadcast gate exists for: the
