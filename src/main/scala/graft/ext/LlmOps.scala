@@ -1437,10 +1437,24 @@ object LlmOps {
     * (k int64s per doc, ~100 bytes/row): ~10⁻⁴ of the text it indexes.
     */
   def writeSignatureStore(docs: DataFrame, idCol: String, path: String,
-                          k: Int = 8): Unit = {
+                          k: Int = 8): Unit =
+    writeSignatures(docs, idCol, path, k, "overwrite")
+
+  /** Fold an accepted batch INTO the store (parquet append — each increment
+    * adds one file set, no rewrite of existing signatures): after a batch
+    * is probed ([[incrementalDupes]]) and its keepers chosen, appending
+    * their signatures makes the NEXT increment dedup against them too.
+    * Store maintenance cost is batch-proportional, like the probe.
+    */
+  def appendSignatureStore(docs: DataFrame, idCol: String, path: String,
+                           k: Int = 8): Unit =
+    writeSignatures(docs, idCol, path, k, "append")
+
+  private def writeSignatures(docs: DataFrame, idCol: String, path: String,
+                              k: Int, mode: String): Unit = {
     val sh = shingleTable(docs, idCol)
     try withMinhashSig(sh, k).select(col(idCol), col("sig"))
-      .write.mode("overwrite").parquet(path)
+      .write.mode(mode).parquet(path)
     finally { sh.unpersist(); () }
   }
 
@@ -1468,7 +1482,11 @@ object LlmOps {
     val bSh = shingleTable(batch, idCol)
     val bBand = withBandHashes(withMinhashSig(bSh, k), bands, r)
       .select(col(idCol).as("a"), explode(col("bands")).as("band"))
+    // candidate pairs persist across their two references (the corpus
+    // semi-join and the verify join) — without it the store-band scan and
+    // band equi-join run twice per materialization
     val cand = bBand.join(sBand, "band").select(col("a"), col("b")).distinct()
+      .persist()
     // verify: the corpus pays text cost only for candidate docs
     val candCorpus = corpus.join(cand.select(col("b")),
       corpus(idCol) === col("b"), "left_semi")
@@ -1480,6 +1498,7 @@ object LlmOps {
       .filter(col("jac") >= threshold)
       .persist()
     out.count() // materialize BEFORE dropping the caches it derives from
+    cand.unpersist()
     bSh.unpersist()
     cSh.unpersist()
     out

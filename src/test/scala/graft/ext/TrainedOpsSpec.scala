@@ -126,5 +126,17 @@ class TrainedOpsSpec extends SparkSpec {
         threshold = 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq((101L, 1L, 1.0)), s"got ${got.toSeq}")
+    // store maintenance: append the accepted batch — the NEXT increment
+    // dedups against it too, at batch-proportional cost
+    LlmOps.appendSignatureStore(batch, "doc_id", store)
+    val batch2 = Seq(
+      (201L, "completely novel batch content sharing nothing with the corpus"))
+      .toDF("doc_id", "text")
+    val corpus2 = corpus.unionByName(batch)
+    val got2 = LlmOps.incrementalDupes(corpus2, batch2, "doc_id", store,
+        threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got2.toSeq == Seq((201L, 102L, 1.0)),
+      s"appended batch must be probe-visible, got ${got2.toSeq}")
   }
 }
