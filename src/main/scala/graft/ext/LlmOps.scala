@@ -1398,11 +1398,14 @@ object LlmOps {
     * filter thresholds on (boilerplate scores high, alphabet soup low).
     *
     * Scale shape: gram extraction is the narrow codegen'd graft_gram_hash
-    * pass (no gram strings materialized); the count table is bounded by the
-    * trigram-hash vocabulary (charset³, NOT corpus size); the scoring join
-    * broadcasts only the top-`vocabK` rows (bounded by construction); the
-    * per-doc average shuffles on doc_id. No corpus-sized build side exists
-    * at any scale. The per-doc avg sums doubles in partition order —
+    * pass (no gram strings materialized). The grouped count table is
+    * charset³-bounded on natural text but corpus-sized on adversarial
+    * input (every trigram distinct) — which is why it is only ever
+    * SHUFFLED (hash agg) and TakeOrdered'd, never broadcast or collected;
+    * the scoring join broadcasts only the top-`vocabK` rows (bounded by
+    * construction), and the per-doc average shuffles on doc_id. No
+    * corpus-sized build side exists at any scale, under any data.
+    * The per-doc avg sums doubles in partition order —
     * round6 buffers the reordering noise (≤1e-11 at 10⁴ grams/doc, five
     * orders under the rounding step).
     */
