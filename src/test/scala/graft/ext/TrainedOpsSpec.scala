@@ -69,6 +69,50 @@ class TrainedOpsSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("kmeans property: every assignment is the rounded-cosine argmax, min-cid ties") {
+    // random corpora stress what the planted fixture can't: arbitrary
+    // dims/c, dead cells (updateCentroids emits only populated cids),
+    // near-ties. Plain-Scala reference mirrors the operator's arithmetic
+    // exactly: double dot in array order, graft_round's half-away-from-
+    // zero, smallest-cid tie-break. Fixed-seed sampling, same pattern as
+    // LlmOpsSpec's packSequences property.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](gen: Gen[A], n: Int): Seq[A] =
+      (1L to n).flatMap(seed => gen.apply(Gen.Parameters.default, Seed(seed)))
+    val gen = for {
+      n <- Gen.choose(5, 30)
+      dim <- Gen.oneOf(2, 3, 8)
+      c <- Gen.choose(2, 4)
+      vals <- Gen.listOfN(n * dim, Gen.choose(-5, 5).map(_.toFloat))
+    } yield (n, dim, c, vals)
+    def rnd6(x: Double): Double =
+      if (x == 0d) 0d else math.floor(math.abs(x) * 1e6 + 0.5) * math.signum(x) / 1e6
+    for ((n, dim, c, vals) <- samples(gen, 6)) {
+      val rows = (0 until n)
+        .map(i => (i.toLong + 1, vals.slice(i * dim, (i + 1) * dim)))
+        .filter(_._2.exists(_ != 0f)) // zero-norm vectors excluded by contract
+      val df = rows.toDF("vec_id", "embedding")
+      val cents = LlmOps.kmeansCentroids(df, c, iters = 2)
+      val centRows = cents.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      val got = LlmOps.kmeansAssignTo(df, cents).select("vec_id", "cid")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      for ((id, v) <- rows) {
+        val scored = centRows.collect {
+          case (cid, cv) if math.sqrt(cv.map(x => x * x).sum) > 0 =>
+            val dot = v.map(_.toDouble).zip(cv).map { case (a, b) => a * b }.sum
+            val cos = dot / (math.sqrt(v.map(x => x.toDouble * x).sum) *
+              math.sqrt(cv.map(x => x * x).sum))
+            (cid, rnd6(cos))
+        }
+        val want = scored.sortBy { case (cid, s) => (-s, cid) }.head._1
+        assert(got(id) == want,
+          s"vec $id assigned ${got(id)}, argmax is $want (scores $scored)")
+      }
+    }
+  }
+
   test("lmScore: hand-computed trigram model on a two-doc corpus") {
     // grams: doc 1 "abcabc" → abc,bca,cab,abc; doc 2 "xyz" → xyz
     // counts: abc=2, bca=1, cab=1, xyz=1; total n=5
