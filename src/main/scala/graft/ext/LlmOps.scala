@@ -1487,8 +1487,14 @@ object LlmOps {
       .select(col(idCol).as("a"), explode(col("bands")).as("band"))
     // candidate pairs persist across their two references (the corpus
     // semi-join and the verify join) — without it the store-band scan and
-    // band equi-join run twice per materialization
-    val cand = bBand.join(sBand, "band").select(col("a"), col("b")).distinct()
+    // band equi-join run twice per materialization.
+    // a == b pairs are excluded: ids are unique across store+batch (the
+    // diff family's PK contract), so a self-pair only arises when a batch
+    // REPLAY probes a store already holding its own appended signatures —
+    // dropping them is the replay-safety condition (a doc must not near-
+    // dup itself out of a re-run micro-batch; see IngestPipeline).
+    val cand = bBand.join(sBand, "band").filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
       .persist()
     // verify: the corpus pays text cost only for candidate docs
     val candCorpus = corpus.join(cand.select(col("b")),

@@ -18,9 +18,11 @@ import graft.ext.LlmOps
   * Scale posture: the gate and fingerprints are narrow per-row maps (all
   * native expressions); dedup state is bounded by the watermark horizon,
   * not corpus lifetime; the sink writes each micro-batch once per side.
-  * Near-dup (MinHash/LSH) dedup stays a batch pass over the landed corpus
-  * — banding needs the full signature table, so it runs downstream, not in
-  * the ingest hot path.
+  * Near-dup (MinHash/LSH) dedup against the WHOLE landed corpus runs
+  * through the persisted signature store ([[startWithStore]]): the
+  * corpus-lived banding state lives in the store, not in stream state,
+  * and each micro-batch pays batch-proportional work only. The plain
+  * [[start]] keeps exact dedup only.
   */
 object IngestPipeline {
 
@@ -68,5 +70,63 @@ object IngestPipeline {
     // the sink IS the ZDM dual-writer — one wiring, shared with DualWrite
     DualWrite.dualWriteStream(deduped, cfg.originPath, cfg.targetPath,
       cfg.checkpoint, cfg.trigger)
+  }
+
+  /** As [[start]], plus corpus-scale NEAR-dup dedup backed by the
+    * persisted MinHash signature store: each micro-batch is probed against
+    * the store ([[LlmOps.incrementalDupes]] — batch-proportional work, the
+    * landed corpus is never re-shingled), batch docs that near-dup the
+    * landed corpus are dropped, survivors dual-write idempotently, and
+    * their signatures are appended to the store so the NEXT micro-batch
+    * dedups against them too. This closes the gap [[start]] documents
+    * ("near-dup dedup stays a batch pass downstream"): the banding state
+    * lives in the store, outside stream state, so it is corpus-lived
+    * without growing the watermark horizon.
+    *
+    * Replay safety: a re-run batchId rewrites its own sink partitions
+    * (dualWriteMicroBatch's contract) and re-appends its signatures.
+    * The self-pairs those re-appended signatures would produce are
+    * excluded inside incrementalDupes (a == b), so a replayed doc never
+    * near-dups ITSELF out of the stream; duplicate store rows only add
+    * band-table rows the candidate distinct collapses.
+    */
+  def startWithStore(docs: DataFrame, tsCol: String, cfg: Config,
+                     storePath: String,
+                     nearDupThreshold: Double = 0.5): StreamingQuery = {
+    val gated = gateAndFingerprint(docs, cfg)
+      .filter(col("passes"))
+      .withWatermark(tsCol, cfg.dedupLateness)
+      .dropDuplicatesWithinWatermark("content_h")
+    gated.writeStream
+      .option("checkpointLocation", cfg.checkpoint)
+      .trigger(cfg.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // FS-agnostic existence probes: first batch has neither a landed
+        // corpus nor a store — everything survives and seeds both
+        val landed = scala.util.Try(
+          spark.read.parquet(cfg.targetPath).select(col("doc_id"), col("text")))
+        val storeReadable = scala.util.Try(spark.read.parquet(storePath)).isSuccess
+        val survivors =
+          if (landed.isFailure || !storeReadable) batch
+          else {
+            val dupes = LlmOps.incrementalDupes(landed.get,
+              batch.select(col("doc_id"), col("text")), "doc_id",
+              storePath, nearDupThreshold)
+            val kept = batch.join(
+              dupes.select(col("a").as("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti").persist()
+            kept.count() // materialize before releasing the probe result
+            dupes.unpersist()
+            kept
+          }
+        DualWrite.dualWriteMicroBatch(survivors, batchId,
+          cfg.originPath, cfg.targetPath)
+        LlmOps.appendSignatureStore(
+          survivors.select(col("doc_id"), col("text")), "doc_id", storePath)
+        survivors.unpersist()
+        ()
+      }
+      .start()
   }
 }

@@ -48,6 +48,40 @@ class IngestPipelineSpec extends SparkSpec {
     assert(o.filter(col("fingerprint").isNull).count() == 0)
   }
 
+  test("ingest with store: near-dups of the LANDED corpus drop across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmp()
+    val cfg = IngestPipeline.Config(
+      originPath = s"$base/origin", targetPath = s"$base/target",
+      checkpoint = s"$base/ckpt")
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val other =
+      "completely different corpus content about spark catalyst tungsten codegen and shuffles everywhere"
+    val novel =
+      "a genuinely novel batch document carrying its own unique vocabulary for this streaming test"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = IngestPipeline.startWithStore(
+      mem.toDF().toDF("doc_id", "text", "ts"), "ts", cfg, s"$base/store")
+    try {
+      mem.addData((1L, good, ts(0)), (2L, other, ts(1)))
+      q.processAllAvailable()
+      // 10 near-dups doc 1 (appended word — NOT an exact dup, the
+      // in-stream content_h dedup cannot catch it; only the store probe
+      // can); 11 is novel and must land
+      mem.addData((10L, good + " again", ts(2)), (11L, novel, ts(3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val t = spark.read.parquet(s"$base/target")
+    val kept = t.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 11L), s"kept=$kept")
+    // the store accumulated signatures for every landed doc
+    val store = spark.read.parquet(s"$base/store")
+    assert(store.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 11L))
+    assert(store.columns.toSeq.sorted == Seq("doc_id", "sig"))
+  }
+
   test("gateAndFingerprint is batch/stream agnostic and deterministic") {
     import spark.implicits._
     val cfg = IngestPipeline.Config(originPath = "", targetPath = "", checkpoint = "")
