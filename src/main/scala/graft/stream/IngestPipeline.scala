@@ -83,6 +83,12 @@ object IngestPipeline {
     * lives in the store, outside stream state, so it is corpus-lived
     * without growing the watermark horizon.
     *
+    * 100 TB note: the probe's SIGNATURE work is store-sized integer work
+    * and the verify's shingling is candidate-only, but the verify still
+    * SCANS the landed table's (doc_id, text) columns to find candidate
+    * text — lay the landed corpus out partitioned/bucketed on a doc-id
+    * prefix so the semi-join prunes that scan to candidate partitions.
+    *
     * Replay safety: a re-run batchId rewrites its own sink partitions
     * (dualWriteMicroBatch's contract) and re-appends its signatures.
     * The self-pairs those re-appended signatures would produce are
