@@ -75,6 +75,26 @@ class AnnRecallSpec extends SparkSpec {
       s"nprobe = all cells IS brute force; recall ${recalls.last}")
   }
 
+  test("trained-IVF nprobe dial: recall@10 rises monotonically; nprobe=c is exact") {
+    // same dial as the label-cell IVF, but over LEARNED cells (spherical
+    // k-means) — the accounting for corpora with no label column
+    val truths = QueryIds.map(q => q -> truthIds(q)).toMap
+    val c = 10
+    val probes = Seq(2, 8, 10)
+    val recalls = probes.map { np =>
+      val v = mean(QueryIds.map(q =>
+        LlmOps.recallAtK(
+          LlmOps.ivfSearchKmeans(corpus(q), query(q), c, iters = 2, np, K),
+          truths(q))))
+      info(f"kmeans-ivf c=$c nprobe=$np: mean recall@10 = $v%.2f")
+      v
+    }
+    assert(recalls == recalls.sorted,
+      s"recall must not fall as nprobe grows: $recalls")
+    assert(recalls.last == 1.0,
+      s"nprobe = all trained cells IS brute force; recall ${recalls.last}")
+  }
+
   test("lshBandSizes surfaces the bucket distribution (degenerate corpus visible)") {
     // constant corpus → every vector lands in the same 4 band buckets
     import spark.implicits._
