@@ -1335,7 +1335,7 @@ object LlmOps {
     * friendly: the per-vector argmax combines map-side.
     */
   private[graft] def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = emb.crossJoin(broadcast(withCnorm(cents)))
+    val scored = ensureFns(emb).crossJoin(broadcast(withCnorm(cents)))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
         round6(dot("embedding", "cvec") / (col("nrm") * col("cnrm"))).as("ccos"))
     scored.groupBy(col("vec_id"))
