@@ -82,6 +82,38 @@ object Ops {
   def writetimeIncrement(df: DataFrame, writetimeCol: String, by: Long): DataFrame =
     df.withColumn(writetimeCol, col(writetimeCol) + lit(by))
 
+  /** Z-value (Morton interleave) of two non-negative dial columns over
+    * `bits` bits each — the space-filling-curve sort key a data-skipping
+    * layout clusters on (the public Delta/Iceberg Z-ORDER idea). Rows
+    * close in BOTH dimensions get close z-values, so range-partitioning
+    * and sorting by z packs them into few files and the parquet min/max
+    * envelopes prune scans filtered on EITHER dimension. Pure integer
+    * shift/mask arithmetic (2×bits codegen'd terms, no HOF, no
+    * interpretation) — engine-exact, so the DuckDB oracle mirrors it
+    * bit-for-bit. Callers clip inputs into [0, 2^bits) first (`& mask`).
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Z-order write layout: range-partition + partition-local sort on the
+    * z-value (never a global sort — same exchange discipline as
+    * [[pkGroupedLayout]]). Write the result and each parquet file carries
+    * a tight min/max envelope over BOTH dial columns; a reader filtering
+    * on either dimension touches a fraction of the files (ZorderSpec
+    * measures the clustering on a planted grid).
+    */
+  def zorderLayout(df: DataFrame, a: Column, b: Column,
+                   numPartitions: Int, bits: Int = 16): DataFrame = {
+    val z = zValue(a, b, bits)
+    df.repartitionByRange(numPartitions, z).sortWithinPartitions(z)
+  }
+
   /** Skew-salted equi-join: the reference flags >100MB partitions as the
     * migration bottleneck (docs/04-cdm-approach.md:455-456). A hot join key
     * on the fact side is spread across `salts` sub-keys; the (small) build

@@ -18,6 +18,18 @@ object MiscQueries {
     "array<float>" -> "FLOAT[]")
 
   val qs: Map[String, Q] = Map(
+    // z-order layout key: the Morton-interleaved (custkey, epoch-day)
+    // sort key zorderLayout clusters files on — values oracle-checked
+    // here; the clustering/skipping effect is measured in ZorderSpec
+    "zorder_layout" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        graft.core.Ops.zValue(
+          col("o_custkey").bitwiseAND(lit(65535L)),
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").bitwiseAND(lit(65535L))).as("zval"))
+        .orderBy(col("o_orderkey"))),
+
     // S7/T1 — dual-write parity: write the same frame to two sinks, re-read
     // both, report counts + full-content parity (the dual-write grep check,
     // lab/exercises/05-zdm-migration.md:115-148)
@@ -172,6 +184,17 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "zorder_layout" ->
+      """WITH dials AS (
+           SELECT o_orderkey,
+                  o_custkey & 65535 AS ck,
+                  date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT & 65535 AS dd
+           FROM orders)
+         SELECT o_orderkey,
+                CAST(list_sum(list_transform(generate_series(0, 15), i ->
+                  (((ck // (1::BIGINT << i)) % 2) << (2 * i)) +
+                  (((dd // (1::BIGINT << i)) % 2) << (2 * i + 1)))) AS BIGINT) AS zval
+         FROM dials ORDER BY o_orderkey""",
     "dual_write" ->
       """SELECT (SELECT count(*) FROM orders) AS origin_rows,
                 (SELECT count(*) FROM orders) AS target_rows,
