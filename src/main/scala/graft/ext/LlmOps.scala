@@ -1455,11 +1455,52 @@ object LlmOps {
 
   private def writeSignatures(docs: DataFrame, idCol: String, path: String,
                               k: Int, mode: String): Unit = {
+    // appending sigs of a DIFFERENT length than the store's would make the
+    // band equi-join silently return zero candidates for those rows (band
+    // hashes over different-length sigs never collide) — fail fast instead
+    if (mode == "append")
+      storeSigLen(docs.sparkSession, path).foreach(n => require(n == k,
+        s"signature store at $path was written with k=$n; append uses k=$k"))
     val sh = shingleTable(docs, idCol)
     try withMinhashSig(sh, k).select(col(idCol), col("sig"))
       .write.mode(mode).parquet(path)
     finally { sh.unpersist(); () }
   }
+
+  /** Verified near-duplicate pairs WITHIN one batch: candidate pairs via
+    * LSH banding ([[minhashCandidatesFrom]], a < b by construction), then
+    * exact n-gram Jaccard verify. Pure function of the batch content, so a
+    * replayed micro-batch computes the identical pair set — callers that
+    * drop the `b` side of each pair (deterministic keeper = smallest id)
+    * stay idempotent under at-least-once replay. Cost is batch-sized, not
+    * corpus-sized. Returned frame (a, b, jac) is persisted; caller
+    * unpersists once consumed.
+    */
+  def batchNearDups(batch: DataFrame, idCol: String, threshold: Double,
+                    k: Int = 8, bands: Int = 4, r: Int = 2): DataFrame = {
+    val sh = shingleTable(batch, idCol)
+    val cand = minhashCandidatesFrom(sh, idCol, k, bands, r)
+    val out = cand
+      .join(sh.select(col(idCol).as("a"), col("shingles").as("sa")), "a")
+      .join(sh.select(col(idCol).as("b"), col("shingles").as("sb")), "b")
+      .select(col("a"), col("b"), jaccard(col("sa"), col("sb")).as("jac"))
+      .filter(col("jac") >= threshold)
+      .persist()
+    out.count() // materialize BEFORE dropping the caches it derives from
+    cand.unpersist()
+    sh.unpersist()
+    out
+  }
+
+  /** First row's signature length of the store at `path`, or None when the
+    * store doesn't exist yet. The store is k-uniform by construction
+    * ([[writeSignatures]] validates appends), so one row suffices.
+    */
+  private def storeSigLen(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Option[Int] =
+    scala.util.Try(
+      spark.read.parquet(path).select(size(col("sig")).as("n")).head())
+      .toOption.map(_.getInt(0))
 
   /** Near-duplicates of a NEW BATCH against the stored corpus signatures:
     * band the store (integer work only — no corpus text touched), shingle
@@ -1479,6 +1520,11 @@ object LlmOps {
                        storePath: String, threshold: Double, k: Int = 8,
                        bands: Int = 4, r: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
+    // a store written with a different k would band to incomparable hashes
+    // and the probe would silently find NOTHING — fail fast on mismatch
+    // (one-row probe; the store is k-uniform, writeSignatures validates)
+    storeSigLen(spark, storePath).foreach(n => require(n == k,
+      s"signature store at $storePath has sig length $n but probe uses k=$k"))
     val store = ensureFns(spark.read.parquet(storePath))
     val sBand = withBandHashes(store, bands, r)
       .select(col(idCol).as("b"), explode(col("bands")).as("band"))

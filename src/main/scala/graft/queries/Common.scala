@@ -69,10 +69,7 @@ object Common {
     */
   private def eventsRawUs(s: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    val inferred =
-      try s.read.parquet(path).schema.find(_.name == "ts").map(_.dataType)
-      catch { case _: Throwable => None } // TIMESTAMP(NANOS): inference rejects
-    inferred match {
+    inferredTsType(s, path) match {
       case Some(TimestampType) | Some(TimestampNTZType) =>
         // native µs timestamp (NTZ cast is wall-clock-preserving: sessions
         // here are UTC-pinned, same convention as usOf)
@@ -84,15 +81,51 @@ object Common {
     }
   }
 
+  /** Footer-inferred type of `ts`, or None for the one shape inference
+    * REJECTS (parquet TIMESTAMP(NANOS) → PARQUET_TYPE_ILLEGAL). Only that
+    * rejection maps to None: a missing path, permission error, or corrupt
+    * footer propagates — treating those as "the NANOS shape" would
+    * resurface later as a confusing schema-mismatch error far from the
+    * real cause.
+    */
+  private def inferredTsType(s: SparkSession, path: String)
+      : Option[org.apache.spark.sql.types.DataType] =
+    try s.read.parquet(path).schema.find(_.name == "ts").map(_.dataType)
+    catch { case e: Throwable if isNanosRejection(e) => None }
+
+  /** True when the failure (or any of its causes) is parquet's
+    * illegal-type inference rejection — the TIMESTAMP(NANOS) signature.
+    */
+  @annotation.tailrec
+  private def isNanosRejection(e: Throwable): Boolean = {
+    val m = Option(e.getMessage).getOrElse("")
+    if (m.contains("PARQUET_TYPE_ILLEGAL") || m.contains("Illegal Parquet type"))
+      true
+    else if (e.getCause != null && (e.getCause ne e)) isNanosRejection(e.getCause)
+    else false
+  }
+
   /** events in the raw-int64-NANOS shape ([[eventsSchema]]'s contract) from
     * any on-disk shape — what [[graft.tools.GenSf]] writes, so generated
     * tiers always carry the BIGINT-nanos form regardless of the source
     * tier's shape (and the oracle harness's BIGINT shim keeps working).
     */
-  def eventsRawNanos(s: SparkSession, path: String): DataFrame =
-    eventsRawUs(s, path)
-      .withColumn("ts", col("ts_us") * lit(1000L))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  def eventsRawNanos(s: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    inferredTsType(s, path) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        // native µs timestamp: nanos must be synthesized (µs × 1000)
+        s.read.parquet(path)
+          .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+          .select(cols.map(col): _*)
+      case _ =>
+        // int64-backed shapes (TIMESTAMP(NANOS) or plain int64 nanos): the
+        // on-disk value IS nanos — pass it through byte-for-byte instead of
+        // round-tripping via ts_us, which would truncate sub-µs precision
+        s.read.schema(eventsSchema).parquet(path).select(cols.map(col): _*)
+    }
+  }
 
   /** Epoch-micros of a TIMESTAMP_NTZ column (testdata dates are NTZ;
     * unix_micros only takes TIMESTAMP — with the session in UTC the cast is

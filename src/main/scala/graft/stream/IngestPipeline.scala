@@ -91,10 +91,16 @@ object IngestPipeline {
     *
     * Replay safety: a re-run batchId rewrites its own sink partitions
     * (dualWriteMicroBatch's contract) and re-appends its signatures.
-    * The self-pairs those re-appended signatures would produce are
-    * excluded inside incrementalDupes (a == b), so a replayed doc never
-    * near-dups ITSELF out of the stream; duplicate store rows only add
-    * band-table rows the candidate distinct collapses.
+    * The ghost signatures a failed first attempt left in the store can
+    * produce two pair shapes on the re-run, and both are excluded: the
+    * self-pair (a == b) is dropped inside incrementalDupes, and the
+    * CROSS-pair between two docs of the same batch (both appended by the
+    * failed attempt) is dropped here by anti-joining the probe result's
+    * corpus side against the current batch's doc_ids — a batch dedups
+    * against the PRIOR corpus only, never against its own ghosts.
+    * Near-dup pairs WITHIN a micro-batch are handled by a dedicated
+    * batch-local pass ([[LlmOps.batchNearDups]]) with a deterministic
+    * keeper (smallest doc_id), which is itself replay-stable.
     */
   def startWithStore(docs: DataFrame, tsCol: String, cfg: Config,
                      storePath: String,
@@ -107,32 +113,63 @@ object IngestPipeline {
       .option("checkpointLocation", cfg.checkpoint)
       .trigger(cfg.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // FS-agnostic existence probes: first batch has neither a landed
-        // corpus nor a store — everything survives and seeds both
-        val landed = scala.util.Try(
-          spark.read.parquet(cfg.targetPath).select(col("doc_id"), col("text")))
-        val storeReadable = scala.util.Try(spark.read.parquet(storePath)).isSuccess
-        val survivors =
-          if (landed.isFailure || !storeReadable) batch
-          else {
-            val dupes = LlmOps.incrementalDupes(landed.get,
-              batch.select(col("doc_id"), col("text")), "doc_id",
-              storePath, nearDupThreshold)
-            val kept = batch.join(
-              dupes.select(col("a").as("doc_id")).distinct(),
-              Seq("doc_id"), "left_anti").persist()
-            kept.count() // materialize before releasing the probe result
-            dupes.unpersist()
-            kept
-          }
-        DualWrite.dualWriteMicroBatch(survivors, batchId,
-          cfg.originPath, cfg.targetPath)
-        LlmOps.appendSignatureStore(
-          survivors.select(col("doc_id"), col("text")), "doc_id", storePath)
-        survivors.unpersist()
-        ()
+        landBatchWithStore(batch, batchId, cfg, storePath, nearDupThreshold)
       }
       .start()
+  }
+
+  /** One micro-batch of the store-backed ingest, as a named method so the
+    * replay contract is directly testable: calling this twice with the
+    * same (batch, batchId) must land the same survivor set both times.
+    */
+  private[graft] def landBatchWithStore(batch: DataFrame, batchId: Long,
+                                        cfg: Config, storePath: String,
+                                        nearDupThreshold: Double): Unit = {
+    val spark = batch.sparkSession
+    // intra-batch near-dups first: the store only knows PREVIOUSLY landed
+    // docs, so a pair arriving together would otherwise both land.
+    // Deterministic keeper (smallest doc_id of each verified pair) — a
+    // pure function of batch content, so a replay drops the exact same
+    // losers. Batch-sized cost.
+    val intra = LlmOps.batchNearDups(
+      batch.select(col("doc_id"), col("text")), "doc_id", nearDupThreshold)
+    val afterIntra = batch.join(
+      intra.select(col("b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    // FS-agnostic existence probes: first batch has neither a landed
+    // corpus nor a store — everything survives and seeds both
+    val landed = scala.util.Try(
+      spark.read.parquet(cfg.targetPath).select(col("doc_id"), col("text")))
+    val storeReadable = scala.util.Try(spark.read.parquet(storePath)).isSuccess
+    val survivors =
+      if (landed.isFailure || !storeReadable) afterIntra.persist()
+      else {
+        val dupes = LlmOps.incrementalDupes(landed.get,
+          afterIntra.select(col("doc_id"), col("text")), "doc_id",
+          storePath, nearDupThreshold)
+        // replay ghost exclusion: a failed first attempt already appended
+        // THIS batch's signatures (and wrote its sink partitions), so the
+        // probe can pair two current-batch docs through the store. Keep
+        // only pairs whose corpus side is genuinely prior — anti-join `b`
+        // against the full batch id set — or a routine at-least-once
+        // replay would silently drop both members of an intra-batch
+        // near-dup pair.
+        val prior = dupes.join(
+          batch.select(col("doc_id").as("b")), Seq("b"), "left_anti")
+        val kept = afterIntra.join(
+          prior.select(col("a").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti").persist()
+        kept.count() // materialize before releasing the probe result
+        dupes.unpersist()
+        kept
+      }
+    survivors.count() // materialize before releasing the intra pairs
+    intra.unpersist()
+    DualWrite.dualWriteMicroBatch(survivors, batchId,
+      cfg.originPath, cfg.targetPath)
+    LlmOps.appendSignatureStore(
+      survivors.select(col("doc_id"), col("text")), "doc_id", storePath)
+    survivors.unpersist()
+    ()
   }
 }

@@ -183,4 +183,27 @@ class TrainedOpsSpec extends SparkSpec {
     assert(got2.toSeq == Seq((201L, 102L, 1.0)),
       s"appended batch must be probe-visible, got ${got2.toSeq}")
   }
+
+  test("signature store k-mismatch fails fast on both probe and append " +
+       "(a silent mismatch would band to incomparable hashes → zero candidates)") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("sigstore-k").toString + "/store"
+    LlmOps.writeSignatureStore(corpus, "doc_id", store, k = 8)
+    val batch = Seq((2L, "whatever batch text this is")).toDF("doc_id", "text")
+    val probeErr = intercept[IllegalArgumentException] {
+      LlmOps.incrementalDupes(corpus, batch, "doc_id", store,
+        threshold = 0.5, k = 4)
+    }
+    assert(probeErr.getMessage.contains("k=4"))
+    val appendErr = intercept[IllegalArgumentException] {
+      LlmOps.appendSignatureStore(batch, "doc_id", store, k = 16)
+    }
+    assert(appendErr.getMessage.contains("k=16"))
+    // matching k still works end-to-end
+    LlmOps.appendSignatureStore(batch, "doc_id", store, k = 8)
+    assert(spark.read.parquet(store).count() == 2)
+  }
 }

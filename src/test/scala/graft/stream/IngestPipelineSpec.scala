@@ -82,6 +82,52 @@ class IngestPipelineSpec extends SparkSpec {
     assert(store.columns.toSeq.sorted == Seq("doc_id", "sig"))
   }
 
+  test("ingest with store: intra-batch near-dup pair keeps the smallest id") {
+    import spark.implicits._
+    val base = tmp()
+    val cfg = IngestPipeline.Config(
+      originPath = s"$base/origin", targetPath = s"$base/target",
+      checkpoint = s"$base/ckpt")
+    // 10 and 11 near-dup EACH OTHER and arrive in the SAME batch — the
+    // store only knows prior batches, so without the batch-local pass both
+    // would land. Deterministic keeper = smallest doc_id.
+    val batch = Seq((11L, good + " again"), (10L, good)).toDF("doc_id", "text")
+    IngestPipeline.landBatchWithStore(batch, 0L, cfg, s"$base/store", 0.5)
+    val kept = spark.read.parquet(s"$base/target")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L), s"kept=$kept")
+  }
+
+  test("ingest with store: at-least-once replay of a batch is idempotent " +
+       "(ghost signatures must not veto the surviving member)") {
+    import spark.implicits._
+    val base = tmp()
+    val cfg = IngestPipeline.Config(
+      originPath = s"$base/origin", targetPath = s"$base/target",
+      checkpoint = s"$base/ckpt")
+    val store = s"$base/store"
+    val other =
+      "completely different corpus content about spark catalyst tungsten codegen and shuffles everywhere"
+    // batch 0 seeds the landed corpus + store
+    IngestPipeline.landBatchWithStore(
+      Seq((1L, other)).toDF("doc_id", "text"), 0L, cfg, store, 0.5)
+    // batch 1: two docs that near-dup each other (not the prior corpus)
+    val batch = Seq((10L, good), (11L, good + " again")).toDF("doc_id", "text")
+    IngestPipeline.landBatchWithStore(batch, 1L, cfg, store, 0.5)
+    def landedIds = spark.read.parquet(s"$base/target")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(landedIds == Set(1L, 10L), s"first attempt kept=$landedIds")
+    // simulate the checkpoint-commit failure: the sink partitions AND the
+    // store signatures from attempt 1 exist; the engine re-runs batch 1.
+    // The replay probe now sees doc 10's ghost signature in the store —
+    // it must NOT veto doc 10 (or any current-batch doc) out of the batch.
+    IngestPipeline.landBatchWithStore(batch, 1L, cfg, store, 0.5)
+    assert(landedIds == Set(1L, 10L), s"replay kept=$landedIds")
+    // a third replay for good measure — the store now holds doc 10 twice
+    IngestPipeline.landBatchWithStore(batch, 1L, cfg, store, 0.5)
+    assert(landedIds == Set(1L, 10L), s"second replay kept=$landedIds")
+  }
+
   test("gateAndFingerprint is batch/stream agnostic and deterministic") {
     import spark.implicits._
     val cfg = IngestPipeline.Config(originPath = "", targetPath = "", checkpoint = "")
