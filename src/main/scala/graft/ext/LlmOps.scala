@@ -714,6 +714,36 @@ object LlmOps {
     hammingPairsByBlock(blocked, "simhash64", radius = 2)
   }
 
+  /** Perceptual-hash near-duplicate IMAGE pairs — dedup keyed on the pixel
+    * payload itself, not text shingles or provided embeddings. Input is a
+    * table of decoded pixel grids (`gridCol`: array<float|double>, e.g. the
+    * 8×8 thumbnail the multimodal resize pass pools — see
+    * MiscQueries "multimodal_resize"); each grid gets its 63-bit dHash
+    * (`graft_dhash`, codegen'd), and pairing runs the proven hamming
+    * pigeonhole: 3 blocks of 21 bits, so any pair within hamming radius 2
+    * agrees on ≥1 whole block, GROUPED pair generation within blocks
+    * ([[hammingPairsByBlock]] — one scan, one shuffle, no join, expected
+    * bucket N/2^21). Output (a, b, hamming), a < b.
+    *
+    * 100 TB: hash is a narrow per-row map over grids (the heavy decode ran
+    * upstream, per-partition); the only shuffle is the block key. Identical
+    * images collide at hamming 0; re-encodes/small edits land within the
+    * radius — the standard public dHash behavior.
+    */
+  def imagePhashNearDups(grids: DataFrame, idCol: String = "doc_id",
+                         gridCol: String = "embedding"): DataFrame = {
+    val hashed = ensureFns(grids)
+      .select(col(idCol).as("doc_id"), expr(s"graft_dhash($gridCol)").as("phash"))
+    // 21-bit blocks over bits 0-62; bit 63 is structurally zero (63
+    // comparisons), so the div/mod arithmetic stays non-negative
+    val blocked = hashed.select(col("doc_id"), col("phash"),
+      explode(expr(
+        """transform(sequence(0, 2), b -> concat(cast(b as string), ':',
+             cast((phash div shiftleft(1L, b * 21)) % shiftleft(1L, 21) as string)))"""))
+        .as("blk"))
+    hammingPairsByBlock(blocked, "phash", radius = 2)
+  }
+
   /** Corpus-size crossover for [[simhashNearDups]]: the 32-bit form's
     * 11-bit blocks keep expected bucket size N/2^11 — fine while that stays
     * ≈64 members (N ≤ 2^11·64 = 131072), past which the in-bucket pair term
@@ -1410,14 +1440,45 @@ object LlmOps {
     * orders under the rounding step).
     */
   def lmScore(docs: DataFrame, vocabK: Int = 4096): DataFrame = {
+    // the exploded gram table feeds BOTH the vocab count-agg and the
+    // scoring join — persist it so the corpus is gram-exploded ONCE (the
+    // r9 two-pass form re-ran the explode per subtree; same cache
+    // discipline as incrementalDupes). Lifetime is bounded to this call:
+    // the scores (3 narrow columns per doc — orders smaller than the gram
+    // stream or the text) materialize eagerly, then the cache drops.
     val g = ensureFns(docs)
       .select(col("doc_id"), explode(expr("graft_gram_hash(text, 3, ':lm', 15)")).as("h"))
+      .persist()
     val counts = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
     // total grams WITHOUT a second explode+groupBy pass: graft_gram_hash
     // emits exactly max(numChars-2, 0) trigrams per doc (the winnow
     // length relationship, spec-pinned), so the total is a narrow length
     // sum — the lazy `counts` lineage is referenced only once (under
     // vocab), sparing a corpus-gram shuffle that Spark would not reuse
+    val tot = ensureFns(docs).agg(
+      sum(greatest(length(col("text")) - 2, lit(0))).cast("double").as("n"))
+    val vocab = counts.orderBy(col("c").desc, col("h")).limit(vocabK)
+    val out = g.join(broadcast(vocab), Seq("h"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        coalesce(log10(col("c").cast("double") / col("n")),
+          log10(lit(0.5) / col("n"))).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), round6(avg(col("logp"))).as("avg_logp"))
+      .persist()
+    out.count() // materialize BEFORE dropping the gram cache it derives from
+    g.unpersist()
+    out
+  }
+
+  /** The r9 two-pass reference form of [[lmScore]] (no caching — the gram
+    * explode runs once per subtree). Kept for the value-parity pin and the
+    * STRESS A/B row; produces byte-identical results.
+    */
+  private[graft] def lmScoreTwoPass(docs: DataFrame, vocabK: Int = 4096): DataFrame = {
+    val g = ensureFns(docs)
+      .select(col("doc_id"), explode(expr("graft_gram_hash(text, 3, ':lm', 15)")).as("h"))
+    val counts = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
     val tot = ensureFns(docs).agg(
       sum(greatest(length(col("text")) - 2, lit(0))).cast("double").as("n"))
     val vocab = counts.orderBy(col("c").desc, col("h")).limit(vocabK)
@@ -1502,6 +1563,62 @@ object LlmOps {
       spark.read.parquet(path).select(size(col("sig")).as("n")).head())
       .toOption.map(_.getInt(0))
 
+  // ---- signature store lifecycle: delete / compact ----
+
+  /** Tombstone sidecar of a signature store — deleted ids live here until
+    * the next [[compactSignatureStore]] folds them in.
+    */
+  def storeTombstonePath(path: String): String =
+    path.stripSuffix("/") + "_tombstones"
+
+  /** Logically delete a doc-id set's signatures: append the ids to the
+    * tombstone sidecar (id-set-proportional parquet append — the store
+    * files are untouched). Every probe reads [[liveSignatures]], so
+    * deletion takes effect immediately: a purged document
+    * (decontaminate_purge, LWW-superseded) stops vetoing near-identical
+    * future docs the moment its tombstone lands — no resurrection hazard
+    * window.
+    */
+  def deleteFromSignatureStore(ids: DataFrame, idCol: String,
+                               path: String): Unit =
+    ids.select(col(idCol)).distinct()
+      .write.mode("append").parquet(storeTombstonePath(path))
+
+  /** The store minus its tombstones — the view every probe must use.
+    * Cost: the store scan the probe pays anyway plus an anti-join against
+    * the (deletion-proportional) tombstone set; AQE broadcasts the small
+    * side on its own byte stats, so no corpus-sized build arises.
+    */
+  def liveSignatures(spark: org.apache.spark.sql.SparkSession,
+                     path: String, idCol: String): DataFrame = {
+    val store = spark.read.parquet(path)
+    scala.util.Try(spark.read.parquet(storeTombstonePath(path))).toOption match {
+      case Some(ts) => store.join(ts.select(col(idCol)), Seq(idCol), "left_anti")
+      case None => store
+    }
+  }
+
+  /** Rewrite the store down to its live rows and clear the tombstones:
+    * bounds the store (and every future probe's band scan) by the LIVE
+    * signature count instead of the append history — replayed duplicate
+    * rows collapse too (one row per id). Cost is live-signature-sized
+    * (fingerprints only, ~100 B/row — ~10⁻⁴ of the text the store
+    * indexes), so periodic compaction is cheap even at corpus scale.
+    * Single-writer maintenance op, like the append path.
+    */
+  def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
+                            path: String, idCol: String): Unit = {
+    val tmp = path.stripSuffix("/") + "_compact_tmp"
+    liveSignatures(spark, path, idCol).dropDuplicates(idCol)
+      .write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    fs.delete(new org.apache.hadoop.fs.Path(storeTombstonePath(path)), true)
+    ()
+  }
+
   /** Near-duplicates of a NEW BATCH against the stored corpus signatures:
     * band the store (integer work only — no corpus text touched), shingle
     * and band the batch (the increment is the only side that pays text
@@ -1525,7 +1642,9 @@ object LlmOps {
     // (one-row probe; the store is k-uniform, writeSignatures validates)
     storeSigLen(spark, storePath).foreach(n => require(n == k,
       s"signature store at $storePath has sig length $n but probe uses k=$k"))
-    val store = ensureFns(spark.read.parquet(storePath))
+    // the LIVE view (store minus tombstones): deleted/purged docs must not
+    // veto near-identical future docs — see deleteFromSignatureStore
+    val store = ensureFns(liveSignatures(spark, storePath, idCol))
     val sBand = withBandHashes(store, bands, r)
       .select(col(idCol).as("b"), explode(col("bands")).as("band"))
     val bSh = shingleTable(batch, idCol)

@@ -97,6 +97,12 @@ object GraftFunctions {
         require(args.length == 1, "graft_lsh_sig_any takes (array<float|double>)")
         LshSigAny(args(0))
       }),
+    (FunctionIdentifier("graft_dhash"),
+      new ExpressionInfo(classOf[DHash].getName, "graft_dhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_dhash takes (array<float|double>)")
+        DHash(args(0))
+      }),
     (FunctionIdentifier("graft_retoken_count"),
       new ExpressionInfo(classOf[RetokenCount].getName, "graft_retoken_count"),
       (args: Seq[Expression]) => {

@@ -450,6 +450,77 @@ case class LshSig(child: Expression) extends
     copy(child = newChild)
 }
 
+/** `graft_dhash(grid)` → bigint: the difference hash (dHash) of a pixel
+  * grid, the standard public perceptual image fingerprint (resize the image
+  * to a small grayscale grid, then bit i = grid[i] > grid[i+1] for each
+  * adjacent pair). On a 64-value grid (the 8×8 thumbnail
+  * `multimodal_resize`-style pooling produces) this yields 63 bits —
+  * bit 63 is structurally zero, so the hash is always non-negative and
+  * pigeonhole block arithmetic stays in the positive `div` domain.
+  *
+  * Near-identical images (a re-encode, a small crop, one edited region)
+  * perturb few adjacent-pair comparisons, so they land within a small
+  * hamming radius — the same bucketed pairing dedup_simhash_hamming64 uses
+  * then finds them without any all-pairs work.
+  *
+  * Cross-engine parity: comparisons run on double-widened values — exact
+  * for float inputs in both engines. A null ELEMENT contributes a 0 bit
+  * (mirrors the DuckDB oracle's `CASE WHEN NULL > x … ELSE 0`); inputs with
+  * more than 64 values hash their first 64 (63 comparisons). NaN elements
+  * compare false here but high in DuckDB — the decode contract upstream
+  * never emits NaN pixels.
+  */
+case class DHash(child: Expression) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_dhash requires array<float|double>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dhash"
+
+  override def nullSafeEval(a: Any): Any =
+    DHashOps.dhashOf(a.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.DHashOps.dhashOf($a, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): DHash =
+    copy(child = newChild)
+}
+
+/** Static runtime for [[DHash]]'s generated code. */
+object DHashOps {
+  /** Pack up to 63 adjacent-pair comparisons into one int64:
+    * bit i set ⇔ grid[i] > grid[i+1] (double compare; null-safe → 0 bit).
+    */
+  def dhashOf(xs: org.apache.spark.sql.catalyst.util.ArrayData,
+              isFloat: Boolean): Long = {
+    val n = Math.min(xs.numElements(), 64)
+    var acc = 0L
+    var i = 0
+    while (i < n - 1) {
+      if (!xs.isNullAt(i) && !xs.isNullAt(i + 1)) {
+        val p = if (isFloat) xs.getFloat(i).toDouble else xs.getDouble(i)
+        val q = if (isFloat) xs.getFloat(i + 1).toDouble else xs.getDouble(i + 1)
+        if (p > q) acc |= (1L << i)
+      }
+      i += 1
+    }
+    acc
+  }
+}
+
 /** `graft_lsh_sig_any(embedding)` → bigint: [[LshSig]] with the planes
   * spanning exactly the input's dimensions ([[LshOps.sigOfAny]]) — the
   * splitting form for [[graft.ext.LlmOps.withPairCells]], valid at any

@@ -45,6 +45,36 @@ object LlmQueries {
        SELECT vec_id + 100000 AS vec_id, embedding, label
        FROM embeddings WHERE vec_id % 25 = 0"""
 
+  /** embeddings as the decoded-image pixel-grid stand-in (each 64-dim array
+    * plays the 8×8 grayscale thumbnail a real pipeline's decode+resize
+    * produces), with planted image dups: ids %25==0 re-appear IDENTICAL at
+    * +100000 (hamming 0 — a byte-for-byte re-upload); ids %25==7 re-appear
+    * at +200000 with their first two pixels SWAPPED (a small local edit —
+    * flips at most the two adjacent-pair comparisons touching those pixels,
+    * hamming ≤ 2). Swapping is arithmetic-free, so both engines agree
+    * bit-for-bit with zero float-rounding risk.
+    */
+  private def imagesWithDups(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    base
+      .unionByName(emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      .unionByName(emb.filter(col("vec_id") % 25 === 7)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          expr("concat(array(element_at(embedding, 2), element_at(embedding, 1)), slice(embedding, 3, 62))")
+            .as("embedding")))
+  }
+
+  private val imgDupSql: String =
+    """SELECT vec_id, embedding FROM embeddings
+       UNION ALL
+       SELECT vec_id + 100000 AS vec_id, embedding
+       FROM embeddings WHERE vec_id % 25 = 0
+       UNION ALL
+       SELECT vec_id + 200000 AS vec_id,
+              [embedding[2], embedding[1]] || embedding[3:] AS embedding
+       FROM embeddings WHERE vec_id % 25 = 7"""
+
   /** Shared by decontaminate_ngram and decontaminate_bloom: the bloom path
     * is a prefilter whose false positives die in the exact verify join, so
     * both operators answer to the identical exact-overlap oracle.
@@ -266,6 +296,15 @@ object LlmQueries {
     // embedding cosine near-dups within an IVF-style bucket (cluster label)
     "dedup_embedding_cos" -> ((s, d) =>
       LlmOps.embeddingNearDups(embWithDups(t(s, d, "embeddings")), 0.95)
+        .orderBy(col("a"), col("b"))),
+
+    // modality-native IMAGE dedup: dHash over the decoded pixel grid (the
+    // 8×8 thumbnail stand-in), hamming-bucketed by the same 3-block
+    // pigeonhole dedup_simhash_hamming64 proved — catches re-uploads
+    // (hamming 0) and small edits (the swapped-pixel twins, hamming ≤ 2)
+    // without touching text or provided embeddings
+    "dedup_image_phash" -> ((s, d) =>
+      LlmOps.imagePhashNearDups(imagesWithDups(t(s, d, "embeddings")), "vec_id")
         .orderBy(col("a"), col("b"))),
 
     // brute-force cosine top-k around the vec_id=0 query vector
@@ -744,6 +783,28 @@ object LlmQueries {
                       / (len(list_distinct(pa.shingles)) + len(list_distinct(pb.shingles))
                          - len(list_intersect(list_distinct(pa.shingles), list_distinct(pb.shingles))))::DOUBLE,
                       6) >= 0.5
+          ORDER BY a, b""",
+    // mirrors LlmOps.imagePhashNearDups: dHash = adjacent-pair comparison
+    // bits over the pixel grid (double-widened compares, exact for floats),
+    // 21-bit pigeonhole blocks, hamming <= 2 on block-mates
+    "dedup_image_phash" ->
+      s"""WITH imgs AS ($imgDupSql),
+          ph AS (SELECT vec_id AS doc_id,
+                   CAST(coalesce(list_sum(list_transform(generate_series(1, least(len(embedding) - 1, 63)),
+                     i -> CASE WHEN embedding[i]::DOUBLE > embedding[i+1]::DOUBLE
+                               THEN (1::BIGINT << (i - 1)) ELSE 0 END)), 0) AS BIGINT) AS phash
+                 FROM imgs),
+          blocked AS (SELECT doc_id, phash,
+                        unnest(list_transform([0, 1, 2],
+                          b -> b::VARCHAR || ':' ||
+                               ((phash // (1::BIGINT << (b * 21))) %
+                                (1::BIGINT << 21))::VARCHAR)) AS blk
+                      FROM ph)
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                 CAST(bit_count(xor(x.phash, y.phash)) AS INTEGER) AS hamming
+          FROM blocked x JOIN blocked y
+            ON x.blk = y.blk AND x.doc_id < y.doc_id
+          WHERE bit_count(xor(x.phash, y.phash)) <= 2
           ORDER BY a, b""",
     "dedup_embedding_cos" ->
       s"""WITH e AS ($embDupSql)

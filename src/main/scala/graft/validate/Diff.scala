@@ -36,12 +36,14 @@ object Diff {
     * produce duplicate PKs, but a half-migrated parquet export, a bad
     * upstream union, or a writetime-versioned dump can.
     *
-    *  - [[FailOnDup]] (default): runtime gate — one count+approx_count_distinct
-    *    aggregate per side; exact countDistinct only when the approx
-    *    disagrees with the row count (the screen: HLL++ is exact at small
-    *    cardinality, and at large cardinality approx==count under
-    *    duplication is a measure-zero coincidence). Throws with the dup
-    *    count, pointing at the two remediations.
+    *  - [[FailOnDup]] (default): in-join gate — each side carries a per-PK
+    *    row count through the join's OWN shuffle (a count window over the
+    *    PK rides the exchange+sort the sort-merge join needs anyway — no
+    *    extra pass, no extra exchange; PlanSpec pins the exchange count),
+    *    and a post-join FILTER `raise_error`s on the first PK whose count
+    *    exceeds 1, failing the job before wrong rows can be consumed. The
+    *    throw surfaces at the ACTION (the join job), naming the side, the
+    *    key, and the two remediations.
     *  - [[CollapseLww]]: pre-collapse each side with [[lwwMerge]] (max
     *    writetime — the reference's own conflict rule,
     *    docs/04-cdm-approach.md:837-841), then diff. No gate jobs.
@@ -56,7 +58,9 @@ object Diff {
 
   /** Number of surplus rows beyond one-per-PK (0 ⇔ PKs unique). One
     * aggregate job in the common case; a second exact-distinct job only
-    * when the approximate screen cannot certify uniqueness.
+    * when the approximate screen cannot certify uniqueness. Standalone
+    * probe (feed auditing); classify itself gates IN-join at no extra
+    * pass — see [[DupPkPolicy]].
     */
   private[graft] def dupPkCount(df: DataFrame, pk: Seq[String]): Long = {
     val k = struct(pk.map(col): _*)
@@ -66,18 +70,51 @@ object Diff {
     else n - df.agg(countDistinct(k).as("d")).head().getLong(0)
   }
 
-  private def gated(df: DataFrame, pk: Seq[String], side: String,
-                    policy: DupPkPolicy): DataFrame = policy match {
-    case AssumeUnique => df
-    case FailOnDup =>
-      val d = dupPkCount(df, pk)
-      require(d == 0L,
-        s"$side side has $d surplus duplicate-PK row(s) on (${pk.mkString(", ")}): " +
-          "the diff full-outer join would multiply them into phantom rows. " +
-          "Pre-collapse with Diff.CollapseLww(writetimeCol) or fix the feed.")
-      df
+  /** Pre-collapse for [[CollapseLww]]; identity otherwise. */
+  private def precollapse(df: DataFrame, pk: Seq[String],
+                          policy: DupPkPolicy): DataFrame = policy match {
     case CollapseLww(wt, tb) => lwwMerge(df, pk, wt, tb)
+    case _ => df
   }
+
+  /** Attach the per-PK row count that rides the join's shuffle (FailOnDup
+    * only). The window needs exactly the partitioning+sort the SMJ needs,
+    * so Catalyst plans it into the same exchange.
+    */
+  private def withPkCount(df: DataFrame, cnt: String, pk: Seq[String],
+                          policy: DupPkPolicy): DataFrame = policy match {
+    case FailOnDup =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(pk.map(col): _*)
+      df.withColumn(cnt, count(lit(1)).over(w))
+    case _ => df
+  }
+
+  /** Raise on the first duplicated PK instead of emitting phantom rows
+    * (FailOnDup only). A FILTER, not a projection: any action (even a bare
+    * count(), which prunes every unused column) must evaluate filter
+    * predicates, so the gate cannot be optimized away. Null counts (side
+    * absent in the outer join) pass — absence is a legal diff outcome.
+    */
+  private def dupGuard(joined: DataFrame, pk: Seq[String],
+                       policy: DupPkPolicy): DataFrame = policy match {
+    case FailOnDup =>
+      def msg(side: String) = concat(
+        lit(s"$side side has duplicate-PK rows on (${pk.mkString(", ")}), e.g. "),
+        concat_ws(",", pk.map(c => col(c).cast("string")): _*),
+        lit(": the diff full-outer join would multiply them into phantom " +
+          "rows. Pre-collapse with Diff.CollapseLww(writetimeCol) or fix the feed."))
+      def guard(cnt: String, side: String): Column =
+        when(coalesce(col(cnt), lit(1L)) > 1L,
+          raise_error(msg(side)).cast("boolean")).otherwise(lit(true))
+      joined.filter(guard("_o_cnt", "origin") && guard("_t_cnt", "target"))
+    case _ => joined
+  }
+
+  private def dropGateCols(df: DataFrame, policy: DupPkPolicy): DataFrame =
+    policy match {
+      case FailOnDup => df.drop("_o_cnt", "_t_cnt")
+      case _ => df
+    }
 
   private def eqPred(compare: Seq[String]): Column =
     compare.map(c => col(s"o_$c") <=> col(s"t_$c"))
@@ -89,17 +126,21 @@ object Diff {
   def classify(origin: DataFrame, target: DataFrame,
                pk: Seq[String], compare: Seq[String],
                onDup: DupPkPolicy = FailOnDup): DataFrame = {
-    val (o, t) = (gated(origin, pk, "origin", onDup), gated(target, pk, "target", onDup))
-    val oSel = o.select(
-      pk.map(col) ++ (compare.map(c => col(c).as(s"o_$c")) :+ lit(1).as("_o_present")): _*)
-    val tSel = t.select(
-      pk.map(col) ++ (compare.map(c => col(c).as(s"t_$c")) :+ lit(1).as("_t_present")): _*)
-    oSel.join(tSel, pk, "full_outer")
-      .withColumn(StatusCol,
-        when(col("_o_present").isNull, lit("extra_in_target"))
-          .when(col("_t_present").isNull, lit("missing"))
-          .when(eqPred(compare), lit("valid"))
-          .otherwise(lit("mismatch")))
+    val (o, t) = (precollapse(origin, pk, onDup), precollapse(target, pk, onDup))
+    val oSel = withPkCount(o.select(
+      pk.map(col) ++ (compare.map(c => col(c).as(s"o_$c")) :+ lit(1).as("_o_present")): _*),
+      "_o_cnt", pk, onDup)
+    val tSel = withPkCount(t.select(
+      pk.map(col) ++ (compare.map(c => col(c).as(s"t_$c")) :+ lit(1).as("_t_present")): _*),
+      "_t_cnt", pk, onDup)
+    dropGateCols(
+      dupGuard(oSel.join(tSel, pk, "full_outer"), pk, onDup)
+        .withColumn(StatusCol,
+          when(col("_o_present").isNull, lit("extra_in_target"))
+            .when(col("_t_present").isNull, lit("missing"))
+            .when(eqPred(compare), lit("valid"))
+            .otherwise(lit("mismatch"))),
+      onDup)
   }
 
   /** Engine-internal fast classification: compares row content via a single
@@ -114,15 +155,21 @@ object Diff {
                      pk: Seq[String], compare: Seq[String],
                      onDup: DupPkPolicy = FailOnDup): DataFrame = {
     import graft.core.Hashing
-    val (o, t) = (gated(origin, pk, "origin", onDup), gated(target, pk, "target", onDup))
-    val oSel = o.select(pk.map(col) :+ Hashing.fastRowHash(compare).as("_o_h"): _*)
-    val tSel = t.select(pk.map(col) :+ Hashing.fastRowHash(compare).as("_t_h"): _*)
-    oSel.join(tSel, pk, "full_outer")
-      .withColumn(StatusCol,
-        when(col("_o_h").isNull, lit("extra_in_target"))
-          .when(col("_t_h").isNull, lit("missing"))
-          .when(col("_o_h") === col("_t_h"), lit("valid"))
-          .otherwise(lit("mismatch")))
+    val (o, t) = (precollapse(origin, pk, onDup), precollapse(target, pk, onDup))
+    val oSel = withPkCount(
+      o.select(pk.map(col) :+ Hashing.fastRowHash(compare).as("_o_h"): _*),
+      "_o_cnt", pk, onDup)
+    val tSel = withPkCount(
+      t.select(pk.map(col) :+ Hashing.fastRowHash(compare).as("_t_h"): _*),
+      "_t_cnt", pk, onDup)
+    dropGateCols(
+      dupGuard(oSel.join(tSel, pk, "full_outer"), pk, onDup)
+        .withColumn(StatusCol,
+          when(col("_o_h").isNull, lit("extra_in_target"))
+            .when(col("_t_h").isNull, lit("missing"))
+            .when(col("_o_h") === col("_t_h"), lit("valid"))
+            .otherwise(lit("mismatch"))),
+      onDup)
   }
 
   /** DiffData-style summary report: one row per class with its count

@@ -184,6 +184,59 @@ class TrainedOpsSpec extends SparkSpec {
       s"appended batch must be probe-visible, got ${got2.toSeq}")
   }
 
+  test("lmScore single-pass (cached gram table) is value-identical to the " +
+       "two-pass reference form") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val fast = LlmOps.lmScore(docs)
+    val a = fast.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val b = LlmOps.lmScoreTwoPass(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    fast.unpersist()
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("signature store lifecycle: append → purge → compact — a purged ghost " +
+       "must not veto a near-identical future doc, and compact bounds the store") {
+    val fox = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      (1L, fox),
+      (2L, "entirely different words about spark catalyst tungsten codegen"))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("sigstore-lc").toString + "/store"
+    LlmOps.writeSignatureStore(corpus, "doc_id", store)
+    val batch = Seq((101L, fox + " tail")).toDF("doc_id", "text")
+    def probe() = LlmOps.incrementalDupes(corpus, batch, "doc_id", store,
+        threshold = 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // landed doc 1 vetoes its near-twin
+    assert(probe() == Seq((101L, 1L)))
+    // doc 1 is purged (decontamination, LWW supersession, takedown…) —
+    // deletion must take effect IMMEDIATELY, before any compaction runs
+    LlmOps.deleteFromSignatureStore(Seq(1L).toDF("doc_id"), "doc_id", store)
+    assert(probe().isEmpty, "purged ghost must not veto the batch doc")
+    // append the now-acceptable batch (twice — a replay leaves a dup row)
+    LlmOps.appendSignatureStore(batch, "doc_id", store)
+    LlmOps.appendSignatureStore(batch, "doc_id", store)
+    assert(spark.read.parquet(store).count() == 4) // 1,2,101,101 (1 tombstoned)
+    // compact: store rewritten bounded by LIVE signatures — tombstoned id
+    // gone, replay dup collapsed, sidecar cleared
+    LlmOps.compactSignatureStore(spark, store, "doc_id")
+    val after = spark.read.parquet(store)
+    assert(after.count() == 2, "compact must keep exactly the live ids")
+    assert(after.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 101L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(LlmOps.storeTombstonePath(store))))
+    // the store still probes correctly after the rewrite
+    val batch2 = Seq((201L, fox + " tail longer")).toDF("doc_id", "text")
+    val corpus2 = corpus.filter(col("doc_id") =!= 1L).unionByName(batch)
+    val got = LlmOps.incrementalDupes(corpus2, batch2, "doc_id", store,
+        threshold = 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((201L, 101L)), s"post-compact probe got $got")
+  }
+
   test("signature store k-mismatch fails fast on both probe and append " +
        "(a silent mismatch would band to incomparable hashes → zero candidates)") {
     val corpus = Seq(

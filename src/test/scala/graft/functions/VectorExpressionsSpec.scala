@@ -190,4 +190,44 @@ class VectorExpressionsSpec extends SparkSpec {
     val s2 = long2.select(expr("graft_lsh_sig_any(embedding)")).collect()(0).getLong(0)
     assert(s1 != s2, "dims beyond 64 must reach the generalized planes")
   }
+
+  test("graft_dhash: hand-computed bits, degenerate inputs, swap locality") {
+    // bit i set ⇔ x[i] > x[i+1]: [3,1,2,2] → bit0 (3>1) only
+    def h(xs: Seq[Float]): Long =
+      Seq(xs).toDF("g").select(expr("graft_dhash(g)")).collect()(0).getLong(0)
+    assert(h(Seq(3f, 1f, 2f, 2f)) == 1L)
+    assert(h(Seq(1f, 2f, 3f)) == 0L) // monotone ascending → no bits
+    assert(h(Seq(3f, 2f, 1f)) == 3L) // descending → all comparison bits
+    assert(h(Seq.empty) == 0L && h(Seq(5f)) == 0L)
+    // 64 values → 63 comparisons; bit 63 structurally zero → non-negative
+    val desc64 = Seq.tabulate(64)(i => (64 - i).toFloat)
+    assert(h(desc64) == Long.MaxValue) // bits 0..62 all set = 2^63 - 1
+    assert(h(desc64) >= 0)
+    // values past index 63 are ignored (first-64 cap)
+    assert(h(desc64 ++ Seq(100f, 0f)) == h(desc64))
+    // double input agrees with float input on exactly-representable values
+    val asD = Seq(Seq(3.0, 1.0, 2.0, 2.0)).toDF("g")
+      .select(expr("graft_dhash(g)")).collect()(0).getLong(0)
+    assert(asD == 1L)
+    // null element → its comparison bits are 0 (oracle CASE semantics)
+    val withNull = Seq(1).toDF("x")
+      .select(expr("""graft_dhash(array(cast(3.0 as float), cast(null as float),
+                                        cast(1.0 as float), cast(0.5 as float)))"""))
+      .collect()(0).getLong(0)
+    assert(withNull == 4L) // only bit2 (1 > 0.5); bits 0,1 touch the null
+    // the planted-image edit: swapping two adjacent pixels moves hamming ≤ 2
+    val grid = Seq.tabulate(64)(i => math.sin(i * 1.7).toFloat)
+    val swapped = grid.updated(0, grid(1)).updated(1, grid(0))
+    assert(java.lang.Long.bitCount(h(grid) ^ h(swapped)) <= 2)
+  }
+
+  test("graft_dhash participates in whole-stage codegen") {
+    val df = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(expr("graft_dhash(embedding)").as("p"))
+    // the `*(n)` prefix marks operators inside a WholeStageCodegen span
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[graft_dhash""".r.findFirstIn(plan).isDefined,
+      s"expected graft_dhash inside a codegen span (*(n) prefix):\n$plan")
+    assert(df.filter(col("p") < 0).count() == 0L, "dhash must be non-negative")
+  }
 }

@@ -247,6 +247,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("audit: dedup_image_phash pairing stays bucketed — grouped, join-free") {
+    // the whole pipeline is hash → block explode → groupBy(blk) → in-group
+    // pair explode: no join operator of any kind should appear, and the
+    // single wide step must be the hash aggregation on the block key
+    val plan = physical(LlmQueries.qs("dedup_image_phash")(spark, sf()))
+    val joins = plan.collect { case j: BaseJoinExec => j }
+    assert(joins.isEmpty, s"phash pairing must be grouped, found joins:\n$plan")
+    val s = plan.toString
+    assert(s.contains("blk"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("audit: EVERY registry query plans cartesian-free") {
     // whole-board safety net: build (and for the eager closures, run) every
     // registered query at sf0.001 and reject cartesian products anywhere.

@@ -143,4 +143,21 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(physical(rep)).length
     assert(exchanges <= 3, s"too many exchanges ($exchanges):\n${physical(rep)}")
   }
+
+  test("FailOnDup gate rides the join's shuffle: same exchange count as " +
+       "AssumeUnique, no extra scan pass") {
+    // the r9 form paid one count+approx_count_distinct aggregate per side
+    // BEFORE the join (two extra corpus scans at 100 TB); the in-join gate
+    // is a count window planned into the exchange+sort the SMJ needs anyway
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    def plan(p: graft.validate.Diff.DupPkPolicy) = physical(
+      graft.validate.Diff.classifyByHash(orders, Common.ordersTwin(orders),
+        Common.ordPk, Common.ordCompare, onDup = p))
+    val gatedEx = "Exchange".r.findAllIn(plan(graft.validate.Diff.FailOnDup)).length
+    val bareEx = "Exchange".r.findAllIn(plan(graft.validate.Diff.AssumeUnique)).length
+    assert(gatedEx == bareEx,
+      s"gate must not add exchanges: gated=$gatedEx bare=$bareEx")
+    val gated = plan(graft.validate.Diff.FailOnDup)
+    assert(gated.contains("Window"), s"expected the in-join count window:\n$gated")
+  }
 }

@@ -60,11 +60,22 @@ class DiffSpec extends SparkSpec {
     val dupped = Seq((1L, "a", 10L), (2L, "old", 20L), (2L, "new", 30L))
       .toDF("k", "v", "wt")
     val clean = Seq((1L, "a", 10L), (2L, "new", 30L)).toDF("k", "v", "wt")
-    val err = intercept[IllegalArgumentException] {
-      Diff.classify(dupped, clean, Seq("k"), Seq("v"))
+    // the gate rides the join's own shuffle (no pre-pass), so it fires at
+    // the ACTION — the job fails before any phantom row can be consumed
+    def allMessages(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    val err = intercept[Exception] {
+      Diff.classify(dupped, clean, Seq("k"), Seq("v")).count()
     }
-    assert(err.getMessage.contains("duplicate-PK") &&
-      err.getMessage.contains("origin"), err.getMessage)
+    assert(allMessages(err).contains("duplicate-PK") &&
+      allMessages(err).contains("origin"), allMessages(err))
+    // symmetric: a target-side dup names the target
+    val errT = intercept[Exception] {
+      Diff.classifyByHash(clean, dupped, Seq("k"), Seq("v")).count()
+    }
+    assert(allMessages(errT).contains("duplicate-PK") &&
+      allMessages(errT).contains("target"), allMessages(errT))
     // CollapseLww keeps max-writetime per key first → all-valid diff
     val collapsed = Diff.report(dupped, clean, Seq("k"), Seq("v"),
       onDup = Diff.CollapseLww("wt")).collect()
