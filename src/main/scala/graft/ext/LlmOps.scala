@@ -1393,17 +1393,49 @@ object LlmOps {
   def kmeansAssignments(emb0: DataFrame, c: Int, iters: Int): DataFrame =
     kmeansAssignTo(emb0, kmeansCentroids(emb0, c, iters))
 
+  /** The standard public cell-count heuristic for a trained IVF index:
+    * c ≈ √N balances the query's c-centroid ranking against the ~N/c
+    * per-cell exact search (total probe work ~ c + nprobe·N/c, minimized
+    * at c = √(nprobe·N); √N is the conventional fixed-nprobe choice).
+    * Clamped to [2, 2^16]: the centroid table must stay a
+    * broadcast/collect-bounded literal. Pure, so the selection rule is
+    * testable without a corpus; pass `cHint` to override.
+    */
+  def kmeansAutoC(corpusSize: Long, cHint: Option[Int] = None): Int =
+    cHint.getOrElse(
+      math.max(2L, math.min(math.round(math.sqrt(corpusSize.toDouble)), 1L << 16)).toInt)
+
+  /** [[ivfSearchKmeans]] with c chosen by [[kmeansAutoC]]. `corpusSizeHint`
+    * skips the count pass when N is already known (catalog stats, a
+    * previous stage's observe()).
+    */
+  def ivfSearchKmeansAuto(emb0: DataFrame, query: DataFrame, nprobe: Int,
+                          k: Int, iters: Int = 2, cHint: Option[Int] = None,
+                          corpusSizeHint: Option[Long] = None): DataFrame = {
+    val n = corpusSizeHint.getOrElse(emb0.count())
+    ivfSearchKmeans(emb0, query, kmeansAutoC(n, cHint), iters, nprobe, k)
+  }
+
   /** IVF search over TRAINED cells ([[kmeansCentroids]]), same two-stage
     * shape as [[ivfSearch]]: rank the c trained centroids against the
     * broadcast query, probe the best `nprobe` cells, exact-search only the
     * vectors assigned to them. The accuracy/cost dial and the plan shape
     * (corpus scanned, never shuffled except the bounded training aggs) are
     * identical to the label-cell form — but needs no label column.
+    * Trains per call; a production index trains ONCE
+    * ([[kmeansCentroids]]) and serves every query through
+    * [[ivfSearchKmeansWith]].
     */
   def ivfSearchKmeans(emb0: DataFrame, query: DataFrame, c: Int, iters: Int,
-                      nprobe: Int, k: Int): DataFrame = {
+                      nprobe: Int, k: Int): DataFrame =
+    ivfSearchKmeansWith(emb0, kmeansCentroids(emb0, c, iters), query, nprobe, k)
+
+  /** Serve one query against a PRE-TRAINED centroid table — the index-reuse
+    * path (train once per corpus snapshot, search many).
+    */
+  def ivfSearchKmeansWith(emb0: DataFrame, cents: DataFrame, query: DataFrame,
+                          nprobe: Int, k: Int): DataFrame = {
     val emb = kmeansInput(emb0)
-    val cents = kmeansCentroids(emb0, c, iters) // trained ONCE (local table)
     val q = query.select(col("embedding").as("qv"))
     val probed = withCnorm(cents).crossJoin(broadcast(q))
       .select(col("cid"),

@@ -39,23 +39,32 @@ object DualWrite {
     * `batch` partition column (standard partition discovery).
     */
   def dualWriteMicroBatch(batch: DataFrame, batchId: Long,
-                          originPath: String, targetPath: String): Unit = {
+                          originPath: String, targetPath: String,
+                          layout: DataFrame => DataFrame = identity): Unit = {
     batch.persist()
     try {
-      batch.write.mode("overwrite").parquet(s"$originPath/batch=$batchId")
-      batch.write.mode("overwrite").parquet(s"$targetPath/batch=$batchId")
+      // layout (e.g. a z-order repartitionByRange+sort,
+      // graft.core.Ops.zorderLayout) runs on the PERSISTED batch, so each
+      // sink pays the layout exchange but never the upstream lineage; the
+      // landed store's parquet files then carry tight min/max envelopes on
+      // the dial columns and downstream scans prune (ZorderSpec measures
+      // the records-read fraction on this exact write path)
+      val laid = layout(batch)
+      laid.write.mode("overwrite").parquet(s"$originPath/batch=$batchId")
+      laid.write.mode("overwrite").parquet(s"$targetPath/batch=$batchId")
     } finally batch.unpersist()
   }
 
   /** T1 streaming form: micro-batch dual-sink via foreachBatch. */
   def dualWriteStream(stream: DataFrame, originPath: String, targetPath: String,
                       checkpoint: String,
-                      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+                      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+                      layout: DataFrame => DataFrame = identity): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dualWriteMicroBatch(batch, batchId, originPath, targetPath)
+        dualWriteMicroBatch(batch, batchId, originPath, targetPath, layout)
       }
       .start()
 

@@ -34,7 +34,34 @@ object IngestPipeline {
       originPath: String,
       targetPath: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("1 second"))
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      // write layout for the landed store, applied per micro-batch before
+      // both sinks — e.g. [[zorderByEntityDay]] so the corpus lands
+      // (entity, day)-clustered and every later scan filtered on either
+      // dimension prunes row groups instead of reading the store
+      layout: DataFrame => DataFrame = identity)
+
+  /** The 100 TB landed-corpus layout: Morton z-order on (entity, event
+    * day), the two dimensions corpus maintenance scans filter on (the
+    * probe's candidate semi-join by id prefix; retention/backfill by day).
+    * Dial values clip into 16 bits — the z curve needs bounded
+    * non-negative inputs ([[graft.core.Ops.zValue]]).
+    *
+    * Pruning caveat: the layout clusters any timestamp type, but the day
+    * dimension only PRUNES row groups when the filtered column is a plain
+    * INT64 — store event time as epoch micros (`ts_us`, this repo's
+    * normalization convention). Measured in ZorderSpec: with `ts` as
+    * INT96 (Spark's default timestamp encoding) or TIMESTAMP_NTZ the day
+    * predicate appears under PushedFilters but never converts to a
+    * parquet row-group predicate, and nothing skips.
+    */
+  def zorderByEntityDay(entity: org.apache.spark.sql.Column,
+                        ts: org.apache.spark.sql.Column,
+                        numPartitions: Int): DataFrame => DataFrame =
+    df => graft.core.Ops.zorderLayout(df,
+      entity.bitwiseAND(lit(65535L)),
+      unix_date(ts.cast("date")).cast("long").bitwiseAND(lit(65535L)),
+      numPartitions)
 
   /** Stateless quality + fingerprint stage. Works identically on batch and
     * streaming frames (no aggregation, no state): input needs (doc_id,
@@ -69,7 +96,7 @@ object IngestPipeline {
       .dropDuplicatesWithinWatermark("content_h")
     // the sink IS the ZDM dual-writer — one wiring, shared with DualWrite
     DualWrite.dualWriteStream(deduped, cfg.originPath, cfg.targetPath,
-      cfg.checkpoint, cfg.trigger)
+      cfg.checkpoint, cfg.trigger, cfg.layout)
   }
 
   /** As [[start]], plus corpus-scale NEAR-dup dedup backed by the
@@ -166,7 +193,7 @@ object IngestPipeline {
     survivors.count() // materialize before releasing the intra pairs
     intra.unpersist()
     DualWrite.dualWriteMicroBatch(survivors, batchId,
-      cfg.originPath, cfg.targetPath)
+      cfg.originPath, cfg.targetPath, cfg.layout)
     LlmOps.appendSignatureStore(
       survivors.select(col("doc_id"), col("text")), "doc_id", storePath)
     survivors.unpersist()

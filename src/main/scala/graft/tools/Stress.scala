@@ -262,6 +262,36 @@ object Stress {
         nprobe = 2, k = 10).collect()
     }
 
+    // trained-IVF growth at corpus scale: 1M → 10M vectors at FIXED c
+    // (c is held constant so the pair isolates per-vector cost — each
+    // Lloyd iteration is one corpus scan vs a c-row broadcast, so 10× the
+    // vectors must cost ~10×, not more). Auto-c (√N) is the production
+    // default; the fixed-c pair is the linearity instrument.
+    val nVecXl = math.max(10000000L, n)
+    def writeVecs(nv: Long, path: String): Unit =
+      spark.range(nv).select(
+        col("id").as("vec_id"),
+        expr("""transform(sequence(0, 63),
+                 j -> cast(pmod(hash(id * 64 + j), 1000) as float) / 1000.0f)""")
+          .as("embedding"))
+        .write.mode("overwrite").parquet(path)
+    writeVecs(nVecXl / 10, s"$base/emb_xl1.parquet")
+    writeVecs(nVecXl, s"$base/emb_xl10.parquet")
+    val ivf1 = bench(s"kmeans IVF train+search c=100 ${nVecXl / 10 / 1000000}M vectors",
+        nVecXl / 10) {
+      val e = spark.read.parquet(s"$base/emb_xl1.parquet")
+      graft.ext.LlmOps.ivfSearchKmeans(e.filter(col("vec_id") =!= 0),
+        e.filter(col("vec_id") === 0), c = 100, iters = 2,
+        nprobe = 4, k = 10).collect()
+    }
+    val ivf10 = bench(s"kmeans IVF train+search c=100 ${nVecXl / 1000000}M vectors (10×)",
+        nVecXl) {
+      val e = spark.read.parquet(s"$base/emb_xl10.parquet")
+      graft.ext.LlmOps.ivfSearchKmeans(e.filter(col("vec_id") =!= 0),
+        e.filter(col("vec_id") === 0), c = 100, iters = 2,
+        nprobe = 4, k = 10).collect()
+    }
+
     // ---- LM quality scoring: the gram table is exploded ONCE and cached
     // across vocab-build and scoring (r10); the two-pass reference row
     // measures what the cache saves on identical input.
@@ -294,6 +324,13 @@ object Stress {
       out.agg(count(lit(1))).collect()
       out.unpersist()
     }
+    notes ++= f"""
+      |Trained-IVF growth at 10× the vectors (fixed c=100): ${ivf10 / ivf1}%.1f×
+      |wall-clock — each Lloyd iteration is one corpus scan against a c-row
+      |broadcast, so cost is linear in the corpus at fixed c. The production
+      |default picks c = √N (kmeansAutoC), which grows probe cost as √N, not N.
+      |""".stripMargin
+
     notes ++= f"""
       |The incremental-dedup fixture is worst-case: EVERY batch doc is a
       |planted near-dup, so the probe pays ~${nDocs / 10 / 1000000}M exact-Jaccard

@@ -95,6 +95,52 @@ class AnnRecallSpec extends SparkSpec {
       s"nprobe = all trained cells IS brute force; recall ${recalls.last}")
   }
 
+  test("kmeansAutoC follows the √N heuristic, clamped, hint wins") {
+    assert(LlmOps.kmeansAutoC(0L) == 2)
+    assert(LlmOps.kmeansAutoC(100L) == 10)
+    assert(LlmOps.kmeansAutoC(10000L) == 100)
+    assert(LlmOps.kmeansAutoC(1000000L) == 1000)
+    // clamp: the centroid table must stay a bounded literal
+    assert(LlmOps.kmeansAutoC(Long.MaxValue) == (1 << 16))
+    assert(LlmOps.kmeansAutoC(1000000L, cHint = Some(64)) == 64)
+  }
+
+  test("trained-IVF at sf0.1 with auto-c: dial is monotone, index trains once " +
+       "and serves every query (measured recall@10 recorded)") {
+    // sf0.1's embeddings (2000 vectors) → auto-c = √2000 ≈ 45 learned
+    // cells. Train ONCE via kmeansCentroids, serve all queries through
+    // ivfSearchKmeansWith — the production index-reuse path. On this
+    // synthetic near-random corpus recall tracks cell coverage
+    // (nprobe/c), so the pinned contract is the monotone dial, coverage →
+    // recall, and determinism; the measured values go to STRESS.md's ANN
+    // table.
+    val big = spark.read.parquet(s"${sf("sf0.1")}/embeddings.parquet")
+    val n = big.count()
+    val c = LlmOps.kmeansAutoC(n)
+    info(s"sf0.1 corpus n=$n auto-c=$c")
+    assert(c == math.round(math.sqrt(n.toDouble)).toInt && c > 10,
+      s"auto-c must follow √N, got $c for n=$n")
+    val cents = LlmOps.kmeansCentroids(big, c, iters = 2)
+    val qids = 0L until 2L
+    def corpusB(q: Long) = big.filter(col("vec_id") =!= q)
+    def queryB(q: Long) = big.filter(col("vec_id") === q)
+    val truths = qids.map(q => q -> LlmOps.cosineTopK(corpusB(q), queryB(q), K)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet).toMap
+    val probes = Seq(4, 16, c)
+    val recalls = probes.map { np =>
+      val v = mean(qids.map(q =>
+        LlmOps.recallAtK(
+          LlmOps.ivfSearchKmeansWith(corpusB(q), cents, queryB(q), np, K),
+          truths(q))))
+      info(f"sf0.1 kmeans-ivf c=$c nprobe=$np: mean recall@10 = $v%.2f")
+      v
+    }
+    assert(recalls == recalls.sorted,
+      s"recall must not fall as nprobe grows: $recalls")
+    assert(recalls.last == 1.0,
+      s"nprobe = all trained cells IS brute force; recall ${recalls.last}")
+  }
+
   test("lshBandSizes surfaces the bucket distribution (degenerate corpus visible)") {
     // constant corpus → every vector lands in the same 4 band buckets
     import spark.implicits._
