@@ -350,7 +350,17 @@ object LlmOps {
     * truly degenerate cell (near-identical vectors co-sign every plane)
     * cannot split, and that is capped-and-counted, not paired.
     */
-  private[graft] def withPairCells(e: DataFrame, maxCell: Int): DataFrame = {
+  private[graft] def withPairCells(e: DataFrame, maxCell: Int): DataFrame =
+    withPairCellsAndBuckets(e, maxCell)._1
+
+  /** The celled corpus plus the (label, sub) bucket-count table it was
+    * built from — callers needing the capped-bucket accounting derive it
+    * from the AGGREGATE table ([[cappedCellsFromBuckets]]), not by
+    * re-joining the corpus (the r9 form re-scanned and re-joined the
+    * whole corpus just to count its oversize buckets).
+    */
+  private[graft] def withPairCellsAndBuckets(e: DataFrame, maxCell: Int)
+      : (DataFrame, DataFrame) = {
     val half = math.max(1, maxCell / 2)
     // agg + join, NOT a window: label cardinality is data-sized and may be
     // tiny, and a corpus window partitioned on label alone processes one
@@ -365,18 +375,21 @@ object LlmOps {
           .otherwise(expr(
             s"graft_lsh_sig_any(embedding) & (shiftleft(1L, cast(ceil(log2(cell_n / ${half}.0D)) as int)) - 1L)")))
     val bucketN = sub.groupBy("label", "sub").agg(count(lit(1)).as("bucket_n"))
-    sub.join(bucketN, Seq("label", "sub"))
+    (sub.join(bucketN, Seq("label", "sub")), bucketN)
   }
 
   /** One-row frame with `capped_cells` = number of (label, sub) buckets the
-    * maxCell cap excludes. A global scalar aggregate — exactly one row by
-    * construction, so broadcasting it onto the result is contractually
-    * safe (no byte gate needed). Cross-joined onto the operator output so
-    * the cap is VISIBLE in the result, lazily (no extra driver job).
+    * maxCell cap excludes, computed from the bucket-count AGGREGATE table
+    * (one row per bucket — rows are unique per (label, sub), so a plain
+    * count IS the distinct count). A global scalar aggregate — exactly one
+    * row by construction, so broadcasting it onto the result is
+    * contractually safe (no byte gate needed). Cross-joined onto the
+    * operator output so the cap is VISIBLE in the result, lazily (no
+    * extra driver job).
     */
-  private def cappedCellsCol(cells: DataFrame, maxCell: Int): DataFrame =
-    cells.filter(col("bucket_n") > maxCell)
-      .agg(countDistinct(struct(col("label"), col("sub"))).as("capped_cells"))
+  private def cappedCellsFromBuckets(bucketN: DataFrame, maxCell: Int): DataFrame =
+    bucketN.filter(col("bucket_n") > maxCell)
+      .agg(count(lit(1)).as("capped_cells"))
 
   /** Target per-salt slice of a pairwise bucket (rows). The maxCell bound
     * makes in-cell pair work *finite*, but the (label, sub) equi-join
@@ -408,20 +421,24 @@ object LlmOps {
       ceil(col("bucket_n") / lit(saltChunk.toDouble)).cast("int"))
     val x = kept.withColumn("salt", pmod(hash(col("vec_id")), nSalt))
     val y = kept.withColumn("salt", explode(sequence(lit(0), nSalt - lit(1))))
-    // Repartition BOTH sides on the full pair key, explicitly. Without
-    // this the pair join's parallelism is whatever the cell-count lineage
-    // left behind — hashpartitioning(label) with data-few labels, i.e. a
-    // handful of active tasks even under a broadcast join (the streamed
-    // side's partitioning IS the parallelism; the salt alone only changes
-    // the lookup key). With it, tasks spread over every (label, sub, salt)
-    // slice. In the sort-merge regime this is exactly the join's required
-    // distribution (same keys, same partition count), so ENSURE_
-    // REQUIREMENTS adds no second exchange; the explicit partition count
-    // also keeps AQE from byte-coalescing the compute-heavy slices (the
-    // skew here is in join OUTPUT, invisible to input-byte heuristics).
+    // Repartition the STREAMED (replicated) side on the full pair key,
+    // explicitly. Without this the pair join's parallelism is whatever
+    // the cell-count lineage left behind — hashpartitioning(label) with
+    // data-few labels, i.e. a handful of active tasks even under a
+    // broadcast join (the streamed side's partitioning IS the
+    // parallelism; the salt alone only changes the lookup key). With it,
+    // tasks spread over every (label, sub, salt) slice, and the explicit
+    // partition count keeps AQE from byte-coalescing the compute-heavy
+    // slices (the skew here is in join OUTPUT, invisible to input-byte
+    // heuristics). The PROBE side gets no explicit exchange (r10): in the
+    // broadcast regime Spark builds on x (the smaller, un-replicated
+    // side) and a pre-broadcast repartition is pure waste — the collect
+    // gathers every partition regardless; in the sort-merge regime
+    // ENSURE_REQUIREMENTS inserts exactly the exchange the join needs,
+    // pinned to y's user-specified count. One corpus exchange saved,
+    // identical pair set either way (PlanAuditSpec pins the count).
     val n = kept.sparkSession.sessionState.conf.numShufflePartitions
-    (x.repartition(n, col("label"), col("sub"), col("salt")),
-      y.repartition(n, col("label"), col("sub"), col("salt")))
+    (x, y.repartition(n, col("label"), col("sub"), col("salt")))
   }
 
   /** Embedding near-duplicate pairs *within a coarse bucket* (the cluster
@@ -439,9 +456,9 @@ object LlmOps {
   def embeddingNearDups(embeddings: DataFrame, threshold: Double,
                         maxCell: Int = DefaultMaxCell,
                         saltChunk: Int = PairSaltChunk): DataFrame = {
-    val e = withPairCells(
+    val (cells, bucketN) = withPairCellsAndBuckets(
       ensureFns(embeddings).select(col("vec_id"), col("label"), col("embedding")), maxCell)
-      .withColumn("nrm", sqrt(dot("embedding", "embedding")))
+    val e = cells.withColumn("nrm", sqrt(dot("embedding", "embedding")))
     val kept = e.filter(col("bucket_n") <= maxCell)
     val (xs, ys) = withPairSalt(kept, saltChunk)
     xs.as("x").join(ys.as("y"),
@@ -451,7 +468,7 @@ object LlmOps {
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         round6(dot("x.embedding", "y.embedding") / (col("x.nrm") * col("y.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
-      .crossJoin(broadcast(cappedCellsCol(e, maxCell)))
+      .crossJoin(broadcast(cappedCellsFromBuckets(bucketN, maxCell)))
   }
 
   /** k-NN join: the top-k cosine neighbors of EVERY vector, restricted to
@@ -477,7 +494,7 @@ object LlmOps {
     // norms are attached per SIDE (each side recomputes its own — one
     // 64-mult pass per vector, trivial next to the pairwise stage); no
     // persist, so the operator leaves no cached state behind
-    val e = withPairCells(
+    val (e, bucketN) = withPairCellsAndBuckets(
       ensureFns(embeddings).select(col("vec_id"), col("label"), col("embedding"))
         .withColumn("nrm", sqrt(dot("embedding", "embedding")))
         .filter(col("nrm") > 0), maxCell)
@@ -501,7 +518,7 @@ object LlmOps {
       .select(col("a"), posexplode(col("nn")).as(Seq("pos", "nn")))
       .select(col("a"), col("nn.id").as("b"), col("nn.score").as("cos"),
         (col("pos") + 1).cast("int").as("rank"))
-      .crossJoin(broadcast(cappedCellsCol(e, maxCell)))
+      .crossJoin(broadcast(cappedCellsFromBuckets(bucketN, maxCell)))
   }
 
   /** Winnowing document fingerprints (the MOSS scheme, Schleimer et al.
