@@ -37,6 +37,23 @@ object Bench {
     // clamp to >= 1: zero/garbage would silently report every query failed
     val iterations = sys.env.get("SPARK_GRAFT_BENCH_ITERS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
+    // Host calibration constant: a SOLO median-of-5 of the flagship narrow
+    // scan, measured before the main loop (stable position, no preceding
+    // load). Cross-round totals divide by this to normalize host weather
+    // mechanically — the BENCH protocol's same-host discipline as a number
+    // instead of a prose argument. -1.0 when the probe fails.
+    val calibration = {
+      val times = (1 to 5).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries("scan_full")(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+      }
+      if (times.isEmpty) -1.0 else times.sorted.apply(times.length / 2)
+    }
+    System.err.println(f"[bench] calibration scan_full solo: $calibration%.4f s")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to iterations).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -62,12 +79,12 @@ object Bench {
     // output-tail truncation, so keep the line small (4-decimal times) and
     // make it the only stdout the driver has to find.
     // complete artifact the tail window can't truncate → file (committed)
-    val full = renderJson(results, sfDir)
+    val full = renderJson(results, sfDir, calibration)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] local dump failed: $e") }
     // stdout artifact hard-capped under the driver's 2000-byte tail window
-    println(renderJsonBudget(results, sfDir))
+    println(renderJsonBudget(results, sfDir, calibration = calibration))
     Console.out.flush()
     spark.stop()
   }
@@ -97,11 +114,18 @@ object Bench {
   private def str(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
-  def renderJson(results: Map[String, Double], sfDir: String): String = {
+  /** `calibration` = solo scan_full median (seconds) for mechanical
+    * cross-round host normalization; emitted as `cal_scan_full`. -1.0
+    * (probe failed / not run, e.g. spec-constructed lines) still emits —
+    * the field is part of the pinned schema (BenchFormatSpec).
+    */
+  def renderJson(results: Map[String, Double], sfDir: String,
+                 calibration: Double = -1.0): String = {
     val qs = results.map { case (k, v) => str(k) + ":" + num(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":${str(sfDir)}}"""
+    s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+      s""""cal_scan_full":${num(calibration)},"queries":$qs,"sf":${str(sfDir)}}"""
   }
 
   /** The stdout artifact, hard-capped at `budget` bytes. The driver keeps
@@ -115,15 +139,16 @@ object Bench {
     * window shows is exactly the timings that matter most.
     */
   def renderJsonBudget(results: Map[String, Double], sfDir: String,
-                       budget: Int = 1900): String = {
-    val full = renderJson(results, sfDir)
+                       budget: Int = 1900, calibration: Double = -1.0): String = {
+    val full = renderJson(results, sfDir, calibration)
     if (full.length <= budget) return full
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => str(k) + ":" + num(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+        s""""cal_scan_full":${num(calibration)},"queries":$qs,""" +
         s""""queries_omitted":$omitted,"queries_file":"BENCH_LOCAL.json","sf":${str(sfDir)}}"""
     }
     // binary-search the largest slowest-first prefix that fits: line length
@@ -144,7 +169,8 @@ object Bench {
       // "sf":null so the artifact schema stays fixed across paths (ADVICE
       // r8); every other field is a bounded number or fixed string, so
       // this floor line always fits the tail window
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":{},""" +
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+        s""""cal_scan_full":${num(calibration)},"queries":{},""" +
         s""""queries_omitted":${bySlowest.length},"queries_file":"BENCH_LOCAL.json","sf":null}"""
   }
 }

@@ -35,6 +35,26 @@ class BenchFormatSpec extends AnyFunSuite {
     assert((parsed \ "unit").asInstanceOf[JString].s == "sec")
   }
 
+  test("cal_scan_full (host calibration constant) is part of the pinned schema " +
+       "on every artifact shape") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def cal(line: String): Double = JsonMethods.parse(line) \ "cal_scan_full" match {
+      case JDouble(n) => n
+      case JInt(n) => n.toDouble
+      case other => fail(s"cal_scan_full missing/unexpected: $other in $line")
+    }
+    // full line carries the measured constant
+    assert(cal(Bench.renderJson(Map("q" -> 1.0), "sf", calibration = 0.51)) == 0.51)
+    // not-run default renders as -1 (schema stays fixed for spec-built lines)
+    assert(cal(Bench.renderJson(Map("q" -> 1.0), "sf")) == -1.0)
+    // the budget-capped line and the keep=0 floor line carry it too
+    val many = (1 to 300).map(i => f"query_name_$i%03d" -> i * 0.01).toMap
+    assert(cal(Bench.renderJsonBudget(many, "sf", calibration = 0.51)) == 0.51)
+    val hugeSf = "x" * 5000
+    assert(cal(Bench.renderJsonBudget(many, hugeSf, calibration = 0.51)) == 0.51)
+  }
+
   test("renderJson precision: ms under 0.1s, cs above, trailing zeros stripped") {
     val line = Bench.renderJson(
       Map("a" -> 0.0321, "b" -> 0.4641, "c" -> 12.3456, "d" -> 0.1),
