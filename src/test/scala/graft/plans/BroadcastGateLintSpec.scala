@@ -25,8 +25,8 @@ class BroadcastGateLintSpec extends AnyFunSuite {
       "Diff.validateSample: sample side is .limit(n) — ≤ n rows by construction"),
     ("broadcast(query.select(col(\"embedding\").as(\"q\")))",
       "LlmOps.cosineTopK: the single query vector — 1 row by contract"),
-    ("broadcast(cappedCellsCol(",
-      "LlmOps knnJoin/embeddingNearDups: groupless global aggregate — exactly 1 row"),
+    ("broadcast(cappedCellsFromBuckets(",
+      "LlmOps knnJoin/embeddingNearDups: groupless global aggregate over the bucket-count table — exactly 1 row"),
     ("broadcast(labDf)",
       "LlmOps.duplicateClusters: labels of collected edges — behind fitsDriverGate (byte-budgeted)"),
     ("crossJoin(broadcast(q))",

@@ -110,12 +110,18 @@ class SkewSpec extends SparkSpec {
         concat(lit("v"), lpad(col("id").cast("string"), 120, "x")).as("payload"))
       val target = spark.range(100000).select(col("id").as("pk"),
         concat(lit("v"), lpad(col("id").cast("string"), 120, "x")).as("payload"))
-      // the r9 gate catches exactly this fixture — assert it fires, then
+      // the gate catches exactly this fixture — since r10 it rides the
+      // join's own shuffle and fires at the ACTION (raise_error in a
+      // post-join filter), naming the hot key. Assert it fires, then
       // bypass it (AssumeUnique) to demonstrate the ungated hazard below
-      val gateErr = intercept[IllegalArgumentException] {
-        Diff.classify(origin, target, Seq("pk"), Seq("payload"))
+      val gateErr = intercept[Exception] {
+        Diff.classify(origin, target, Seq("pk"), Seq("payload")).count()
       }
-      assert(gateErr.getMessage.contains("49999 surplus duplicate-PK"))
+      val gateMsgs = Iterator.iterate(gateErr: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(gateMsgs.contains("duplicate-PK") && gateMsgs.contains("origin"),
+        gateMsgs)
       val classified = Diff.classify(origin, target,
         Seq("pk"), Seq("payload"), onDup = Diff.AssumeUnique)
       val counts = classified.groupBy(Diff.StatusCol).count().collect()
