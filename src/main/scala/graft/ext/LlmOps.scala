@@ -1281,6 +1281,51 @@ object LlmOps {
         col("start_off"), col("bin"), col("off_in_bin"))
   }
 
+  /** Temperature-flattened language mixture — the multilingual-pretraining
+    * resampling rule (mBERT/XLM-R, Conneau et al. 2020: sample languages
+    * with p_l ∝ (n_l/N)^α; α<1 upweights low-resource languages).
+    * Downsample-only realization (upsampling is [[LlmQueries]]'
+    * `mix_epochs` job): the largest total M every language can serve from
+    * existing rows is M = min_l n_l/q_l, and each language keeps
+    * keep_frac_l = q_l·M/n_l of its rows — exactly 1 for the binding
+    * (most-underrepresented) language, <1 for the rest. The keep decision
+    * is per-row content-stable (md5-derived u01, the sample_stratified
+    * convention): no RNG, no seed drift; re-runs and incremental
+    * re-samples keep the same rows.
+    *
+    * Scale shape: one tiny per-lang count aggregate → a |langs|-row
+    * fraction table joined back UNHINTED (AQE broadcasts it at runtime;
+    * lang vocabularies are small but we never hard-hint a data-derived
+    * side), then a narrow per-row hash filter. No corpus-sized shuffle
+    * and no window over low-cardinality lang partitions (the §7.4.8
+    * trap). The w_tot sum goes through DECIMAL (partitioning-independent,
+    * engine-exact); keep_frac is round6'd so last-ulp pow/division drift
+    * between engines can't flip a keep decision.
+    */
+  def mixTemperature(docs: DataFrame, alpha: Double = 0.5,
+                     langCol: String = "lang",
+                     idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = docs.groupBy(col(langCol)).agg(count(lit(1)).as("n_l"))
+      .withColumn("w", pow(col("n_l").cast("double"), lit(alpha)))
+    val tot = counts.agg(
+      sum(col("w").cast(DecimalType(30, 12))).cast("double").as("w_tot"))
+    val fr = counts.crossJoin(tot)
+      .withColumn("q", col("w") / col("w_tot"))
+      .withColumn("r", col("n_l").cast("double") / col("q"))
+    val m = fr.agg(min(col("r")).as("m_tot"))
+    val kf = fr.crossJoin(m)
+      .select(col(langCol),
+        round6(col("q") * col("m_tot") / col("n_l").cast("double"))
+          .as("keep_frac"))
+    docs.join(kf, langCol)
+      .withColumn("u01",
+        expr(s"conv(substring(md5(cast(cast($idCol as string) as binary)), 1, 8), 16, 10)")
+          .cast("double") / lit(4294967296.0))
+      .filter(col("u01") < col("keep_frac"))
+      .drop("u01")
+  }
+
   /** Per-document text statistics: token counts (whitespace + a BPE-ish
     * regex), stopword ratio, a quality flag, an n-gram language guess, and
     * a minhash fingerprint.
@@ -1466,6 +1511,55 @@ object LlmOps {
         round6(dot("embedding", "qv") / (col("nrm") * sqrt(dot("qv", "qv")))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
+
+  /** SemDeDup-style semantic dedup over TRAINED cells (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540 — public): assign every vector to
+    * its nearest trained centroid ([[kmeansAssignTo]]), then inside each
+    * learned cluster drop every vector whose round6 cosine to a
+    * SMALLER-id cluster-mate is >= `threshold`. Near-identical MEANING,
+    * not near-identical text — the dedup tier that fires on paraphrases
+    * and re-encodings the shingle family can't see. Keeper rule: the
+    * smallest id of each semantic group survives (the paper keeps
+    * low-centroid-similarity examples; the candidate structure is
+    * identical and the id rule is deterministic and engine-portable).
+    *
+    * Scale shape: assignment is one corpus scan against the broadcast
+    * c-row centroid table; in-cluster pairing reuses
+    * [[embeddingNearDups]] with the learned `cid` as the cell label, so
+    * the per-cell quadratic term inherits the [[DefaultMaxCell]] LSH
+    * sub-bucket bound and the pair salt. The dropped-id side is
+    * data-sized (duplication is a data defect), so it rejoins by
+    * unhinted equi-join — never a hard broadcast; AQE may pick one at
+    * runtime when it measures small. Zero-norm vectors are excluded up
+    * front (cosine undefined — the [[kmeansInput]] contract), so they
+    * neither appear in the output nor veto anything.
+    *
+    * Output: one row per surviving-or-dropped vector —
+    * (vec_id, cid, dropped); survivors = `!dropped`.
+    */
+  def semanticDedupWith(emb0: DataFrame, cents: DataFrame, threshold: Double,
+                        maxCell: Int = DefaultMaxCell): DataFrame = {
+    val assigned = kmeansAssignTo(emb0, cents)
+    val pairs = embeddingNearDups(
+      assigned.select(col("vec_id"), col("cid").as("label"), col("embedding")),
+      threshold, maxCell)
+    val dropped = pairs.select(col("b").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("is_dup"), lit(false)).as("dropped"))
+  }
+
+  /** [[semanticDedupWith]] with the index trained in-call
+    * ([[kmeansCentroids]] on `train`) — train on a corpus snapshot, dedup
+    * the full (possibly since-grown) corpus against it.
+    */
+  def semanticDedup(corpus: DataFrame, train: DataFrame, c: Int, iters: Int,
+                    threshold: Double,
+                    maxCell: Int = DefaultMaxCell): DataFrame =
+    semanticDedupWith(corpus, kmeansCentroids(train, c, iters), threshold,
+      maxCell)
 
   // ---- char-n-gram LM quality scoring (the CCNet-style LM filter) ----
 

@@ -645,7 +645,29 @@ object LlmQueries {
       LlmOps.writeSignatureStore(corpus, "doc_id", store)
       LlmOps.incrementalDupes(corpus, batch, "doc_id", store, threshold = 0.5)
         .orderBy(col("a"), col("b"))
-    })
+    }),
+
+    // SemDeDup (semantic dedup over TRAINED k-means cells): drop vectors
+    // whose cosine to a smaller-id cluster-mate is >= 0.95 — paraphrase/
+    // re-encoding dups the shingle family can't see. Index trained on the
+    // base corpus snapshot (vec_id <> 0 — the same chain the IVF oracle
+    // mirrors), applied to the dup-injected corpus.
+    "dedup_semantic" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents =
+        LlmOps.kmeansCentroids(e.filter(col("vec_id") =!= 0), c = 4, iters = 2)
+      LlmOps.semanticDedupWith(embWithDups(e), cents, threshold = 0.95)
+        .orderBy(col("vec_id"))
+    }),
+
+    // temperature-flattened language mixture (α=0.5): downsample
+    // overrepresented languages to the p^α tempered shares — the
+    // multilingual rebalancing rule; keep decisions are content-stable
+    // md5 buckets, so the sample is deterministic and re-run-stable
+    "mix_temperature" -> ((s, d) =>
+      LlmOps.mixTemperature(t(s, d, "documents"), alpha = 0.5)
+        .select(col("doc_id"), col("lang"), col("keep_frac"))
+        .orderBy(col("doc_id")))
   )
 
   /** DuckDB mirror of LlmOps.ivfSearch (nprobe=2, k=10, query = vec 0). */
@@ -1172,6 +1194,55 @@ object LlmQueries {
                       / (len(list_distinct(pa.shingles)) + len(list_distinct(pb.shingles))
                          - len(list_intersect(list_distinct(pa.shingles), list_distinct(pb.shingles))))::DOUBLE,
                       6) >= 0.5
-          ORDER BY a, b"""
+          ORDER BY a, b""",
+    // mirrors LlmOps.semanticDedupWith: assign the dup-injected corpus to
+    // the cent2 trained centroids (argmax round6 cosine, ties to smallest
+    // cid), then drop any vector with a smaller-id cluster-mate at
+    // round6 cosine >= 0.95
+    "dedup_semantic" ->
+      s"""WITH $duckKmeansChain,
+          sdc AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                  FROM ($embDupSql) t0
+                  WHERE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0),
+          sds AS (SELECT m.vec_id, c.cid,
+                    round(list_dot_product(m.e, c.cvec) /
+                          (m.nrm * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS ccos
+                  FROM sdc m CROSS JOIN (SELECT * FROM cent2
+                         WHERE sqrt(list_dot_product(cvec, cvec)) > 0) c),
+          sda AS (SELECT vec_id, cid FROM (
+                    SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY ccos DESC, cid) AS rn
+                    FROM sds) WHERE rn = 1),
+          sdv AS (SELECT a.vec_id, a.cid, m.e, m.nrm
+                  FROM sda a JOIN sdc m USING (vec_id)),
+          sdd AS (SELECT DISTINCT y.vec_id
+                  FROM sdv x JOIN sdv y
+                    ON x.cid = y.cid AND x.vec_id < y.vec_id
+                  WHERE round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) >= 0.95)
+          SELECT v.vec_id, v.cid, (d.vec_id IS NOT NULL) AS dropped
+          FROM sdv v LEFT JOIN sdd d ON v.vec_id = d.vec_id
+          ORDER BY v.vec_id""",
+    // mirrors LlmOps.mixTemperature (alpha=0.5): tempered shares from the
+    // per-lang counts (DECIMAL-exact w_tot), keep_frac round6'd, keep
+    // decided by the md5-derived u01 of each doc_id
+    "mix_temperature" ->
+      """WITH cnt AS (SELECT lang, count(*) AS n_l,
+                        pow(count(*)::DOUBLE, 0.5) AS w
+                      FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(CAST(w AS DECIMAL(30,12))) AS DOUBLE) AS w_tot
+                 FROM cnt),
+         fr AS (SELECT lang, n_l, w / w_tot AS q,
+                       n_l::DOUBLE / (w / w_tot) AS r
+                FROM cnt, tot),
+         m AS (SELECT min(r) AS m_tot FROM fr),
+         kf AS (SELECT lang, round(q * m_tot / n_l::DOUBLE, 6) AS keep_frac
+                FROM fr, m)
+         SELECT d.doc_id, d.lang, kf.keep_frac
+         FROM documents d JOIN kf USING (lang)
+         WHERE ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+               / 4294967296.0 < kf.keep_frac
+         ORDER BY d.doc_id"""
   )
 }

@@ -531,4 +531,46 @@ class LlmOpsSpec extends SparkSpec {
       .collect()
     n.foreach(r => assert(r.getInt(1) < r.getInt(0) / 2))
   }
+
+  /** 900 docs of lang a vs 100 of lang b — the skew mixTemperature exists
+    * to flatten.
+    */
+  private def mixFixture = {
+    import spark.implicits._
+    ((1L to 900L).map(i => (i, "a")) ++ (1001L to 1100L).map(i => (i, "b")))
+      .toDF("doc_id", "lang")
+  }
+
+  test("mixTemperature: alpha=1 keeps every row (no resampling); " +
+    "alpha=0.5 keeps ALL of the binding language and flattens the rest " +
+    "toward the tempered shares, deterministically") {
+    val all = LlmOps.mixTemperature(mixFixture, alpha = 1.0)
+    assert(all.count() == 1000, "alpha=1 must be the identity mixture")
+    assert(all.select(min(col("keep_frac"))).head().getDouble(0) == 1.0)
+
+    val t = LlmOps.mixTemperature(mixFixture, alpha = 0.5)
+    val kept = t.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // b binds (most underrepresented): every b row survives
+    assert(kept("b") == 100L, s"binding language must keep all rows: $kept")
+    // tempered target for a: q_a*M = sqrt(900)/sqrt(100) * 100 = 300 —
+    // realized by hash threshold, so approximate (binomial ±3σ ≈ ±42)
+    assert(kept("a") > 250 && kept("a") < 350,
+      s"a should flatten to ~300 of 900, got ${kept("a")}")
+    // content-stable: a re-run keeps the identical rows
+    val a = t.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = LlmOps.mixTemperature(mixFixture, alpha = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("mixTemperature: alpha=0 equalizes — every language's expected kept " +
+    "count is the minority size; keep decisions never exceed quota frac") {
+    val t = LlmOps.mixTemperature(mixFixture, alpha = 0.0)
+    val kf = t.groupBy(col("lang")).agg(max(col("keep_frac"))).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // q = 1/2 each; M = min(100/0.5, 900/0.5) = 200; fracs: a 100/900, b 1
+    assert(kf("b") == 1.0)
+    assert(math.abs(kf("a") - 100.0 / 900.0) < 1e-6, s"got $kf")
+  }
 }

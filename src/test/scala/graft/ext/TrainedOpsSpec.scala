@@ -259,4 +259,47 @@ class TrainedOpsSpec extends SparkSpec {
     LlmOps.appendSignatureStore(batch, "doc_id", store, k = 8)
     assert(spark.read.parquet(store).count() == 2)
   }
+
+  /** Two well-separated semantic cones whose in-cluster cosines sit BELOW
+    * the 0.95 threshold (1⋅3 = 0.8, 2⋅4 = 0.6), plus exact re-encodings
+    * of ids 3 and 4 — only the planted semantic dups cross the line.
+    */
+  private def semFixture = Seq(
+    (1L, Seq(1f, 0f, 0f, 0f)),
+    (2L, Seq(0f, 1f, 0f, 0f)),
+    (3L, Seq(0.8f, 0.6f, 0f, 0f)),
+    (4L, Seq(0f, 0.6f, 0.8f, 0f)),
+    (103L, Seq(0.8f, 0.6f, 0f, 0f)),
+    (104L, Seq(0f, 0.6f, 0.8f, 0f))).toDF("vec_id", "embedding")
+
+  test("semanticDedup drops re-encoded twins inside their learned cluster, " +
+    "keeps the smallest id, and leaves sub-threshold cluster-mates alone") {
+    val base = semFixture.filter(col("vec_id") < 100L)
+    val got = LlmOps.semanticDedup(semFixture, base, c = 2, iters = 2,
+        threshold = 0.95).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 103L, 104L))
+    assert(got.filter(_._2._2).keySet == Set(103L, 104L),
+      s"exactly the planted twins must drop, got $got")
+    // a twin lands in its original's cluster (identical vector, identical
+    // argmax) — the pair was generated inside one cell, never across
+    assert(got(103L)._1 == got(3L)._1 && got(104L)._1 == got(4L)._1)
+  }
+
+  test("semanticDedup keeper rule: of three identical copies the smallest " +
+    "id survives and both larger ids drop; zero-norm vectors are excluded") {
+    val tri = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f)),
+      (7L, Seq(0.6f, 0.8f, 0f, 0f)),
+      (107L, Seq(0.6f, 0.8f, 0f, 0f)),
+      (207L, Seq(0.6f, 0.8f, 0f, 0f)),
+      (999L, Seq(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = LlmOps.semanticDedup(tri, tri, c = 2, iters = 1,
+        threshold = 0.95).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!got.contains(999L), "zero-norm vector must be excluded")
+    assert(got.filter(_._2).keySet == Set(107L, 207L), s"got $got")
+    assert(!got(7L), "the smallest id of the group survives")
+  }
 }
