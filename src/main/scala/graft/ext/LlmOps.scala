@@ -1293,28 +1293,34 @@ object LlmOps {
     * convention): no RNG, no seed drift; re-runs and incremental
     * re-samples keep the same rows.
     *
-    * Scale shape: one tiny per-lang count aggregate → a |langs|-row
-    * fraction table joined back UNHINTED (AQE broadcasts it at runtime;
-    * lang vocabularies are small but we never hard-hint a data-derived
-    * side), then a narrow per-row hash filter. No corpus-sized shuffle
-    * and no window over low-cardinality lang partitions (the §7.4.8
-    * trap). The w_tot sum goes through DECIMAL (partitioning-independent,
-    * engine-exact); keep_frac is round6'd so last-ulp pow/division drift
-    * between engines can't flip a keep decision.
+    * Scale shape: ONE per-lang count aggregate over the corpus; the
+    * tempered-share arithmetic (w_tot, the binding minimum) runs as
+    * unpartitioned windows over the |langs|-row COUNT table — bounded
+    * input, so the single-partition window is safe (the §7.4.8 trap is
+    * windows over the raw corpus; this is the pack_sequences base-offset
+    * shape). The resulting |langs|-row keep_frac table joins back
+    * UNHINTED (AQE broadcasts it at runtime; lang vocabularies are small
+    * but we never hard-hint a data-derived side), then a narrow per-row
+    * hash filter. Two corpus scans total (count + keep), no corpus-sized
+    * shuffle. The w_tot sum goes through DECIMAL
+    * (partitioning-independent, engine-exact); keep_frac is round6'd so
+    * last-ulp pow/division drift between engines can't flip a keep
+    * decision.
     */
   def mixTemperature(docs: DataFrame, alpha: Double = 0.5,
                      langCol: String = "lang",
                      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
-    val counts = docs.groupBy(col(langCol)).agg(count(lit(1)).as("n_l"))
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val kf = docs.groupBy(col(langCol)).agg(count(lit(1)).as("n_l"))
       .withColumn("w", pow(col("n_l").cast("double"), lit(alpha)))
-    val tot = counts.agg(
-      sum(col("w").cast(DecimalType(30, 12))).cast("double").as("w_tot"))
-    val fr = counts.crossJoin(tot)
+      .withColumn("w_tot",
+        sum(col("w").cast(DecimalType(30, 12))).over(wAll).cast("double"))
       .withColumn("q", col("w") / col("w_tot"))
       .withColumn("r", col("n_l").cast("double") / col("q"))
-    val m = fr.agg(min(col("r")).as("m_tot"))
-    val kf = fr.crossJoin(m)
+      .withColumn("m_tot", min(col("r")).over(wAll))
       .select(col(langCol),
         round6(col("q") * col("m_tot") / col("n_l").cast("double"))
           .as("keep_frac"))
@@ -1528,10 +1534,16 @@ object LlmOps {
     * c-row centroid table; in-cluster pairing reuses
     * [[embeddingNearDups]] with the learned `cid` as the cell label, so
     * the per-cell quadratic term inherits the [[DefaultMaxCell]] LSH
-    * sub-bucket bound and the pair salt. The dropped-id side is
-    * data-sized (duplication is a data defect), so it rejoins by
-    * unhinted equi-join — never a hard broadcast; AQE may pick one at
-    * runtime when it measures small. Zero-norm vectors are excluded up
+    * sub-bucket bound and the pair salt. The assignment is referenced by
+    * the pair machinery (3×) and the output join, so it follows the
+    * [[minhashCandidatesFrom]] cache discipline: persisted while the
+    * SMALL dropped-id set materializes eagerly, then released — the
+    * final plan computes the assignment once more at consumption instead
+    * of once per reference (measured: 28 → 1 core exchanges in the plan
+    * audit). The caller keeps only the small persisted dup set, exactly
+    * like the minhash pairs. The dropped side rejoins UNHINTED
+    * (data-sized — duplication is a data defect; AQE may broadcast at
+    * runtime, never a hard hint). Zero-norm vectors are excluded up
     * front (cosine undefined — the [[kmeansInput]] contract), so they
     * neither appear in the output nor veto anything.
     *
@@ -1540,12 +1552,14 @@ object LlmOps {
     */
   def semanticDedupWith(emb0: DataFrame, cents: DataFrame, threshold: Double,
                         maxCell: Int = DefaultMaxCell): DataFrame = {
-    val assigned = kmeansAssignTo(emb0, cents)
+    val assigned = kmeansAssignTo(emb0, cents).persist()
     val pairs = embeddingNearDups(
       assigned.select(col("vec_id"), col("cid").as("label"), col("embedding")),
       threshold, maxCell)
     val dropped = pairs.select(col("b").as("vec_id")).distinct()
-      .withColumn("is_dup", lit(true))
+      .withColumn("is_dup", lit(true)).persist()
+    dropped.count() // materialize the small dup set off the cached
+    assigned.unpersist() // assignment, then release the corpus-sized cache
     assigned.join(dropped, Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cid"),
         coalesce(col("is_dup"), lit(false)).as("dropped"))

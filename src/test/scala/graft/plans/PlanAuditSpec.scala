@@ -273,7 +273,9 @@ class PlanAuditSpec extends SparkSpec {
     // and lmScore's 1-row total-gram aggregate
     val bnljOk = Set("sim_search_topk", "sim_search_ivf", "dedup_embedding_cos",
       "sim_knn_join", "count_star", "dual_write", "validate_sample",
-      "ivf_train_kmeans", "sim_search_ivf_kmeans", "quality_lm_score")
+      "ivf_train_kmeans", "sim_search_ivf_kmeans", "quality_lm_score",
+      // c-row centroid assignment cross join + capped_cells scalar attach
+      "dedup_semantic")
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =
