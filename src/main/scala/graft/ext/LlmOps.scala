@@ -761,6 +761,92 @@ object LlmOps {
     hammingPairsByBlock(blocked, "phash", radius = 2)
   }
 
+  /** Acoustic-fingerprint near-duplicate AUDIO pairs — the third
+    * modality-native dedup axis (text shingles → [[minhashCandidates]],
+    * pixels → [[imagePhashNearDups]], samples → here). The decode stub
+    * models a track as its code-point sequence; `graft_frame_energy`
+    * normalizes the time axis into 64 equal windows and sums each window's
+    * samples (one codegen'd pass — see [[graft.functions.TextOps.frameEnergies]]),
+    * and `graft_dhash` turns the energy ENVELOPE into 63 sign-of-adjacent-
+    * delta bits — the public Chromaprint/Shazam-family shape: robust to
+    * what fingerprints should ignore (a sample-order glitch inside one
+    * window leaves every energy unchanged → hamming 0; one corrupted
+    * sample perturbs one window → ≤ 2 bits) while exact content match is
+    * hamming 0 by construction. Pairing is the proven 3×21-bit hamming
+    * pigeonhole ([[hammingPairsByBlock]], radius 2): one narrow map, one
+    * shuffle on the block key, no join. Output (a, b, hamming), a < b.
+    *
+    * 100 TB: per-track work is a single pass over the payload; only
+    * (id, fingerprint, block) rows shuffle. Time-normalized windows keep
+    * all 64 frames live for any track ≥ 64 samples, so block values stay
+    * spread (tracks SHORTER than 64 samples share zero tail frames and
+    * crowd the high block — real audio never is).
+    */
+  def audioFingerprintNearDups(tracks: DataFrame, idCol: String = "doc_id",
+                               payloadCol: String = "text"): DataFrame = {
+    val hashed = ensureFns(tracks)
+      .select(col(idCol).as("doc_id"),
+        expr(s"graft_dhash(graft_frame_energy($payloadCol, 64))").as("afp"))
+    val blocked = hashed.select(col("doc_id"), col("afp"),
+      explode(expr(
+        """transform(sequence(0, 2), b -> concat(cast(b as string), ':',
+             cast((afp div shiftleft(1L, b * 21)) % shiftleft(1L, 21) as string)))"""))
+        .as("blk"))
+    hammingPairsByBlock(blocked, "afp", radius = 2)
+  }
+
+  /** Shared-frame near-duplicate VIDEO pairs — the fourth modality axis:
+    * a clip is its sampled-frame fingerprint SET (here each fixed-width
+    * payload window's md5, the decode-stub analog of a per-frame
+    * perceptual hash), and two clips are near-dups when the Jaccard
+    * overlap of their frame sets clears `minJaccard` — the standard
+    * frame-inverted-index video dedup (a re-encode shares every frame, a
+    * trim shares the surviving prefix/suffix).
+    *
+    * Plan shape: the signature (`array_distinct` of frame hashes) and its
+    * size compute NARROWLY per row before the explode, so no per-doc
+    * count pass and no join-back of sizes — each posting carries
+    * (id, n_frames) into the single frame-hash shuffle, pairs generate
+    * GROUPED inside each posting list (the [[hammingPairsByBlock]]
+    * discipline: one scan, no self-join), and the only other exchange is
+    * the (a, b) pair aggregation that counts shared frames. Posting lists
+    * longer than `maxPostings` are DROPPED whole — the classic
+    * stop-frame cut (a frame shared by thousands of clips — test
+    * patterns, black frames — carries no pairing signal but would emit
+    * O(n²) pairs); at 100 TB this bounds the in-bucket quadratic term
+    * exactly like DefaultMaxCell bounds the embedding cells. Output
+    * (a, b, shared, na, nb, jac), a < b, jac rounded to 6 (both engines
+    * round the same IEEE quotient).
+    */
+  def videoFrameNearDups(clips: DataFrame, idCol: String = "doc_id",
+                         payloadCol: String = "text", frameChars: Int = 64,
+                         minJaccard: Double = 0.5,
+                         maxPostings: Int = 1024): DataFrame = {
+    val postings = clips
+      .filter(length(col(payloadCol)) > 0)
+      .select(col(idCol).as("doc_id"),
+        array_distinct(expr(
+          s"""transform(sequence(0, cast(ceil(length($payloadCol) / $frameChars.0d) as int) - 1),
+                f -> md5(substr($payloadCol, f * $frameChars + 1, $frameChars)))"""))
+          .as("fhs"))
+      .select(col("doc_id"), size(col("fhs")).as("nf"), explode(col("fhs")).as("fh"))
+    postings.groupBy(col("fh"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("nf")))).as("xs"))
+      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxPostings)
+      .select(explode(expr(
+        """flatten(transform(xs, (x, i) ->
+             transform(slice(xs, i + 2, size(xs) - i - 1),
+                       y -> struct(x.doc_id AS a, x.nf AS na,
+                                   y.doc_id AS b, y.nf AS nb))))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("a"), col("b"), col("shared"), col("na"), col("nb"),
+        round(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")), 6).as("jac"))
+      .filter(col("jac") >= minJaccard)
+  }
+
   /** Corpus-size crossover for [[simhashNearDups]]: the 32-bit form's
     * 11-bit blocks keep expected bucket size N/2^11 — fine while that stays
     * ≈64 members (N ≤ 2^11·64 = 131072), past which the in-bucket pair term

@@ -103,6 +103,18 @@ object GraftFunctions {
         require(args.length == 1, "graft_dhash takes (array<float|double>)")
         DHash(args(0))
       }),
+    (FunctionIdentifier("graft_frame_energy"),
+      new ExpressionInfo(classOf[FrameEnergy].getName, "graft_frame_energy"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_frame_energy takes (string, int literal nFrames)")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(i: Int,
+              org.apache.spark.sql.types.IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"graft_frame_energy nFrames must be an int literal (it is baked into codegen), got $other")
+        }
+        FrameEnergy(args(0), n)
+      }),
     (FunctionIdentifier("graft_retoken_count"),
       new ExpressionInfo(classOf[RetokenCount].getName, "graft_retoken_count"),
       (args: Seq[Expression]) => {

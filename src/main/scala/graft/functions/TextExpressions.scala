@@ -306,6 +306,45 @@ object TextOps {
   private def digest = HashOps.digest
   private def prefixOf(d: Array[Byte], nibbles: Int): Long =
     HashOps.prefixOf(d, nibbles)
+
+  /** Per-frame "energy" of a payload modeled as a code-point sequence (the
+    * audio decode-stub convention — see [[graft.ext.LlmOps.audioFingerprintNearDups]]):
+    * the time axis is normalized into `nFrames` equal windows of
+    * `w = ceil(numChars / nFrames)` code points and frame f's energy is the
+    * sum of its code points (frames past the end stay 0.0 — only tracks
+    * shorter than nFrames samples have them). Sums are exact in double
+    * (code points < 2^21, windows far below 2^32 samples). One pass over
+    * the utf-8 bytes: a multi-byte character contributes its code point
+    * once, at its position in CHARACTER coordinates — the same
+    * `unicode(substr(text, i, 1))` view the DuckDB oracle computes.
+    */
+  def frameEnergies(s: UTF8String, nFrames: Int): ArrayData = {
+    val out = new Array[Double](nFrames)
+    val nc = s.numChars()
+    val w = Math.max(1L, (nc.toLong + nFrames - 1) / nFrames)
+    val nBytes = s.numBytes()
+    var i = 0
+    var c = 0L
+    while (i < nBytes) {
+      val b = s.getByte(i) & 0xff
+      var cp = 0
+      var len = 1
+      if (b < 0x80) cp = b
+      else if (b < 0xe0) { cp = b & 0x1f; len = 2 }
+      else if (b < 0xf0) { cp = b & 0x0f; len = 3 }
+      else { cp = b & 0x07; len = 4 }
+      var j = 1
+      while (j < len && i + j < nBytes) {
+        cp = (cp << 6) | (s.getByte(i + j) & 0x3f)
+        j += 1
+      }
+      val f = c / w
+      if (f < nFrames) out(f.toInt) += cp
+      i += len
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `graft_gram_hash(text, k, suffix, nibbles)` → array<bigint>: the hash of
@@ -657,5 +696,39 @@ case class RetokenCount(child: Expression)
     defineCodeGen(ctx, ev, s => s"graft.functions.TextOps.retokenCount($s)")
 
   override protected def withNewChildInternal(newChild: Expression): RetokenCount =
+    copy(child = newChild)
+}
+
+/** `graft_frame_energy(text, nFrames)` → array<double> of length nFrames:
+  * time-normalized per-frame code-point energies (see
+  * [[TextOps.frameEnergies]]) — the audio feature-extraction stub feeding
+  * `graft_dhash` for the acoustic fingerprint. The declarative equivalent
+  * (`transform(sequence(0, n-1), f -> aggregate(...substr per char...))`)
+  * rescans the string O(n·w) times through interpreted lambdas; this is one
+  * codegen'd pass. nFrames must be a foldable positive int (it is baked
+  * into codegen). Null text → null.
+  */
+case class FrameEnergy(child: Expression, nFrames: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.DoubleType
+
+  require(nFrames > 0, s"graft_frame_energy nFrames must be positive, got $nFrames")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_frame_energy"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_frame_energy requires string, got $t")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    TextOps.frameEnergies(s.asInstanceOf[UTF8String], nFrames)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextOps.frameEnergies($s, $nFrames)")
+
+  override protected def withNewChildInternal(newChild: Expression): FrameEnergy =
     copy(child = newChild)
 }

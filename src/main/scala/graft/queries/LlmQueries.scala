@@ -54,6 +54,72 @@ object LlmQueries {
     * hamming ≤ 2). Swapping is arithmetic-free, so both engines agree
     * bit-for-bit with zero float-rounding risk.
     */
+  /** documents as the decoded-audio sample-sequence stand-in (each code
+    * point plays one PCM sample), with planted track dups: ids %10==0
+    * re-appear IDENTICAL at +100000 (same fingerprint, hamming 0); ids
+    * %10==3 re-appear at +200000 with samples 1,2 TRANSPOSED (an
+    * order-glitch inside one energy window for tracks ≥ 65 samples —
+    * energies unchanged, hamming 0, while md5-style exact dedup misses
+    * it; for the sub-65 tail the two touched windows perturb ≤ 2
+    * adjacent-delta bits); ids %10==7 re-appear at +300000 with sample 33
+    * CORRUPTED to 'Z' (one window's energy moves → ≤ 2 bits). Every edit
+    * is length-preserving, so window boundaries never shift.
+    */
+  private def audioWithDups(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    base
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          expr("concat(substr(text, 2, 1), substr(text, 1, 1), substr(text, 3, length(text) - 2))")
+            .as("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          expr("concat(substr(text, 1, 32), 'Z', substr(text, 34, length(text) - 33))")
+            .as("text")))
+  }
+
+  private val audioDupSql: String =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+       UNION ALL
+       SELECT doc_id + 200000 AS doc_id,
+              substr(text, 2, 1) || substr(text, 1, 1) || substr(text, 3, length(text) - 2) AS text
+       FROM documents WHERE doc_id % 10 = 3
+       UNION ALL
+       SELECT doc_id + 300000 AS doc_id,
+              substr(text, 1, 32) || 'Z' || substr(text, 34, length(text) - 33) AS text
+       FROM documents WHERE doc_id % 10 = 7"""
+
+  /** documents as the frame-sampled video stand-in (each 64-char window is
+    * one frame fingerprint), with planted clip dups: ids %10==5 re-appear
+    * IDENTICAL at +200000 (every frame shared, Jaccard 1); ids %10==0 with
+    * ≥ 128 chars re-appear at +100000 TRIMMED to their full-frame prefix
+    * (the end-trim re-upload: the twin's k = len div 64 ≥ 2 frames are all
+    * frames of the original, whose only extra frame is its partial tail —
+    * Jaccard ≥ k/(k+1) ≥ 2/3, above the 0.5 gate).
+    */
+  private def videosWithDups(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    base
+      .unionByName(docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0 && length(col("text")) >= 128)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          expr("substr(text, 1, 64 * (length(text) div 64))").as("text")))
+  }
+
+  private val videoDupSql: String =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 10 = 5
+       UNION ALL
+       SELECT doc_id + 100000 AS doc_id,
+              substr(text, 1, 64 * (length(text) // 64)) AS text
+       FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 128"""
+
   private def imagesWithDups(emb: DataFrame): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"))
     base
@@ -305,6 +371,22 @@ object LlmQueries {
     // without touching text or provided embeddings
     "dedup_image_phash" -> ((s, d) =>
       LlmOps.imagePhashNearDups(imagesWithDups(t(s, d, "embeddings")), "vec_id")
+        .orderBy(col("a"), col("b"))),
+
+    // modality-native AUDIO dedup: time-normalized frame-energy envelope
+    // (graft_frame_energy, one codegen'd pass) → sign-of-delta fingerprint
+    // (graft_dhash) → the same 3-block hamming pigeonhole — catches exact
+    // re-uploads AND sample-level glitches md5 misses (the transposed-
+    // sample twins fingerprint IDENTICALLY)
+    "dedup_audio_fp" -> ((s, d) =>
+      LlmOps.audioFingerprintNearDups(audioWithDups(t(s, d, "documents")))
+        .orderBy(col("a"), col("b"))),
+
+    // modality-native VIDEO dedup: frame-fingerprint sets + shared-frame
+    // Jaccard via a postings-list inverted index (grouped in-bucket pair
+    // generation, stop-frame cap) — catches re-uploads and end-trims
+    "dedup_video_frames" -> ((s, d) =>
+      LlmOps.videoFrameNearDups(videosWithDups(t(s, d, "documents")))
         .orderBy(col("a"), col("b"))),
 
     // brute-force cosine top-k around the vec_id=0 query vector
@@ -827,6 +909,63 @@ object LlmQueries {
           FROM blocked x JOIN blocked y
             ON x.blk = y.blk AND x.doc_id < y.doc_id
           WHERE bit_count(xor(x.phash, y.phash)) <= 2
+          ORDER BY a, b""",
+    // mirrors LlmOps.audioFingerprintNearDups: 64 time-normalized windows
+    // of w = ceil(len/64) code points, energy = code-point sum (integer-
+    // valued doubles, exact), dHash over the envelope, 21-bit pigeonhole
+    "dedup_audio_fp" ->
+      s"""WITH audio AS ($audioDupSql),
+          dims AS (SELECT doc_id, text, length(text) AS len,
+                     greatest(1, CAST(ceil(length(text) / 64.0) AS BIGINT)) AS w
+                   FROM audio),
+          fe AS (SELECT doc_id,
+                   list_transform(generate_series(0, 63), f ->
+                     coalesce(list_sum(list_transform(generate_series(1, w), j ->
+                       CASE WHEN f * w + j <= len
+                            THEN unicode(substr(text, (f * w + j)::INT, 1))
+                            ELSE 0 END)), 0)::DOUBLE) AS en
+                 FROM dims),
+          ph AS (SELECT doc_id,
+                   CAST(coalesce(list_sum(list_transform(generate_series(1, 63),
+                     i -> CASE WHEN en[i] > en[i+1]
+                               THEN (1::BIGINT << (i - 1)) ELSE 0 END)), 0) AS BIGINT) AS afp
+                 FROM fe),
+          blocked AS (SELECT doc_id, afp,
+                        unnest(list_transform([0, 1, 2],
+                          b -> b::VARCHAR || ':' ||
+                               ((afp // (1::BIGINT << (b * 21))) %
+                                (1::BIGINT << 21))::VARCHAR)) AS blk
+                      FROM ph)
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                 CAST(bit_count(xor(x.afp, y.afp)) AS INTEGER) AS hamming
+          FROM blocked x JOIN blocked y
+            ON x.blk = y.blk AND x.doc_id < y.doc_id
+          WHERE bit_count(xor(x.afp, y.afp)) <= 2
+          ORDER BY a, b""",
+    // mirrors LlmOps.videoFrameNearDups: distinct 64-char frame md5 sets,
+    // shared-frame counts through the postings index (stop-frame cap
+    // modeled by the HAVING bound), Jaccard >= 0.5
+    "dedup_video_frames" ->
+      s"""WITH clips AS ($videoDupSql),
+          sigs AS (SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(0, CAST(ceil(length(text) / 64.0) AS BIGINT) - 1),
+                       f -> md5(substr(text, (f * 64 + 1)::INT, 64)))) AS fhs
+                   FROM clips WHERE length(text) > 0),
+          postings AS (SELECT doc_id, CAST(len(fhs) AS INTEGER) AS nf,
+                              unnest(fhs) AS fh FROM sigs),
+          live AS (SELECT fh FROM postings GROUP BY fh
+                   HAVING count(*) > 1 AND count(*) <= 1024),
+          pairs AS (SELECT x.doc_id AS a, x.nf AS na, y.doc_id AS b, y.nf AS nb,
+                           count(*) AS shared
+                    FROM postings x
+                    JOIN postings y ON x.fh = y.fh AND x.doc_id < y.doc_id
+                    JOIN live l ON l.fh = x.fh
+                    GROUP BY 1, 2, 3, 4)
+          SELECT a, b, shared, na, nb,
+                 round(shared::DOUBLE / (na + nb - shared), 6) AS jac
+          FROM pairs
+          WHERE round(shared::DOUBLE / (na + nb - shared), 6) >= 0.5
           ORDER BY a, b""",
     "dedup_embedding_cos" ->
       s"""WITH e AS ($embDupSql)

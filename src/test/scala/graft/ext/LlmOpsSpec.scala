@@ -573,4 +573,50 @@ class LlmOpsSpec extends SparkSpec {
     assert(kf("b") == 1.0)
     assert(math.abs(kf("a") - 100.0 / 900.0) < 1e-6, s"got $kf")
   }
+
+  test("audio fingerprint: order glitches inside a window are invisible, " +
+    "one corrupted sample stays within radius 2, unrelated tracks don't pair") {
+    // 130-char tracks → w = ceil(130/64) = 3 code points per window
+    val base = ("abcdefghij" * 13).take(130)
+    val transposed = "" + base(1) + base(0) + base.drop(2) // samples 0,1 swap, window 0
+    val glitched = base.updated(70, 'Z')                   // one sample, window 23
+    val other = ("zyxwvutsrq" * 13).take(130)
+    val pairs = LlmOps.audioFingerprintNearDups(docs(
+        1L -> base, 2L -> transposed, 3L -> glitched, 4L -> other))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // transposition leaves every window energy unchanged → SAME fingerprint
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0),
+      s"transposed twin must fingerprint identically: ${pairs.toSeq}")
+    // single-sample corruption moves one window → ≤ 2 adjacent-delta bits
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 <= 2),
+      s"glitched twin must stay within radius 2: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated track must not pair: ${pairs.toSeq}")
+  }
+
+  test("video frame dedup: re-upload jac 1, end-trim above gate, " +
+    "stop-frame cap drops non-discriminative frames") {
+    val f1 = ("frame-one-payload-" + "0123456789" * 5).take(64)
+    val f2 = ("frame-two-differs-" + "abcdefghij" * 5).take(64)
+    val clip = f1 + f2 + "third-frame-tail" // 3 frames, last partial
+    val trimmed = clip.take(128)            // full-frame prefix: {f1, f2}
+    val other = "Z" * 200
+    val out = LlmOps.videoFrameNearDups(docs(
+        1L -> clip, 2L -> clip, 3L -> trimmed, 4L -> other))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0),
+      s"re-upload must share every frame: ${out.toSeq}")
+    // shared {f1, f2}, union 3 → jac = 0.666667, above the 0.5 gate
+    assert(out.exists(p => p._1 == 1L && p._2 == 3L && p._3 >= 0.6),
+      s"end-trim must clear the gate: ${out.toSeq}")
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L), out.toSeq.toString)
+    // a frame shared by MORE than maxPostings clips pairs nobody through
+    // it: each clip is the 64-char hot frame + its own private frames, so
+    // the hot posting (5 members > cap 4) is the ONLY multi-member list
+    val hot = (1L to 5L).map(i =>
+      (i, ("H" * 64) + (('a' + i.toInt).toChar.toString * (64 * i.toInt))))
+    val capped = LlmOps.videoFrameNearDups(docs(hot: _*), maxPostings = 4)
+    assert(capped.count() == 0,
+      "the only shared frame exceeds the postings cap → no pairs")
+  }
 }

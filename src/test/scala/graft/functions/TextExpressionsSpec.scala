@@ -225,4 +225,51 @@ class TextExpressionsSpec extends SparkSpec {
     assert("""\*\(\d+\) Project \[graft_retoken_count""".r.findFirstIn(plan).isDefined,
       s"expected graft_retoken_count inside a codegen span:\n$plan")
   }
+
+  test("graft_frame_energy: hand values, unicode code points, window math") {
+    def fe(s: String, n: Int): Seq[Double] =
+      Seq(s).toDF("t").select(expr(s"graft_frame_energy(t, $n)")).collect()
+        .head.getSeq[Double](0)
+    // n > len: one char per window, zero tail
+    assert(fe("ab", 4) == Seq(97.0, 98.0, 0.0, 0.0))
+    // len = 5, n = 2 → w = ceil(5/2) = 3: windows "abc", "de"
+    assert(fe("abcde", 2) == Seq(97.0 + 98 + 99, 100.0 + 101))
+    // multi-byte code points count once, at their CHARACTER position:
+    // é = U+00E9 (2 utf-8 bytes), 😀 = U+1F600 (4 bytes)
+    assert(fe("éa", 2) == Seq(233.0, 97.0))
+    assert(fe("😀z", 2) == Seq(128512.0, 122.0))
+    assert(fe("", 3) == Seq(0.0, 0.0, 0.0))
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(expr("graft_frame_energy(t, 4)")).collect().head
+    assert(n.isNullAt(0))
+    // nFrames is baked into codegen → must be a literal, and positive
+    intercept[Exception] {
+      Seq("x").toDF("t").select(expr("graft_frame_energy(t, length(t))")).collect()
+    }
+    intercept[Exception] {
+      Seq("x").toDF("t").select(expr("graft_frame_energy(t, 0)")).collect()
+    }
+  }
+
+  test("graft_frame_energy equals the transform/aggregate HOF form on the corpus") {
+    // the declarative twin mirrors the DuckDB oracle exactly (64 windows of
+    // w = ceil(len/64) chars, per-window code-point sum) — parity here
+    // makes oracle parity transitive; the corpus is ASCII so ascii() and
+    // the decoder agree code point for code point
+    val w = "cast(greatest(1, ceil(length(text) / 64.0)) as int)"
+    val cmp = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+      .select(
+        expr("graft_frame_energy(text, 64)").as("native"),
+        expr(s"""transform(sequence(0, 63), f ->
+                   aggregate(sequence(1, $w), cast(0.0 as double),
+                     (acc, j) -> acc + if(f * $w + j <= length(text),
+                                          ascii(substr(text, f * $w + j, 1)), 0)))""")
+          .as("hof"))
+    assert(cmp.filter(expr("native != hof")).count() == 0)
+    val plan = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+      .select(expr("graft_frame_energy(text, 64)").as("e"))
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[graft_frame_energy""".r.findFirstIn(plan).isDefined,
+      s"expected graft_frame_energy inside a codegen span:\n$plan")
+  }
 }

@@ -259,6 +259,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("audit: dedup_audio_fp pairing stays bucketed — grouped, join-free") {
+    // same discipline as the image pin: fingerprint → block explode →
+    // groupBy(blk) → in-group pair explode; no join operator anywhere
+    val plan = physical(LlmQueries.qs("dedup_audio_fp")(spark, sf()))
+    val joins = plan.collect { case j: BaseJoinExec => j }
+    assert(joins.isEmpty, s"audio pairing must be grouped, found joins:\n$plan")
+    assert(plan.toString.contains("blk"), plan.toString)
+  }
+
+  test("audit: dedup_video_frames is join-free with exactly two exchanges") {
+    // signature + size compute NARROWLY pre-explode (no per-doc count
+    // pass, no size join-back); the only exchanges are the frame-hash
+    // postings groupBy and the (a,b) shared-frame aggregation (the
+    // registry key adds a presentation orderBy → built here without it)
+    val plan = physical(graft.ext.LlmOps.videoFrameNearDups(
+      spark.read.parquet(s"${sf()}/documents.parquet")))
+    val joins = plan.collect { case j: BaseJoinExec => j }
+    assert(joins.isEmpty, s"postings pairing must be grouped, found joins:\n$plan")
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length == 2,
+      s"expected exactly 2 exchanges (postings, pair agg), got ${exchanges.length}:\n$plan")
+  }
+
   test("audit: EVERY registry query plans cartesian-free") {
     // whole-board safety net: build (and for the eager closures, run) every
     // registered query at sf0.001 and reject cartesian products anywhere.
