@@ -316,6 +316,56 @@ object LlmOps {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
 
+  /** int8-quantized two-stage ANN: rank by the cosine of the CODE vector,
+    * rescore only the survivors in float. The codes are embed_quantize's
+    * symmetric per-vector int8 (c_i = round(v_i/scale), scale = max|v|/127)
+    * — and since cosine is scale-invariant, the per-vector scale CANCELS,
+    * so the approximate score needs no dequantization at all. The top
+    * `k*overfetch` by approximate score (ties → vec_id) fetch their float
+    * vectors back by id and re-rank exactly.
+    *
+    * 100 TB: this is the memory-bandwidth scale path for brute-force
+    * search — production materializes the codes as a narrow column
+    * (64 B/vector instead of 256 B at dim 64/float32, a 4× scan-bandwidth
+    * cut; here the codes compute inline so the operator stays
+    * self-contained), the candidate stage carries only (vec_id, approx)
+    * through a TakeOrdered (no shuffle of the corpus), and the rescore
+    * touches k·overfetch rows via a BROADCAST of the tiny candidate list —
+    * the corpus is never range- or hash-exchanged. int8 keeps relative
+    * dot-product error ~1e-2, so modest overfetch recovers exact top-k
+    * (spec pins equality with [[cosineTopK]] on the test corpus).
+    *
+    * The scale array rides as array_repeat — a HOF ARRAY ARGUMENT, evaluated
+    * once per row — so no lambda references an outer column (the
+    * CollapseProject O(d²) inlining trap the verify-skill notes).
+    */
+  def quantizedSearch(embeddings: DataFrame, query: DataFrame, k: Int,
+                      overfetch: Int = 4): DataFrame = {
+    val e = ensureFns(embeddings)
+    val q = broadcast(query.select(col("embedding").as("q")))
+    val cand = e.crossJoin(q)
+      .withColumn("sarr", expr(
+        """array_repeat(greatest(array_max(transform(embedding,
+             x -> abs(cast(x as double)))) / 127.0, 1e-30d), size(embedding))"""))
+      .withColumn("codes", expr(
+        "zip_with(embedding, sarr, (v, s) -> cast(floor(cast(v as double) / s + 0.5d) as int))"))
+      .select(col("vec_id"),
+        (expr("""aggregate(zip_with(codes, q, (c, qv) -> c * cast(qv as double)),
+                           cast(0.0 as double), (acc, x) -> acc + x)""") /
+          (sqrt(expr("""aggregate(q, cast(0.0 as double),
+                                  (acc, qv) -> acc + cast(qv as double) * cast(qv as double))""")) *
+            greatest(sqrt(expr("""aggregate(codes, cast(0.0 as double),
+                                            (acc, c) -> acc + cast(c as double) * cast(c as double))""")),
+              lit(1e-30)))).as("approx"))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(k * overfetch)
+    e.join(broadcast(cand.select(col("vec_id"))), "vec_id")
+      .crossJoin(q)
+      .select(col("vec_id"), col("label"), cosine("embedding", "q").as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Bound on the pairwise-cell size for the embedding-similarity family
     * ([[embeddingNearDups]], [[knnJoin]]). The coarse bucket (`label`) comes
     * from the DATA, so at 100× corpus scale with a fixed label vocabulary

@@ -396,6 +396,15 @@ object LlmQueries {
         e.filter(col("vec_id") === 0), 10)
     }),
 
+    // int8-quantized two-stage search: rank by code-vector cosine (scale
+    // cancels — no dequantization), rescore the overfetched survivors in
+    // float; the 4×-narrower scan is the bandwidth path for brute force
+    "sim_search_quantized" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      LlmOps.quantizedSearch(e.filter(col("vec_id") =!= 0),
+        e.filter(col("vec_id") === 0), 10)
+    }),
+
     // cluster collapse: connected components over the LSH candidate pairs —
     // the keep-one-per-duplicate-cluster step after candidate generation
     "dedup_clusters" -> ((s, d) => {
@@ -989,6 +998,35 @@ object LlmQueries {
                          * sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))),
                       6) AS cos
          FROM embeddings, q WHERE vec_id <> 0
+         ORDER BY cos DESC, vec_id LIMIT 10""",
+    // mirrors LlmOps.quantizedSearch: embed_quantize's int8 codes, cosine
+    // of the code vector (scale cancels — no dequantization), overfetch
+    // 40, float rescore. Approx dots/norms spelled as index-ordered
+    // list_sum folds to match Spark's aggregate() evaluation order
+    "sim_search_quantized" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         c AS (SELECT vec_id, embedding,
+                 greatest(list_max(list_transform(embedding, v -> abs(v::DOUBLE))) / 127.0,
+                          1e-30) AS scale
+               FROM embeddings WHERE vec_id <> 0),
+         codes AS (SELECT vec_id,
+                     list_transform(embedding,
+                       v -> CAST(floor(v::DOUBLE / scale + 0.5) AS INTEGER)) AS cd
+                   FROM c),
+         approx AS (SELECT vec_id,
+                      list_sum(list_transform(generate_series(1, len(cd)),
+                        i -> cd[i] * qe[i]::DOUBLE))
+                      / (sqrt(list_sum(list_transform(qe, v -> v::DOUBLE * v::DOUBLE)))
+                         * greatest(sqrt(list_sum(list_transform(cd,
+                             x -> x::DOUBLE * x::DOUBLE))), 1e-30)) AS approx
+                    FROM codes, q),
+         cand AS (SELECT vec_id FROM approx ORDER BY approx DESC, vec_id LIMIT 40)
+         SELECT e.vec_id, e.label,
+                round(list_dot_product(e.embedding::DOUBLE[], qe::DOUBLE[])
+                      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                         * sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))),
+                      6) AS cos
+         FROM embeddings e JOIN cand USING (vec_id), q
          ORDER BY cos DESC, vec_id LIMIT 10""",
     "sim_search_ivf" -> simSearchIvfSql,
     // mirrors LlmOps.lshSearch: same int8 quantization as embed_quantize,

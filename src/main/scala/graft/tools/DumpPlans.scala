@@ -42,7 +42,8 @@ object DumpPlans {
       "dedup_semantic" -> "SemDeDup: assignment = corpus scan vs the c-row broadcast centroid table (argmax agg shuffles on vec_id); in-cluster pairing inherits the bounded (cid, sub, salt) cell machinery; the dropped-id side rejoins UNHINTED (data-sized — AQE may broadcast at runtime, never a hard hint)",
       "mix_temperature" -> "tempered mixture: one tiny per-lang count agg → |langs|-row keep_frac table broadcast back; the keep decision is a narrow per-row md5 filter — the corpus itself never shuffles",
       "dedup_audio_fp" -> "acoustic fingerprint: graft_frame_energy → graft_dhash is one codegen'd narrow map; block explode + grouped in-bucket pairing shuffle ONLY (id, fingerprint, block) rows — no join, payload bytes never leave the scan stage",
-      "dedup_video_frames" -> "frame-set Jaccard: signature (array_distinct) and its size compute narrowly pre-explode — no per-doc count pass, no size join-back; exactly two exchanges (frame-hash postings groupBy with the stop-frame cap, then the (a,b) shared-count agg), join-free")
+      "dedup_video_frames" -> "frame-set Jaccard: signature (array_distinct) and its size compute narrowly pre-explode — no per-doc count pass, no size join-back; exactly two exchanges (frame-hash postings groupBy with the stop-frame cap, then the (a,b) shared-count agg), join-free",
+      "sim_search_quantized" -> "int8 two-stage ANN: approx stage scans codes and carries only (vec_id, approx) into a TakeOrdered; rescore joins the 40-row candidate list as a broadcast build — zero shuffle exchanges, the corpus is never hash- or range-partitioned")
 
     val out = new StringBuilder
     out ++= "# Physical plan audit (generated by graft.tools.DumpPlans at sf0.01)\n\n"

@@ -154,4 +154,17 @@ class AnnRecallSpec extends SparkSpec {
     assert(fix.length > 100 && fix.head.getLong(1) < emb.count(),
       s"got ${fix.length} buckets, max ${fix.head.getLong(1)}")
   }
+
+  test("quantized search reproduces exact brute-force top-k on every query") {
+    // int8 keeps relative dot error ~1e-2 and the rescore is exact float —
+    // with 4× overfetch the two-stage result must EQUAL cosineTopK, not
+    // just approximate it (row-for-row, rounded cos included)
+    for (qid <- QueryIds) {
+      val exact = LlmOps.cosineTopK(corpus(qid), query(qid), K)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val quant = LlmOps.quantizedSearch(corpus(qid), query(qid), K)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(quant == exact, s"query $qid: quantized $quant != exact $exact")
+    }
+  }
 }

@@ -268,6 +268,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.toString.contains("blk"), plan.toString)
   }
 
+  test("audit: sim_search_quantized never exchanges the corpus") {
+    // both stages are scan → TakeOrdered shapes: the approx ranking carries
+    // only (vec_id, approx), the rescore joins the 40-row candidate list as
+    // a BROADCAST build — zero shuffle exchanges anywhere
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val plan = physical(graft.ext.LlmOps.quantizedSearch(
+      e.filter(org.apache.spark.sql.functions.col("vec_id") =!= 0),
+      e.filter(org.apache.spark.sql.functions.col("vec_id") === 0), 10))
+    val exchanges = plan.collect {
+      case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => x
+    }
+    assert(exchanges.isEmpty,
+      s"quantized search must not shuffle the corpus:\n$plan")
+    assert(plan.toString.contains("TakeOrderedAndProject"), plan.toString)
+  }
+
   test("audit: dedup_video_frames is join-free with exactly two exchanges") {
     // signature + size compute NARROWLY pre-explode (no per-doc count
     // pass, no size join-back); the only exchanges are the frame-hash
@@ -300,7 +316,9 @@ class PlanAuditSpec extends SparkSpec {
       "sim_knn_join", "count_star", "dual_write", "validate_sample",
       "ivf_train_kmeans", "sim_search_ivf_kmeans", "quality_lm_score",
       // c-row centroid assignment cross join + capped_cells scalar attach
-      "dedup_semantic")
+      "dedup_semantic",
+      // 1-row query-vector cross joins (approx scan + rescore stages)
+      "sim_search_quantized")
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =
