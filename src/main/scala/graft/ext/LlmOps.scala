@@ -340,15 +340,42 @@ object LlmOps {
     * CollapseProject O(d²) inlining trap the verify-skill notes).
     */
   def quantizedSearch(embeddings: DataFrame, query: DataFrame, k: Int,
-                      overfetch: Int = 4): DataFrame = {
-    val e = ensureFns(embeddings)
-    val q = broadcast(query.select(col("embedding").as("q")))
-    val cand = e.crossJoin(q)
+                      overfetch: Int = 4): DataFrame =
+    quantizedSearchCodes(quantizeCodes(embeddings), embeddings, query, k, overfetch)
+
+  /** The quantized index build: (vec_id, codes) with embed_quantize's
+    * symmetric per-vector int8 (c_i = round(v_i/scale), scale = max|v|/127,
+    * stored as tinyint so parquet dictionary/bit-packing keeps the column
+    * near 1 B/dim on disk — the 4× scan-bandwidth cut vs float32).
+    * Production materializes this once per corpus and serves every query
+    * from it; [[quantizedSearch]] composes it inline for self-contained
+    * use. The scale rides as array_repeat — a HOF ARRAY ARGUMENT,
+    * evaluated once per row — so no lambda references an outer column (the
+    * CollapseProject O(d²) inlining trap the verify-skill notes).
+    */
+  def quantizeCodes(embeddings: DataFrame): DataFrame =
+    embeddings
       .withColumn("sarr", expr(
         """array_repeat(greatest(array_max(transform(embedding,
              x -> abs(cast(x as double)))) / 127.0, 1e-30d), size(embedding))"""))
-      .withColumn("codes", expr(
-        "zip_with(embedding, sarr, (v, s) -> cast(floor(cast(v as double) / s + 0.5d) as int))"))
+      .select(col("vec_id"), expr(
+        "zip_with(embedding, sarr, (v, s) -> cast(floor(cast(v as double) / s + 0.5d) as tinyint))")
+        .as("codes"))
+
+  /** Search stage over a pre-built [[quantizeCodes]] table: rank every
+    * code vector by its cosine against the float query (int8 promotes
+    * exactly into the double arithmetic; the per-vector scale cancels in
+    * cosine so dequantization never happens), TakeOrdered the top
+    * `k*overfetch` ids, then fetch ONLY those rows from the float corpus —
+    * via a broadcast of the tiny candidate list — for the exact rescore.
+    * Neither the codes table nor the corpus is ever hash- or
+    * range-exchanged.
+    */
+  def quantizedSearchCodes(codes: DataFrame, corpus: DataFrame,
+                           query: DataFrame, k: Int,
+                           overfetch: Int = 4): DataFrame = {
+    val q = broadcast(query.select(col("embedding").as("q")))
+    val cand = codes.crossJoin(q)
       .select(col("vec_id"),
         (expr("""aggregate(zip_with(codes, q, (c, qv) -> c * cast(qv as double)),
                            cast(0.0 as double), (acc, x) -> acc + x)""") /
@@ -359,7 +386,7 @@ object LlmOps {
               lit(1e-30)))).as("approx"))
       .orderBy(col("approx").desc, col("vec_id"))
       .limit(k * overfetch)
-    e.join(broadcast(cand.select(col("vec_id"))), "vec_id")
+    ensureFns(corpus).join(broadcast(cand.select(col("vec_id"))), "vec_id")
       .crossJoin(q)
       .select(col("vec_id"), col("label"), cosine("embedding", "q").as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -895,6 +922,36 @@ object LlmOps {
         round(col("shared").cast("double") /
           (col("na") + col("nb") - col("shared")), 6).as("jac"))
       .filter(col("jac") >= minJaccard)
+  }
+
+  /** Cross-modal duplicate clusters: an item is a duplicate of another if
+    * ANY modality links them — text (shingle-minhash LSH candidates),
+    * image (dHash pigeonhole pairs over the decoded grids), audio
+    * (energy-envelope fingerprint pairs) — and linkage is transitive
+    * across modalities (doc A ↔ B by text, B ↔ C by image ⇒ one cluster).
+    * This is the collapse step a real multimodal corpus needs: per-modality
+    * pair generators each see only their own channel, the union of their
+    * edges feeds ONE connected-components pass ([[duplicateClusters]]:
+    * driver union-find under the edge gate, label-propagation fixpoint
+    * above it). Output (idCol, cluster_id) over the union of both tables'
+    * ids; cluster_id = the component's smallest id, singletons label
+    * themselves.
+    *
+    * 100 TB: each generator is its own bounded pipeline (block/band
+    * shuffles only — none is all-pairs); edges are near-dup-sized, orders
+    * of magnitude below the corpus, so the union/distinct and the CC pass
+    * cost edge-proportional work.
+    */
+  def multimodalClusters(docs: DataFrame, images: DataFrame,
+                         idCol: String = "doc_id"): DataFrame = {
+    val textPairs = minhashCandidates(docs, idCol).select(col("a"), col("b"))
+    val imagePairs = imagePhashNearDups(images, "vec_id").select(col("a"), col("b"))
+    val audioPairs = audioFingerprintNearDups(docs, idCol).select(col("a"), col("b"))
+    val pairs = textPairs.unionByName(imagePairs).unionByName(audioPairs).distinct()
+    val ids = docs.select(col(idCol))
+      .unionByName(images.select(col("vec_id").as(idCol)))
+      .distinct()
+    duplicateClusters(ids, idCol, pairs)
   }
 
   /** Corpus-size crossover for [[simhashNearDups]]: the 32-bit form's

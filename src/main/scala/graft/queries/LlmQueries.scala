@@ -389,6 +389,14 @@ object LlmQueries {
       LlmOps.videoFrameNearDups(videosWithDups(t(s, d, "documents")))
         .orderBy(col("a"), col("b"))),
 
+    // CROSS-MODAL cluster collapse: text-LSH ∪ image-dHash ∪ audio-
+    // fingerprint edges → one connected-components pass; transitive
+    // linkage across modalities, cluster_id = smallest member id
+    "dedup_multimodal" -> ((s, d) =>
+      LlmOps.multimodalClusters(docsWithDups(t(s, d, "documents")),
+          imagesWithDups(t(s, d, "embeddings")))
+        .orderBy(col("doc_id"))),
+
     // brute-force cosine top-k around the vec_id=0 query vector
     "sim_search_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -976,6 +984,76 @@ object LlmQueries {
           FROM pairs
           WHERE round(shared::DOUBLE / (na + nb - shared), 6) >= 0.5
           ORDER BY a, b""",
+    // mirrors LlmOps.multimodalClusters: the three modality pair sets
+    // (text minhash-band CTE chain, image dHash pigeonhole, audio
+    // energy-envelope pigeonhole) unioned into one transitive closure;
+    // cluster_id = smallest component member, singletons self-label
+    "dedup_multimodal" ->
+      s"""WITH RECURSIVE docs AS ($docsDupSql),
+          $duckShingleCte,
+          $duckSigCte,
+          $duckBandCte,
+          cands_text AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                         FROM bands x JOIN bands y
+                           ON x.band = y.band AND x.doc_id < y.doc_id),
+          imgs AS ($imgDupSql),
+          iph AS (SELECT vec_id AS doc_id,
+                    CAST(coalesce(list_sum(list_transform(generate_series(1, least(len(embedding) - 1, 63)),
+                      i -> CASE WHEN embedding[i]::DOUBLE > embedding[i+1]::DOUBLE
+                                THEN (1::BIGINT << (i - 1)) ELSE 0 END)), 0) AS BIGINT) AS phash
+                  FROM imgs),
+          iblk AS (SELECT doc_id, phash,
+                     unnest(list_transform([0, 1, 2],
+                       b -> b::VARCHAR || ':' ||
+                            ((phash // (1::BIGINT << (b * 21))) %
+                             (1::BIGINT << 21))::VARCHAR)) AS blk
+                   FROM iph),
+          cands_img AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                        FROM iblk x JOIN iblk y
+                          ON x.blk = y.blk AND x.doc_id < y.doc_id
+                        WHERE bit_count(xor(x.phash, y.phash)) <= 2),
+          audio AS ($audioDupSql),
+          adims AS (SELECT doc_id, text, length(text) AS len,
+                      greatest(1, CAST(ceil(length(text) / 64.0) AS BIGINT)) AS w
+                    FROM audio),
+          afe AS (SELECT doc_id,
+                    list_transform(generate_series(0, 63), f ->
+                      coalesce(list_sum(list_transform(generate_series(1, w), j ->
+                        CASE WHEN f * w + j <= len
+                             THEN unicode(substr(text, (f * w + j)::INT, 1))
+                             ELSE 0 END)), 0)::DOUBLE) AS en
+                  FROM adims),
+          aph AS (SELECT doc_id,
+                    CAST(coalesce(list_sum(list_transform(generate_series(1, 63),
+                      i -> CASE WHEN en[i] > en[i+1]
+                                THEN (1::BIGINT << (i - 1)) ELSE 0 END)), 0) AS BIGINT) AS afp
+                  FROM afe),
+          ablk AS (SELECT doc_id, afp,
+                     unnest(list_transform([0, 1, 2],
+                       b -> b::VARCHAR || ':' ||
+                            ((afp // (1::BIGINT << (b * 21))) %
+                             (1::BIGINT << 21))::VARCHAR)) AS blk
+                   FROM aph),
+          cands_audio AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                          FROM ablk x JOIN ablk y
+                            ON x.blk = y.blk AND x.doc_id < y.doc_id
+                          WHERE bit_count(xor(x.afp, y.afp)) <= 2),
+          allc AS (SELECT a, b FROM cands_text
+                   UNION SELECT a, b FROM cands_img
+                   UNION SELECT a, b FROM cands_audio),
+          undirected AS (SELECT a AS x, b AS y FROM allc
+                         UNION SELECT b AS x, a AS y FROM allc),
+          reach(x, y) AS (
+            SELECT x, y FROM undirected
+            UNION
+            SELECT r.x, u.y FROM reach r JOIN undirected u ON r.y = u.x),
+          ids AS (SELECT doc_id FROM docs
+                  UNION SELECT vec_id AS doc_id FROM imgs)
+          SELECT i.doc_id,
+                 least(i.doc_id, coalesce(min(r.y), i.doc_id)) AS cluster_id
+          FROM ids i LEFT JOIN reach r ON r.x = i.doc_id
+          GROUP BY i.doc_id
+          ORDER BY i.doc_id""",
     "dedup_embedding_cos" ->
       s"""WITH e AS ($embDupSql)
           SELECT x.vec_id AS a, y.vec_id AS b,

@@ -214,6 +214,19 @@ object Stress {
       graft.ext.LlmOps.cosineTopK(emb.filter(col("vec_id") =!= 0),
         emb.filter(col("vec_id") === 0), 10).collect()
     }
+    // the quantized-scan pair: the codes table materializes ONCE per
+    // corpus (tinyint arrays — parquet keeps them near 1 B/dim), then
+    // every query scans 4× fewer bytes than brute force and rescores 40
+    // rows in float. Build cost amortizes across the query stream.
+    val codesSrc = s"$base/emb_codes.parquet"
+    bench(s"int8 codes build+materialize ${nVec / 1000}k vectors (once per corpus)", nVec) {
+      graft.ext.LlmOps.quantizeCodes(emb.filter(col("vec_id") =!= 0))
+        .write.mode("overwrite").parquet(codesSrc)
+    }
+    bench(s"int8-quantized top-10 over materialized codes ${nVec / 1000}k vectors", nVec) {
+      graft.ext.LlmOps.quantizedSearchCodes(spark.read.parquet(codesSrc),
+        emb, emb.filter(col("vec_id") === 0), 10).collect()
+    }
 
     // ---- the capped pairwise-cell demonstration (r9, clears the r8 weak
     // marks): 100 data-labels put nV/100 vectors in each cell — the regime
@@ -267,13 +280,19 @@ object Stress {
     // Lloyd iteration is one corpus scan vs a c-row broadcast, so 10× the
     // vectors must cost ~10×, not more). Auto-c (√N) is the production
     // default; the fixed-c pair is the linearity instrument.
-    val nVecXl = math.max(10000000L, n)
+    // capped at 10M: the pair isolates per-vector cost and the 10× growth
+    // factor IS the measurement — beyond 10M the c=100 assignment term
+    // (3 corpus×c dot scans) only multiplies wall-clock without adding
+    // information, and at n=100M an uncapped pair would train over 100M
+    // vectors (~hours of pure assignment flops)
+    val nVecXl = math.min(10000000L, math.max(1000000L, n))
     def writeVecs(nv: Long, path: String): Unit =
       spark.range(nv).select(
         col("id").as("vec_id"),
         expr("""transform(sequence(0, 63),
                  j -> cast(pmod(hash(id * 64 + j), 1000) as float) / 1000.0f)""")
-          .as("embedding"))
+          .as("embedding"),
+        (col("id") % 1000).cast("int").as("label"))
         .write.mode("overwrite").parquet(path)
     writeVecs(nVecXl / 10, s"$base/emb_xl1.parquet")
     writeVecs(nVecXl, s"$base/emb_xl10.parquet")
@@ -292,6 +311,38 @@ object Stress {
         nprobe = 4, k = 10).collect()
     }
 
+    // quantized-vs-brute at 10M vectors: the scan-bandwidth regime where
+    // the 4×-narrower codes column pays (at 1M both fit cache and the
+    // rows above mostly measure fixed overhead)
+    def embXl: DataFrame = spark.read.parquet(s"$base/emb_xl10.parquet")
+    val bruteXl = bench(s"brute-force top-10 query ${nVecXl / 1000000}M vectors", nVecXl) {
+      graft.ext.LlmOps.cosineTopK(embXl.filter(col("vec_id") =!= 0),
+        embXl.filter(col("vec_id") === 0), 10).collect()
+    }
+    val codesXlSrc = s"$base/emb_codes_xl.parquet"
+    bench(s"int8 codes build+materialize ${nVecXl / 1000000}M vectors (once per corpus)",
+        nVecXl) {
+      graft.ext.LlmOps.quantizeCodes(embXl.filter(col("vec_id") =!= 0))
+        .write.mode("overwrite").parquet(codesXlSrc)
+    }
+    val quantXl = bench(
+        s"int8-quantized top-10 over materialized codes ${nVecXl / 1000000}M vectors",
+        nVecXl) {
+      graft.ext.LlmOps.quantizedSearchCodes(spark.read.parquet(codesXlSrc),
+        embXl, embXl.filter(col("vec_id") === 0), 10).collect()
+    }
+    notes ++= f"""
+      |Quantized search at ${nVecXl / 1000000}M vectors: ${bruteXl / quantXl}%.1f× faster than the
+      |float brute-force scan per query (codes parquet ${"%,d".format(
+        java.nio.file.Files.walk(java.nio.file.Paths.get(codesXlSrc))
+          .filter(p => p.toString.endsWith(".parquet")).mapToLong(p =>
+            java.nio.file.Files.size(p)).sum() >> 20)} MB vs float ${"%,d".format(
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$base/emb_xl10.parquet"))
+          .filter(p => p.toString.endsWith(".parquet")).mapToLong(p =>
+            java.nio.file.Files.size(p)).sum() >> 20)} MB on disk); the build
+      |row amortizes across the query stream.
+      |""".stripMargin
+
     // ---- LM quality scoring: the gram table is exploded ONCE and cached
     // across vocab-build and scoring (r10); the two-pass reference row
     // measures what the cache saves on identical input.
@@ -303,6 +354,20 @@ object Stress {
     bench(s"LM trigram quality score two-pass (old form) ${nDocs / 1000000}M docs", nDocs) {
       graft.ext.LlmOps.lmScoreTwoPass(docs)
         .agg(sum(col("n_grams")), avg(col("avg_logp"))).collect()
+    }
+
+    // ---- modality-native dedup at corpus scale: the %10==0 ids duplicate
+    // id-1's text, so ~10% of "tracks"/"clips" have an exact twin — audio
+    // pairs at hamming 0 through the pigeonhole, video at Jaccard 1
+    // through the postings index. Both are the plan-pinned join-free
+    // shapes; cost must stay a narrow-scan multiple, not pairwise.
+    bench(s"audio fingerprint dedup ${nDocs / 1000000}M tracks", nDocs) {
+      graft.ext.LlmOps.audioFingerprintNearDups(docs)
+        .agg(count(lit(1))).collect()
+    }
+    bench(s"video frame-set dedup ${nDocs / 1000000}M clips", nDocs) {
+      graft.ext.LlmOps.videoFrameNearDups(docs)
+        .agg(count(lit(1))).collect()
     }
 
     // ---- incremental dedup: the store build pays the corpus's text cost

@@ -619,4 +619,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(capped.count() == 0,
       "the only shared frame exceeds the postings cap → no pairs")
   }
+
+  test("multimodal clusters: linkage is transitive ACROSS modalities") {
+    // 1 ↔ 2 only by TEXT (identical prose, distinct image grids);
+    // 2 ↔ 3 only by IMAGE (identical grids, unrelated prose);
+    // 4 is linked by nothing → all of {1,2,3} collapse under min id 1,
+    // 4 self-labels. No single modality sees the whole cluster.
+    val prose = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = docs(
+      1L -> prose, 2L -> prose,
+      3L -> "entirely different words about spark catalyst tungsten codegen",
+      4L -> "another unrelated corpus item speaking of parquet row groups only")
+    val gridA = Array.tabulate(64)(i => (i * 37 % 101).toFloat)
+    val gridB = Array.tabulate(64)(i => (i * 53 % 97).toFloat)
+    val gridC = Array.tabulate(64)(i => ((i * 29 + 11) % 89).toFloat)
+    val imgs = Seq((2L, gridA), (3L, gridA), (1L, gridB), (4L, gridC))
+      .toDF("vec_id", "embedding")
+    val out = LlmOps.multimodalClusters(d, imgs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L,
+      s"cross-modal transitivity must merge 1-2-3: $out")
+    assert(out(4L) == 4L, s"unlinked item must self-label: $out")
+  }
 }
