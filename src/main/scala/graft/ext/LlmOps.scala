@@ -1545,6 +1545,78 @@ object LlmOps {
       .withColumn("fingerprint",
         expr("array_min(graft_hash_array(shingles, ':fp', 15))"))
 
+  // ---- substring-level exact dedup (the ExactSubstr tier) ----
+
+  /** Maximal duplicated character spans per document — the substring tier
+    * of the dedup family (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499 — public): a char
+    * position is duplicated when some char `k`-gram covering it occurs at
+    * ≥ 2 sites anywhere in the corpus — in another document OR elsewhere
+    * in the same one. This is the tier that catches boilerplate headers,
+    * licence blocks, and templated paragraphs embedded in otherwise-unique
+    * documents, which every whole-document family (exact hash, MinHash,
+    * SimHash) misses by construction.
+    *
+    * Output: one row per maximal duplicated span
+    * (`idCol`, span_start 1-based, span_len chars), spans DISJOINT per
+    * document — runs of duplicated gram positions ≤ k apart merge, since
+    * their k-char coverage windows overlap or adjoin (the sessionization
+    * gap rule, same shape as window_session).
+    *
+    * Spark-first shape vs the paper's suffix array: the corpus-wide
+    * "occurs ≥ 2 times" test needs grams co-located by VALUE, which is a
+    * hash shuffle, not a global suffix sort. The gram table is touched by
+    * exactly two wide ops: one exchange on the 60-bit gram hash (the
+    * duplicate test is count-over-window there — an agg+join form would
+    * shuffle the gram table a second time), then one exchange back on the
+    * doc id for the span-merge windows; everything between is narrow.
+    * Gram extraction is the codegen'd [[graft.functions.GramHash]] — one
+    * pass over the utf-8 bytes, no gram strings materialized. Hashes are
+    * md5-60-bit, so the DuckDB oracle reproduces them bit-for-bit and a
+    * collision (~2^-60 per pair) affects both engines identically.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = ensureFns(docs)
+      .select(col(idCol),
+        posexplode(expr(s"graft_gram_hash(text, $k, ':xs', 15)"))
+          .as(Seq("p0", "h")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("h"))
+    val dup = grams
+      .withColumn("sites", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("sites") >= 2)
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    dup
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= k, 0).otherwise(1))
+      .withColumn("grp", sum("brk").over(byDoc))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") - min("pos") + k).as("span_len"))
+      .select(col(idCol), col("span_start"), col("span_len"))
+  }
+
+  /** Per-document duplicated-character load derived from
+    * [[duplicatedSpans]]: (`idCol`, n_chars, dup_chars, dup_frac) — the
+    * thresholdable form (the paper removes spans; production pipelines
+    * more often drop whole documents past a duplication budget, because
+    * span excision changes token offsets downstream). Spans are disjoint
+    * per doc, so dup_chars = sum(span_len) counts each duplicated char
+    * once and dup_frac ≤ 1. Documents with no duplicated span report 0.
+    */
+  def substringDupStats(docs: DataFrame, idCol: String, k: Int = 20): DataFrame = {
+    val perDoc = duplicatedSpans(docs, idCol, k)
+      .groupBy(col(idCol)).agg(sum("span_len").as("dup_chars"))
+    // join side is ≤ one row per input doc — data-sized, left UNHINTED
+    // (AQE may broadcast on runtime stats, never a hard hint)
+    ensureFns(docs).select(col(idCol), length(col("text")).as("n_chars"))
+      .join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_chars"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .withColumn("dup_frac",
+        round6(col("dup_chars").cast("double") / col("n_chars").cast("double")))
+  }
+
   // ---- trained IVF: spherical k-means (Lloyd) over the embedding corpus ----
 
   /** Deterministic spherical k-means: `c` centroids refined by `iters` Lloyd

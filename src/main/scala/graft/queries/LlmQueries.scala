@@ -766,6 +766,20 @@ object LlmQueries {
     "mix_temperature" -> ((s, d) =>
       LlmOps.mixTemperature(t(s, d, "documents"), alpha = 0.5)
         .select(col("doc_id"), col("lang"), col("keep_frac"))
+        .orderBy(col("doc_id"))),
+
+    // ExactSubstr tier (Lee et al. 2022): maximal duplicated char spans —
+    // a position is duplicated when its 20-gram occurs at >= 2 sites
+    // corpus-wide (any doc, same doc included). Catches boilerplate spans
+    // inside otherwise-unique docs that every whole-doc tier misses.
+    "dedup_substring" -> ((s, d) =>
+      LlmOps.duplicatedSpans(docsWithDups(t(s, d, "documents")), "doc_id", k = 20)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // per-doc duplicated-char budget over the same spans — the form a
+    // pipeline thresholds on (drop docs past a duplication budget)
+    "dedup_substring_stats" -> ((s, d) =>
+      LlmOps.substringDupStats(docsWithDups(t(s, d, "documents")), "doc_id", k = 20)
         .orderBy(col("doc_id")))
   )
 
@@ -836,7 +850,52 @@ object LlmQueries {
         ${duckKmeansUpdate(2)},
         ${duckKmeansAssign(3, "cent2")}"""
 
+  /** Shared CTE chain for the ExactSubstr mirrors: 20-gram md5-60bit
+    * hashes at every char position (bit-identical to graft_gram_hash with
+    * suffix ':xs', nibbles 15), positions whose gram occurs at >= 2 sites
+    * corpus-wide, merged into maximal spans by the <= k gap rule.
+    */
+  private val duckSpanCte: String =
+    s"""g0 AS (SELECT doc_id,
+                 list_transform(generate_series(1, length(text) - 19),
+                   i -> ('0x' || substr(md5(substr(text, i::INT, 20) || ':xs'),
+                                        1, 15))::BIGINT) AS hs
+               FROM docs),
+        g AS (SELECT doc_id, generate_subscripts(hs, 1) AS pos, unnest(hs) AS h
+              FROM g0),
+        dup AS (SELECT doc_id, pos FROM
+                  (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS sites
+                   FROM g)
+                WHERE sites >= 2),
+        brk AS (SELECT doc_id, pos,
+                  CASE WHEN pos - lag(pos) OVER
+                              (PARTITION BY doc_id ORDER BY pos) <= 20
+                       THEN 0 ELSE 1 END AS brk
+                FROM dup),
+        runs AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                 FROM brk),
+        spans AS (SELECT doc_id, min(pos) AS span_start,
+                    max(pos) - min(pos) + 20 AS span_len
+                  FROM runs GROUP BY doc_id, grp)"""
+
   val oracle: Map[String, String] = Map(
+    "dedup_substring" ->
+      s"""WITH docs AS ($docsDupSql),
+          $duckSpanCte
+          SELECT doc_id, span_start, span_len
+          FROM spans ORDER BY doc_id, span_start""",
+    "dedup_substring_stats" ->
+      s"""WITH docs AS ($docsDupSql),
+          $duckSpanCte,
+          agg AS (SELECT doc_id, sum(span_len)::BIGINT AS dup_chars
+                  FROM spans GROUP BY doc_id)
+          SELECT d.doc_id, length(d.text) AS n_chars,
+                 coalesce(agg.dup_chars, 0)::BIGINT AS dup_chars,
+                 round(coalesce(agg.dup_chars, 0)::DOUBLE
+                       / length(d.text)::DOUBLE, 6) AS dup_frac
+          FROM docs d LEFT JOIN agg ON d.doc_id = agg.doc_id
+          ORDER BY d.doc_id""",
     "dedup_exact" ->
       s"""WITH docs AS ($docsDupSql)
           SELECT md5(text) AS content_md5, count(*) AS n, min(doc_id) AS keep_id

@@ -43,7 +43,8 @@ object DumpPlans {
       "mix_temperature" -> "tempered mixture: one tiny per-lang count agg → |langs|-row keep_frac table broadcast back; the keep decision is a narrow per-row md5 filter — the corpus itself never shuffles",
       "dedup_audio_fp" -> "acoustic fingerprint: graft_frame_energy → graft_dhash is one codegen'd narrow map; block explode + grouped in-bucket pairing shuffle ONLY (id, fingerprint, block) rows — no join, payload bytes never leave the scan stage",
       "dedup_video_frames" -> "frame-set Jaccard: signature (array_distinct) and its size compute narrowly pre-explode — no per-doc count pass, no size join-back; exactly two exchanges (frame-hash postings groupBy with the stop-frame cap, then the (a,b) shared-count agg), join-free",
-      "sim_search_quantized" -> "int8 two-stage ANN: approx stage scans codes and carries only (vec_id, approx) into a TakeOrdered; rescore joins the 40-row candidate list as a broadcast build — zero shuffle exchanges, the corpus is never hash- or range-partitioned")
+      "sim_search_quantized" -> "int8 two-stage ANN: approx stage scans codes and carries only (vec_id, approx) into a TakeOrdered; rescore joins the 40-row candidate list as a broadcast build — zero shuffle exchanges, the corpus is never hash- or range-partitioned",
+      "dedup_substring" -> "ExactSubstr: gram explode is narrow codegen (graft_gram_hash, no gram strings materialized); the gram table is touched by exactly two wide ops — one exchange on the 60-bit gram hash (duplicate test = count-over-window there; an agg+join form would shuffle the gram table twice), one exchange back on the doc id for the span-merge windows — no join, no global suffix sort")
 
     val out = new StringBuilder
     out ++= "# Physical plan audit (generated by graft.tools.DumpPlans at sf0.01)\n\n"

@@ -134,6 +134,17 @@ object Stress {
         .agg(count(lit(1))).collect()
     }
 
+    bench(s"ExactSubstr spans k=20 ${nDocs / 1000000}M docs", nDocs) {
+      // gram table = ~250 positions × nDocs rows (the heaviest row in the
+      // text family by design — substring dedup touches every char
+      // position); the pipeline holds it to TWO exchanges (gram hash,
+      // doc id), so the cost is bandwidth-linear in corpus bytes. ~20%
+      // of docs are full-text duplicates (ids %10==0 copy id-1), so the
+      // span output is corpus-fraction-sized, not pathological.
+      graft.ext.LlmOps.duplicatedSpans(docs, "doc_id")
+        .agg(count(lit(1)), sum(col("span_len"))).collect()
+    }
+
     // ---- image perceptual-hash dedup: dHash over 64-px grids, 21-bit
     // pigeonhole blocks — the hash is a narrow codegen'd map, pairing
     // GROUPS on the block key (no join anywhere). ids %10==0 reuse id-1's

@@ -1,0 +1,89 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** ExactSubstr tier (LlmOps.duplicatedSpans / substringDupStats): spans
+  * cover exactly the chars whose k-gram context repeats corpus-wide,
+  * intra-document repeats count, spans are disjoint per doc, and the
+  * per-doc stats are the disjoint-span char budget. Fixture contexts use
+  * DISTINCT delimiter chars around each planted block — identical
+  * neighbors (e.g. a space on both sides) are themselves shared context
+  * and legitimately extend the duplicated span.
+  */
+class SubstringDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 20
+  // 39-char shared block: 20 duplicated 20-gram sites per occurrence
+  private val B = "THE-SHARED-BOILERPLATE-BLOCK-0123456789"
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("a block shared by two docs spans exactly the block in each") {
+    val d1 = "alpha bravo charlie delta echo foxtrot(" + B + ")golf hotel india"
+    val d2 = "zulu yankee xray whiskey victor uniform[" + B + "]tango sierra rmq"
+    val spans = LlmOps.duplicatedSpans(docs(1L -> d1, 2L -> d2), "doc_id", K)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    // only grams fully inside B repeat (the delimiters differ), so the
+    // maximal span is B itself; 1-based start = index of B + 1
+    assert(spans === Seq(
+      (1L, d1.indexOf(B) + 1, B.length),
+      (2L, d2.indexOf(B) + 1, B.length)))
+  }
+
+  test("intra-document repetition is found; separated runs stay separate spans") {
+    val sep = "#one two three four five six seven eight nine#"
+    val t = "prefix-material-here(" + B + sep + B + ")suffix-material-done"
+    val spans = LlmOps.duplicatedSpans(docs(7L -> t), "doc_id", K)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).sorted
+    val first = t.indexOf(B) + 1
+    val second = t.indexOf(B, t.indexOf(B) + 1) + 1
+    assert(spans === Seq((first, B.length), (second, B.length)))
+  }
+
+  test("adjacent duplicated runs merge into one disjoint span") {
+    // B repeated back-to-back: each copy's gram run is duplicated, the
+    // straddling grams are not, and the two runs sit exactly K apart —
+    // their char coverage adjoins, so they must merge to a single span
+    // covering both copies
+    val t = "leading-unique-chunk(" + B + B + ")trailing-unique-chunk"
+    val spans = LlmOps.duplicatedSpans(docs(9L -> t), "doc_id", K)
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    assert(spans.toSeq === Seq((t.indexOf(B) + 1, 2 * B.length)))
+  }
+
+  test("unique docs produce no spans and zero dup stats") {
+    val d = docs(
+      1L -> "completely unique first document about catalyst rules",
+      2L -> "another unrelated text concerning tungsten codegen spans")
+    assert(LlmOps.duplicatedSpans(d, "doc_id", K).count() == 0)
+    val stats = LlmOps.substringDupStats(d, "doc_id", K)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).sorted
+    assert(stats === Seq((1L, 0L, 0.0), (2L, 0L, 0.0)))
+  }
+
+  test("spans are disjoint per doc and stats equal their summed coverage") {
+    val d1 = "alpha bravo charlie delta echo foxtrot(" + B + ")golf hotel india"
+    val d2 = "zulu yankee xray whiskey victor uniform[" + B + "]tango sierra rmq"
+    val d = docs(1L -> d1, 2L -> d2, 3L -> "no shared material in this one at all")
+    val spans = LlmOps.duplicatedSpans(d, "doc_id", K)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    spans.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, s1, l1), (_, s2, _)) => assert(s1 + l1 <= s2)
+        case _ =>
+      }
+    }
+    val stats = LlmOps.substringDupStats(d, "doc_id", K)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(stats.length == 3)
+    stats.foreach { case (id, n, dup, frac) =>
+      val expected = spans.filter(_._1 == id).map(_._3.toLong).sum
+      assert(dup == expected)
+      assert(math.abs(frac - BigDecimal(dup.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-9)
+      assert(dup <= n)
+    }
+  }
+}

@@ -300,6 +300,23 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly 2 exchanges (postings, pair agg), got ${exchanges.length}:\n$plan")
   }
 
+  test("audit: dedup_substring touches the gram table with exactly two exchanges") {
+    // ExactSubstr's scale contract: gram extraction is narrow codegen,
+    // the duplicate test is count-over-window on the gram hash (ONE
+    // exchange — an agg+join form would shuffle the gram table twice),
+    // and the span-merge windows ride ONE exchange back on the doc id.
+    // No join anywhere (built without the presentation orderBy).
+    val plan = physical(graft.ext.LlmOps.duplicatedSpans(
+      spark.read.parquet(s"${sf()}/documents.parquet"), "doc_id"))
+    val joins = plan.collect { case j: BaseJoinExec => j }
+    assert(joins.isEmpty, s"span pipeline must be join-free, found joins:\n$plan")
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length == 2,
+      s"expected exactly 2 exchanges (gram hash, doc id), got ${exchanges.length}:\n$plan")
+  }
+
   test("audit: EVERY registry query plans cartesian-free") {
     // whole-board safety net: build (and for the eager closures, run) every
     // registered query at sf0.001 and reject cartesian products anywhere.
