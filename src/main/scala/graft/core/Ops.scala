@@ -114,6 +114,44 @@ object Ops {
     df.repartitionByRange(numPartitions, z).sortWithinPartitions(z)
   }
 
+  /** Deterministic seeded global shuffle + shard assignment — the export
+    * layout a training run consumes: every epoch reads shards in order
+    * and each shard is internally order-randomized, so the data order is
+    * reproducible from (seed, id) alone across re-runs, engines, and
+    * cluster sizes (no RNG, no partition-index dependence — Spark's
+    * `rand()` changes with partitioning; a content hash never does).
+    *
+    * shard = md5-60bit(seed:id:'shard') mod numShards; ord =
+    * md5(seed:id:'ord') (independent hash so within-shard order is not
+    * correlated with shard choice). Shard sizes are hash-uniform
+    * (±√(N/S) per shard) — the sort-free tradeoff: EXACT balance would
+    * need a global rank (ntile over a total order = everything through
+    * one partition or a two-pass prefix sum), which no training pipeline
+    * needs at 100 TB; hash-mod keeps the whole op a narrow per-row map.
+    */
+  def shardShuffle(df: DataFrame, idCol: String, numShards: Int,
+                   seed: String): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val sid = concat(lit(seed + ":"), col(idCol).cast("string"))
+    val shardHash = conv(
+      substring(md5(concat(sid, lit(":shard"))), 1, 15), 16, 10).cast("long")
+    df.withColumn("shard", (shardHash % numShards).cast("int"))
+      .withColumn("ord", md5(concat(sid, lit(":ord"))))
+  }
+
+  /** [[shardShuffle]] as a write layout: one range exchange on the shard
+    * id (near-bijective shard → task mapping — a hash exchange would
+    * collide shard ids into shared tasks), partition-local sort on the
+    * order key — never a global sort. Written with
+    * `partitionBy("shard")`, each shard lands as one file set a training
+    * reader streams in `ord` order.
+    */
+  def shardShuffleLayout(df: DataFrame, idCol: String, numShards: Int,
+                         seed: String): DataFrame =
+    shardShuffle(df, idCol, numShards, seed)
+      .repartitionByRange(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord"))
+
   /** Skew-salted equi-join: the reference flags >100MB partitions as the
     * migration bottleneck (docs/04-cdm-approach.md:455-456). A hot join key
     * on the fact side is spread across `salts` sub-keys; the (small) build

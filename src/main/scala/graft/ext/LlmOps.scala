@@ -1617,6 +1617,44 @@ object LlmOps {
         round6(col("dup_chars").cast("double") / col("n_chars").cast("double")))
   }
 
+  /** Span-excised corpus: every char covered by a duplicated span
+    * ([[duplicatedSpans]]) removed from every document — the remove-all
+    * policy of the public ExactSubstr tooling (the Lee et al. 2022
+    * release's default; removing "all but one" occurrence needs a global
+    * keeper election per duplicated string for no training benefit).
+    * Output: (`idCol`, clean_text, removed_chars); docs with no
+    * duplicated span pass through unchanged, fully-duplicated docs
+    * surface as empty strings (count them, don't silently drop).
+    *
+    * Scale shape: spans aggregate to one bounded array per affected doc
+    * (spans are disjoint, so ≤ len/k per doc) and rejoin the corpus
+    * UNHINTED (data-sized — AQE may broadcast at runtime). The stitch is
+    * one `aggregate` HOF walking the sorted span array left to right —
+    * per-row work linear in doc length. `text`/`spans` inside the lambda
+    * are plain attribute references (not computed expressions), so the
+    * CollapseProject inlining trap (re-evaluating a computed outer column
+    * per element) does not arise.
+    */
+  def substringPurge(docs: DataFrame, idCol: String, k: Int = 20): DataFrame = {
+    val spansArr = duplicatedSpans(docs, idCol, k)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_len"))))
+        .as("spans"))
+    ensureFns(docs).join(spansArr, Seq(idCol), "left_outer")
+      .withColumn("clean_text",
+        when(col("spans").isNull, col("text")).otherwise(expr(
+          """aggregate(spans,
+               named_struct('acc', '', 'cur', 1),
+               (st, sp) -> named_struct(
+                 'acc', concat(st.acc,
+                          substring(text, st.cur, sp.span_start - st.cur)),
+                 'cur', sp.span_start + sp.span_len),
+               st -> concat(st.acc,
+                       substring(text, st.cur, length(text) - st.cur + 1)))""")))
+      .select(col(idCol), col("clean_text"),
+        (length(col("text")) - length(col("clean_text"))).as("removed_chars"))
+  }
+
   // ---- trained IVF: spherical k-means (Lloyd) over the embedding corpus ----
 
   /** Deterministic spherical k-means: `c` centroids refined by `iters` Lloyd

@@ -780,6 +780,13 @@ object LlmQueries {
     // pipeline thresholds on (drop docs past a duplication budget)
     "dedup_substring_stats" -> ((s, d) =>
       LlmOps.substringDupStats(docsWithDups(t(s, d, "documents")), "doc_id", k = 20)
+        .orderBy(col("doc_id"))),
+
+    // span-excised corpus (remove-all policy, the public ExactSubstr
+    // tooling default): duplicated chars cut from every doc; fully-
+    // duplicated docs surface as empty strings, never silently dropped
+    "dedup_substring_purge" -> ((s, d) =>
+      LlmOps.substringPurge(docsWithDups(t(s, d, "documents")), "doc_id", k = 20)
         .orderBy(col("doc_id")))
   )
 
@@ -885,6 +892,27 @@ object LlmQueries {
           $duckSpanCte
           SELECT doc_id, span_start, span_len
           FROM spans ORDER BY doc_id, span_start""",
+    "dedup_substring_purge" ->
+      s"""WITH docs AS ($docsDupSql),
+          $duckSpanCte,
+          ch0 AS (SELECT doc_id,
+                    list_transform(generate_series(1, length(text)),
+                      i -> substr(text, i::INT, 1)) AS cs
+                  FROM docs),
+          ch AS (SELECT doc_id, generate_subscripts(cs, 1) AS i, unnest(cs) AS c
+                 FROM ch0),
+          kept AS (SELECT ch.doc_id, ch.i, ch.c FROM ch
+                   WHERE NOT EXISTS
+                     (SELECT 1 FROM spans s
+                      WHERE s.doc_id = ch.doc_id
+                        AND ch.i >= s.span_start
+                        AND ch.i < s.span_start + s.span_len)),
+          agg AS (SELECT doc_id, string_agg(c, '' ORDER BY i) AS clean_text
+                  FROM kept GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+                 length(d.text) - length(coalesce(a.clean_text, '')) AS removed_chars
+          FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id
+          ORDER BY d.doc_id""",
     "dedup_substring_stats" ->
       s"""WITH docs AS ($docsDupSql),
           $duckSpanCte,

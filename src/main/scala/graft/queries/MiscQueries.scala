@@ -18,6 +18,16 @@ object MiscQueries {
     "array<float>" -> "FLOAT[]")
 
   val qs: Map[String, Q] = Map(
+    // deterministic seeded global shuffle + shard assignment — the
+    // training-export layout: shard and within-shard order are content
+    // hashes of (seed, id), so the epoch data order reproduces across
+    // re-runs, engines, and cluster sizes (no RNG, no partition index)
+    "shuffle_shards" -> ((s, d) =>
+      graft.core.Ops.shardShuffle(t(s, d, "documents"), "doc_id",
+          numShards = 8, seed = "42")
+        .select(col("doc_id"), col("shard"), col("ord"))
+        .orderBy(col("shard"), col("ord"), col("doc_id"))),
+
     // z-order layout key: the Morton-interleaved (custkey, epoch-day)
     // sort key zorderLayout clusters files on — values oracle-checked
     // here; the clustering/skipping effect is measured in ZorderSpec
@@ -184,6 +194,11 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "shuffle_shards" ->
+      """SELECT doc_id,
+                (('0x' || substr(md5('42:' || doc_id::VARCHAR || ':shard'), 1, 15))::BIGINT % 8)::INT AS shard,
+                md5('42:' || doc_id::VARCHAR || ':ord') AS ord
+         FROM documents ORDER BY shard, ord, doc_id""",
     "zorder_layout" ->
       """WITH dials AS (
            SELECT o_orderkey,

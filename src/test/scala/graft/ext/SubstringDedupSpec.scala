@@ -62,6 +62,30 @@ class SubstringDedupSpec extends SparkSpec {
     assert(stats === Seq((1L, 0L, 0.0), (2L, 0L, 0.0)))
   }
 
+  test("purge excises exactly the duplicated spans; identical docs empty out") {
+    val d1 = "alpha bravo charlie delta echo foxtrot(" + B + ")golf hotel india"
+    val d2 = "zulu yankee xray whiskey victor uniform[" + B + "]tango sierra rmq"
+    val same = "this entire document is duplicated verbatim somewhere else!!"
+    val d = docs(1L -> d1, 2L -> d2, 3L -> same, 4L -> same,
+      5L -> "wholly unique text that nothing else in the corpus repeats")
+    val out = LlmOps.substringPurge(d, "doc_id", K)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    // the shared block is cut, its distinct surroundings survive
+    assert(out(0)._2 == d1.replace(B, "") && out(0)._3 == B.length)
+    assert(out(1)._2 == d2.replace(B, "") && out(1)._3 == B.length)
+    // verbatim-identical docs are duplicated END TO END: both empty out
+    // (remove-all policy — surfaced as empty strings, not dropped rows)
+    assert(out(2)._2 == "" && out(2)._3 == same.length)
+    assert(out(3)._2 == "" && out(3)._3 == same.length)
+    // the unique doc passes through untouched
+    assert(out(4)._2 == "wholly unique text that nothing else in the corpus repeats")
+    assert(out(4)._3 == 0)
+    // removed_chars agrees with the stats view's dup_chars everywhere
+    val stats = LlmOps.substringDupStats(d, "doc_id", K)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    out.foreach { case (id, _, rem) => assert(rem.toLong == stats(id)) }
+  }
+
   test("spans are disjoint per doc and stats equal their summed coverage") {
     val d1 = "alpha bravo charlie delta echo foxtrot(" + B + ")golf hotel india"
     val d2 = "zulu yankee xray whiskey victor uniform[" + B + "]tango sierra rmq"
