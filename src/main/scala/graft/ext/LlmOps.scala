@@ -1743,7 +1743,10 @@ object LlmOps {
       .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"),
         col("nrm").as("n0"), col("embedding").as("e"))).as("m"))
       .select(col("vec_id"), (-col("m.ncid")).as("cid"),
-        col("m.e").as("embedding"), col("m.n0").as("nrm"))
+        col("m.e").as("embedding"), col("m.n0").as("nrm"),
+        // winning cosine rides along — the index-health drift signal
+        // ([[annIndexHealth]]) reads it; other consumers ignore it
+        col("m.ccos").as("ccos"))
   }
 
   /** One Lloyd update: per-cell element-wise mean through DECIMAL partial
@@ -1877,6 +1880,130 @@ object LlmOps {
                     maxCell: Int = DefaultMaxCell): DataFrame =
     semanticDedupWith(corpus, kmeansCentroids(train, c, iters), threshold,
       maxCell)
+
+  // ---- persisted trained-ANN index: build / search / drift / refresh ----
+
+  /** Index health report ([[annIndexHealth]]): size and assignment-quality
+    * metrics of a stored index against the CURRENT corpus, plus the
+    * retrain decision and which rule fired.
+    */
+  final case class AnnIndexHealth(nIndexed: Long, nNow: Long, cIndex: Int,
+                                  cAuto: Int, meanCosBuild: Double,
+                                  meanCosNow: Double, stale: Boolean,
+                                  reason: String)
+
+  private def annStatsPath(path: String): String =
+    path.stripSuffix("/") + "_stats"
+
+  /** Train and persist the IVF index for a corpus snapshot: the centroid
+    * table at `path` plus one build-stats row (corpus size, c, mean
+    * assignment cosine at build) at `path`_stats — the baseline
+    * [[annIndexHealth]] measures drift against. The ANN twin of the
+    * MinHash signature store: train once per corpus snapshot, serve every
+    * query and batch assignment from the store, retrain only when the
+    * health check says the corpus outgrew it.
+    *
+    * Cost: training ([[kmeansCentroids]] — iters linear corpus scans) plus
+    * ONE extra assignment scan for the build-stats row. Everything
+    * persisted is bounded by the `c` literal except the 1-row stats.
+    */
+  def writeAnnIndex(emb0: DataFrame, path: String, cHint: Option[Int] = None,
+                    iters: Int = 2,
+                    corpusSizeHint: Option[Long] = None): Unit = {
+    val spark = emb0.sparkSession
+    val n = corpusSizeHint.getOrElse(kmeansInput(emb0).count())
+    val c = kmeansAutoC(n, cHint)
+    val cents = kmeansCentroids(emb0, c, iters)
+    cents.write.mode("overwrite").parquet(path)
+    val meanCos = meanAssignCos(emb0, readAnnIndex(spark, path))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+        java.util.Arrays.asList(Row(n, c, meanCos)),
+        StructType(Seq(StructField("n", LongType), StructField("c", IntegerType),
+          StructField("mean_cos", DoubleType))))
+      .write.mode("overwrite").parquet(annStatsPath(path))
+  }
+
+  /** The stored centroid table, as the bounded LOCAL relation every
+    * consumer treats it as (c rows by the write contract — same size
+    * posture as [[kmeansCentroids]]' collect, bounded by the c literal).
+    */
+  def readAnnIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val onDisk = spark.read.parquet(path).select(col("cid"), col("cvec"))
+    spark.createDataFrame(onDisk.collect().toSeq.asJava, onDisk.schema)
+  }
+
+  /** Serve a query from the stored index ([[ivfSearchKmeansWith]] over the
+    * persisted centroids — no training on the query path).
+    */
+  def annIndexSearch(emb0: DataFrame, path: String, query: DataFrame,
+                     nprobe: Int, k: Int): DataFrame =
+    ivfSearchKmeansWith(emb0, readAnnIndex(emb0.sparkSession, path), query,
+      nprobe, k)
+
+  /** Mean assignment cosine of `emb0` against a centroid table — the
+    * index-quality scalar: drops when the corpus distribution drifts away
+    * from the trained cells. round6 at both levels so the value is
+    * engine-portable and partitioning-independent.
+    */
+  private def meanAssignCos(emb0: DataFrame, cents: DataFrame): Double =
+    kmeansAssignTo(emb0, cents)
+      .agg(round6(avg(col("ccos"))).as("m")).head().getDouble(0)
+
+  /** Health of the stored index against the CURRENT corpus. Two staleness
+    * rules, both against the build-time baseline:
+    *
+    *   - size: the √N rule's c for today's corpus exceeds `growFactor` ×
+    *     the indexed c — cells have grown past their intended occupancy
+    *     and per-probe work (~nprobe × N/c) with it;
+    *   - drift: mean assignment cosine dropped more than `cosDrop` below
+    *     the build-time mean — new data lands far from every trained
+    *     centroid (distribution shift exact-size checks can't see).
+    *
+    * Cost: one corpus scan against the broadcast c-row centroid table
+    * plus a count — linear, no shuffle of the corpus. For a corpus too
+    * large to re-scan routinely, pass a deterministic SAMPLE of it (e.g.
+    * [[sampleStratified]]'s md5-bucket filter) — both metrics are means,
+    * so a uniform sample estimates them; the decision thresholds already
+    * carry slack.
+    */
+  def annIndexHealth(emb0: DataFrame, path: String, growFactor: Double = 2.0,
+                     cosDrop: Double = 0.05,
+                     corpusSizeHint: Option[Long] = None): AnnIndexHealth = {
+    val spark = emb0.sparkSession
+    val st = spark.read.parquet(annStatsPath(path))
+      .select(col("n"), col("c"), col("mean_cos")).head()
+    val (nIndexed, cIndex, meanBuild) =
+      (st.getLong(0), st.getInt(1), st.getDouble(2))
+    val nNow = corpusSizeHint.getOrElse(kmeansInput(emb0).count())
+    val cAuto = kmeansAutoC(nNow)
+    val meanNow = meanAssignCos(emb0, readAnnIndex(spark, path))
+    val sizeStale = cAuto > growFactor * cIndex
+    val driftStale = meanBuild - meanNow > cosDrop
+    val reason =
+      if (sizeStale && driftStale) "size+drift"
+      else if (sizeStale) "size"
+      else if (driftStale) "drift"
+      else "fresh"
+    AnnIndexHealth(nIndexed, nNow, cIndex, cAuto, meanBuild, meanNow,
+      sizeStale || driftStale, reason)
+  }
+
+  /** Maintenance entry point: retrain iff [[annIndexHealth]] says stale.
+    * Returns the health report that drove the decision (post-refresh
+    * state is a fresh index over today's corpus).
+    */
+  def refreshAnnIndex(emb0: DataFrame, path: String, growFactor: Double = 2.0,
+                      cosDrop: Double = 0.05, iters: Int = 2): AnnIndexHealth = {
+    val h = annIndexHealth(emb0, path, growFactor, cosDrop,
+      corpusSizeHint = None)
+    if (h.stale) writeAnnIndex(emb0, path, cHint = None, iters = iters,
+      corpusSizeHint = Some(h.nNow))
+    h
+  }
 
   // ---- char-n-gram LM quality scoring (the CCNet-style LM filter) ----
 

@@ -787,7 +787,26 @@ object LlmQueries {
     // duplicated docs surface as empty strings, never silently dropped
     "dedup_substring_purge" -> ((s, d) =>
       LlmOps.substringPurge(docsWithDups(t(s, d, "documents")), "doc_id", k = 20)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // persisted ANN index lifecycle: train on the base snapshot (c=4, the
+    // oracle-mirrorable hint), then measure health against the dup-grown
+    // corpus — the √N size rule fires (c_auto ≈ √207 > 2×4) while
+    // assignment quality holds (exact dups land ON their twins' cells),
+    // so the report reads stale/size with mean_cos intact
+    "ann_index_health" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val store = scratch("ann_index_store", d)
+      LlmOps.writeAnnIndex(e.filter(col("vec_id") =!= 0), store,
+        cHint = Some(4), iters = 2)
+      val h = LlmOps.annIndexHealth(
+        embWithDups(e).filter(col("vec_id") =!= 0), store)
+      import s.implicits._
+      Seq((h.nIndexed, h.nNow, h.cIndex, h.cAuto, h.meanCosBuild,
+          h.meanCosNow, h.stale, h.reason))
+        .toDF("n_indexed", "n_now", "c_index", "c_auto", "mean_cos_build",
+          "mean_cos_now", "stale", "reason")
+    })
   )
 
   /** DuckDB mirror of LlmOps.ivfSearch (nprobe=2, k=10, query = vec 0). */
@@ -1487,6 +1506,44 @@ object LlmQueries {
                  round(sqrt(list_dot_product(c2.cvec, c2.cvec)), 6) AS cnorm
           FROM cnt JOIN cent2 c2 USING (cid)
           ORDER BY cid""",
+    // index lifecycle report: build-time mean assignment cosine comes from
+    // the winning (rn=1) rows of the training chain's final assignment
+    // scoring; the "now" side rescoreds the dup-grown corpus against the
+    // same cent2. c_auto mirrors kmeansAutoC: round(sqrt(n)), clamped.
+    "ann_index_health" ->
+      s"""WITH $duckKmeansChain,
+          mb AS (SELECT round(avg(ccos), 6) AS m FROM (
+                   SELECT ccos, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY ccos DESC, cid) AS rn FROM s3)
+                 WHERE rn = 1),
+          dup AS ($embDupSql),
+          embd AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                     sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                   FROM dup
+                   WHERE vec_id <> 0
+                     AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0),
+          sn AS (SELECT m.vec_id, c.cid,
+                   round(list_dot_product(m.e, c.cvec) /
+                         (m.nrm * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS ccos
+                 FROM embd m CROSS JOIN (SELECT * FROM cent2
+                        WHERE sqrt(list_dot_product(cvec, cvec)) > 0) c),
+          mn AS (SELECT round(avg(ccos), 6) AS m, count(*) AS n_now FROM (
+                   SELECT vec_id, ccos, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY ccos DESC, cid) AS rn FROM sn)
+                 WHERE rn = 1),
+          h AS (SELECT (SELECT count(*) FROM emb) AS n_indexed,
+                       mn.n_now AS n_now, 4 AS c_index,
+                       GREATEST(2, LEAST(round(sqrt(mn.n_now::DOUBLE)), 65536))::INT AS c_auto,
+                       mb.m AS mean_cos_build, mn.m AS mean_cos_now
+                FROM mb, mn)
+          SELECT n_indexed, n_now, c_index, c_auto, mean_cos_build, mean_cos_now,
+                 (c_auto > 2.0 * c_index OR mean_cos_build - mean_cos_now > 0.05) AS stale,
+                 CASE WHEN c_auto > 2.0 * c_index AND mean_cos_build - mean_cos_now > 0.05
+                        THEN 'size+drift'
+                      WHEN c_auto > 2.0 * c_index THEN 'size'
+                      WHEN mean_cos_build - mean_cos_now > 0.05 THEN 'drift'
+                      ELSE 'fresh' END AS reason
+          FROM h""",
     "sim_search_ivf_kmeans" ->
       s"""WITH $duckKmeansChain,
           q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),

@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import graft.SparkSpec
+
+/** Persisted trained-ANN index lifecycle (LlmOps.writeAnnIndex /
+  * annIndexSearch / annIndexHealth / refreshAnnIndex): the store serves
+  * searches identically to in-memory centroids, a fresh index reports
+  * fresh, corpus growth past the √N rule trips the size rule,
+  * distribution shift trips the drift rule, and refresh retrains only
+  * when stale.
+  */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dir(name: String): String = {
+    val d = s"target/annindex_spec/$name"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(d), true)
+    d
+  }
+
+  // two tight clusters on the x and y axes, deterministic jitter on dims 2/3
+  private def baseCorpus(n: Int, idOffset: Long = 0L): DataFrame =
+    (0 until n).map { i =>
+      val j = (i % 10) * 0.01f
+      val v = if (i % 2 == 0) Seq(1f, 0f, j, 0.01f) else Seq(0f, 1f, 0f, j + 0.01f)
+      (idOffset + i, v)
+    }.toDF("vec_id", "embedding")
+
+  // drift: vectors on the z axis — far from every trained centroid
+  private def driftVecs(n: Int, idOffset: Long): DataFrame =
+    (0 until n).map { i =>
+      (idOffset + i, Seq(0f, 0f, 1f, (i % 10) * 0.01f))
+    }.toDF("vec_id", "embedding")
+
+  test("store serves searches identically to in-memory centroids") {
+    val path = dir("serve")
+    val corpus = baseCorpus(40)
+    LlmOps.writeAnnIndex(corpus, path, cHint = Some(4), iters = 2)
+    val q = Seq((999L, Seq(0.9f, 0.1f, 0f, 0f))).toDF("vec_id", "embedding")
+      .select($"embedding")
+    val fromStore = LlmOps.annIndexSearch(corpus, path, q, nprobe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val inMem = LlmOps.ivfSearchKmeansWith(corpus,
+        LlmOps.kmeansCentroids(corpus, c = 4, iters = 2), q, nprobe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(fromStore.toSeq == inMem.toSeq)
+  }
+
+  test("fresh index on an unchanged corpus reports fresh") {
+    val path = dir("fresh")
+    val corpus = baseCorpus(40)
+    LlmOps.writeAnnIndex(corpus, path)
+    val h = LlmOps.annIndexHealth(corpus, path)
+    assert(!h.stale && h.reason == "fresh")
+    assert(h.meanCosNow == h.meanCosBuild)
+    assert(h.nIndexed == 40L && h.nNow == 40L)
+  }
+
+  test("corpus growth past the sqrt-N rule trips the size rule") {
+    val path = dir("size")
+    LlmOps.writeAnnIndex(baseCorpus(40), path)
+    // 5x the corpus, same distribution: cAuto jumps past growFactor * c
+    val grown = (0 until 5).map(r => baseCorpus(40, idOffset = 1000L * r))
+      .reduce(_ unionByName _)
+    val h = LlmOps.annIndexHealth(grown, path)
+    assert(h.stale && h.reason == "size", h.toString)
+    assert(h.cAuto > 2.0 * h.cIndex)
+    // same distribution: assignment quality has NOT collapsed
+    assert(h.meanCosBuild - h.meanCosNow <= 0.05, h.toString)
+  }
+
+  test("distribution shift trips the drift rule without size growth") {
+    val path = dir("drift")
+    LlmOps.writeAnnIndex(baseCorpus(40), path)
+    // +40 z-axis vectors: n=80 keeps cAuto under the size rule, but the
+    // new mass lands far from every trained centroid
+    val shifted = baseCorpus(40).unionByName(driftVecs(40, idOffset = 5000L))
+    val h = LlmOps.annIndexHealth(shifted, path)
+    assert(h.stale && h.reason == "drift", h.toString)
+    assert(h.meanCosBuild - h.meanCosNow > 0.05, h.toString)
+  }
+
+  test("refresh retrains exactly when stale") {
+    val path = dir("refresh")
+    LlmOps.writeAnnIndex(baseCorpus(40), path)
+    val shifted = baseCorpus(40).unionByName(driftVecs(40, idOffset = 5000L))
+    val h1 = LlmOps.refreshAnnIndex(shifted, path)
+    assert(h1.stale)
+    // post-refresh the index is trained on today's corpus: fresh again
+    val h2 = LlmOps.annIndexHealth(shifted, path)
+    assert(!h2.stale && h2.reason == "fresh", h2.toString)
+    assert(h2.nIndexed == 80L)
+    // a fresh index is left alone (stats row unchanged by a no-op refresh)
+    val h3 = LlmOps.refreshAnnIndex(shifted, path)
+    assert(!h3.stale)
+    assert(LlmOps.annIndexHealth(shifted, path).meanCosBuild == h2.meanCosBuild)
+  }
+}
