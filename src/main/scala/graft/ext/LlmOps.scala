@@ -750,10 +750,21 @@ object LlmOps {
     * pair array (docs/NOTES.md round-7, measured at sf0.1).
     */
   def hammingPairsByBlock(blocked: DataFrame, hashCol: String,
-                          radius: Int): DataFrame =
+                          radius: Int,
+                          maxBucket: Int = DefaultMaxCell): DataFrame =
     blocked.groupBy(col("blk"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col(hashCol).as("h")))).as("xs"))
-      .filter(size(col("xs")) > 1)
+      // oversized block buckets DROP whole — the hot-bucket bound every
+      // other pairing family already carries (minhash maxBucket,
+      // embedding DefaultMaxCell, video maxPostings). Uniform-hash theory
+      // says buckets are ~N/2^bits, but DEGENERATE fingerprint classes
+      // (constant-envelope audio, flat images, periodic text — BlockProbe
+      // measured a 21-bit audio block bucket holding 3.5% of a synthetic
+      // corpus) collapse onto few values, and one such bucket's grouped
+      // pair generation is quadratic. A pair is only lost if ALL
+      // radius+1 of its blocks are hot — the same residual-miss contract
+      // the video stop-frame cut documents.
+      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
       .select(explode(expr(
         s"""filter(
               flatten(transform(xs, (x, i) ->
@@ -797,7 +808,8 @@ object LlmOps {
     * whole block; the mask pins Spark and DuckDB to the same non-negative
     * `div` domain. Output (a, b, hamming).
     */
-  def simhashNearDups64(docs: DataFrame): DataFrame = {
+  def simhashNearDups64(docs: DataFrame,
+                        maxBucket: Int = DefaultMaxCell): DataFrame = {
     val sh = withSimhash64(withWords(ensureFns(docs)))
       .select(col("doc_id"), col("simhash64"))
     val blocked = sh.select(col("doc_id"), col("simhash64"),
@@ -805,7 +817,7 @@ object LlmOps {
         """transform(sequence(0, 2), b -> concat(cast(b as string), ':',
              cast(((simhash64 & 1152921504606846975L) div shiftleft(1L, b * 20)) % shiftleft(1L, 20) as string)))"""))
         .as("blk"))
-    hammingPairsByBlock(blocked, "simhash64", radius = 2)
+    hammingPairsByBlock(blocked, "simhash64", radius = 2, maxBucket)
   }
 
   /** Perceptual-hash near-duplicate IMAGE pairs — dedup keyed on the pixel
@@ -825,7 +837,8 @@ object LlmOps {
     * radius — the standard public dHash behavior.
     */
   def imagePhashNearDups(grids: DataFrame, idCol: String = "doc_id",
-                         gridCol: String = "embedding"): DataFrame = {
+                         gridCol: String = "embedding",
+                         maxBucket: Int = DefaultMaxCell): DataFrame = {
     val hashed = ensureFns(grids)
       .select(col(idCol).as("doc_id"), expr(s"graft_dhash($gridCol)").as("phash"))
     // 21-bit blocks over bits 0-62; bit 63 is structurally zero (63
@@ -835,7 +848,7 @@ object LlmOps {
         """transform(sequence(0, 2), b -> concat(cast(b as string), ':',
              cast((phash div shiftleft(1L, b * 21)) % shiftleft(1L, 21) as string)))"""))
         .as("blk"))
-    hammingPairsByBlock(blocked, "phash", radius = 2)
+    hammingPairsByBlock(blocked, "phash", radius = 2, maxBucket)
   }
 
   /** Acoustic-fingerprint near-duplicate AUDIO pairs — the third
@@ -860,7 +873,8 @@ object LlmOps {
     * crowd the high block — real audio never is).
     */
   def audioFingerprintNearDups(tracks: DataFrame, idCol: String = "doc_id",
-                               payloadCol: String = "text"): DataFrame = {
+                               payloadCol: String = "text",
+                               maxBucket: Int = DefaultMaxCell): DataFrame = {
     val hashed = ensureFns(tracks)
       .select(col(idCol).as("doc_id"),
         expr(s"graft_dhash(graft_frame_energy($payloadCol, 64))").as("afp"))
@@ -869,7 +883,7 @@ object LlmOps {
         """transform(sequence(0, 2), b -> concat(cast(b as string), ':',
              cast((afp div shiftleft(1L, b * 21)) % shiftleft(1L, 21) as string)))"""))
         .as("blk"))
-    hammingPairsByBlock(blocked, "afp", radius = 2)
+    hammingPairsByBlock(blocked, "afp", radius = 2, maxBucket)
   }
 
   /** Shared-frame near-duplicate VIDEO pairs — the fourth modality axis:
@@ -2027,21 +2041,45 @@ object LlmOps {
     * orders under the rounding step).
     */
   def lmScore(docs: DataFrame, vocabK: Int = 4096): DataFrame = {
-    // the exploded gram table feeds BOTH the vocab count-agg and the
-    // scoring join — persist it so the corpus is gram-exploded ONCE (the
-    // r9 two-pass form re-ran the explode per subtree; same cache
-    // discipline as incrementalDupes). Lifetime is bounded to this call:
-    // the scores (3 narrow columns per doc — orders smaller than the gram
-    // stream or the text) materialize eagerly, then the cache drops.
-    val g = ensureFns(docs)
-      .select(col("doc_id"), explode(expr("graft_gram_hash(text, 3, ':lm', 15)")).as("h"))
-      .persist()
+    // The gram stream feeds BOTH the vocab count-agg and the scoring
+    // join, and the DEFAULT is to explode it twice, uncached. The cached
+    // alternative ([[lmScoreCached]]) was built on the hypothesis that
+    // one explode + persist beats two explodes — MEASURED AND REJECTED
+    // (STRESS A/B, 1M docs: cached 29.1 s vs uncached 8.1 s): the gram
+    // stream is corpus-sized (~n_chars rows of (doc_id, h)), so
+    // materializing it round-trips storage memory/disk, while the second
+    // explode is a streaming codegen'd scan that never leaves the CPU
+    // cache. Caching pays when the cached thing is SMALLER than its
+    // input (shingle tables feeding multi-join verify chains); a cache
+    // larger than the text it derives from loses to recompute.
+    val g = lmGrams(docs)
     val counts = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
-    // total grams WITHOUT a second explode+groupBy pass: graft_gram_hash
-    // emits exactly max(numChars-2, 0) trigrams per doc (the winnow
-    // length relationship, spec-pinned), so the total is a narrow length
-    // sum — the lazy `counts` lineage is referenced only once (under
-    // vocab), sparing a corpus-gram shuffle that Spark would not reuse
+    // total grams WITHOUT a gram-table pass: graft_gram_hash emits
+    // exactly max(numChars-2, 0) trigrams per doc (the winnow length
+    // relationship, spec-pinned), so the total is a narrow length sum
+    val tot = ensureFns(docs).agg(
+      sum(greatest(length(col("text")) - 2, lit(0))).cast("double").as("n"))
+    val vocab = counts.orderBy(col("c").desc, col("h")).limit(vocabK)
+    g.join(broadcast(vocab), Seq("h"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        coalesce(log10(col("c").cast("double") / col("n")),
+          log10(lit(0.5) / col("n"))).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), round6(avg(col("logp"))).as("avg_logp"))
+  }
+
+  private def lmGrams(docs: DataFrame): DataFrame =
+    ensureFns(docs)
+      .select(col("doc_id"), explode(expr("graft_gram_hash(text, 3, ':lm', 15)")).as("h"))
+
+  /** The persisted-gram-table form of [[lmScore]] — kept as the measured
+    * LOSING side of the STRESS A/B (see [[lmScore]]'s docstring) and for
+    * the value-parity pin; produces byte-identical results.
+    */
+  private[graft] def lmScoreCached(docs: DataFrame, vocabK: Int = 4096): DataFrame = {
+    val g = lmGrams(docs).persist()
+    val counts = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
     val tot = ensureFns(docs).agg(
       sum(greatest(length(col("text")) - 2, lit(0))).cast("double").as("n"))
     val vocab = counts.orderBy(col("c").desc, col("h")).limit(vocabK)
@@ -2056,26 +2094,6 @@ object LlmOps {
     out.count() // materialize BEFORE dropping the gram cache it derives from
     g.unpersist()
     out
-  }
-
-  /** The r9 two-pass reference form of [[lmScore]] (no caching — the gram
-    * explode runs once per subtree). Kept for the value-parity pin and the
-    * STRESS A/B row; produces byte-identical results.
-    */
-  private[graft] def lmScoreTwoPass(docs: DataFrame, vocabK: Int = 4096): DataFrame = {
-    val g = ensureFns(docs)
-      .select(col("doc_id"), explode(expr("graft_gram_hash(text, 3, ':lm', 15)")).as("h"))
-    val counts = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
-    val tot = ensureFns(docs).agg(
-      sum(greatest(length(col("text")) - 2, lit(0))).cast("double").as("n"))
-    val vocab = counts.orderBy(col("c").desc, col("h")).limit(vocabK)
-    g.join(broadcast(vocab), Seq("h"), "left")
-      .crossJoin(broadcast(tot))
-      .select(col("doc_id"),
-        coalesce(log10(col("c").cast("double") / col("n")),
-          log10(lit(0.5) / col("n"))).as("logp"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), round6(avg(col("logp"))).as("avg_logp"))
   }
 
   // ---- incremental dedup against a persisted signature store ----

@@ -984,10 +984,13 @@ object LlmQueries {
                           b -> b::VARCHAR || ':' ||
                                (((simhash64 & ((1::BIGINT << 60) - 1)) // (1::BIGINT << (b * 20))) %
                                 (1::BIGINT << 20))::VARCHAR)) AS blk
-                      FROM simh64)
+                      FROM simh64),
+          live AS (SELECT blk FROM blocked
+                   GROUP BY blk HAVING count(*) <= 4096),
+          lb AS (SELECT b.* FROM blocked b JOIN live USING (blk))
           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
                  CAST(bit_count(xor(x.simhash64, y.simhash64)) AS INTEGER) AS hamming
-          FROM blocked x JOIN blocked y
+          FROM lb x JOIN lb y
             ON x.blk = y.blk AND x.doc_id < y.doc_id
           WHERE bit_count(xor(x.simhash64, y.simhash64)) <= 2
           ORDER BY a, b""",
@@ -1026,10 +1029,13 @@ object LlmQueries {
                           b -> b::VARCHAR || ':' ||
                                ((phash // (1::BIGINT << (b * 21))) %
                                 (1::BIGINT << 21))::VARCHAR)) AS blk
-                      FROM ph)
+                      FROM ph),
+          live AS (SELECT blk FROM blocked
+                   GROUP BY blk HAVING count(*) <= 4096),
+          lb AS (SELECT b.* FROM blocked b JOIN live USING (blk))
           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
                  CAST(bit_count(xor(x.phash, y.phash)) AS INTEGER) AS hamming
-          FROM blocked x JOIN blocked y
+          FROM lb x JOIN lb y
             ON x.blk = y.blk AND x.doc_id < y.doc_id
           WHERE bit_count(xor(x.phash, y.phash)) <= 2
           ORDER BY a, b""",
@@ -1058,10 +1064,13 @@ object LlmQueries {
                           b -> b::VARCHAR || ':' ||
                                ((afp // (1::BIGINT << (b * 21))) %
                                 (1::BIGINT << 21))::VARCHAR)) AS blk
-                      FROM ph)
+                      FROM ph),
+          live AS (SELECT blk FROM blocked
+                   GROUP BY blk HAVING count(*) <= 4096),
+          lb AS (SELECT b.* FROM blocked b JOIN live USING (blk))
           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
                  CAST(bit_count(xor(x.afp, y.afp)) AS INTEGER) AS hamming
-          FROM blocked x JOIN blocked y
+          FROM lb x JOIN lb y
             ON x.blk = y.blk AND x.doc_id < y.doc_id
           WHERE bit_count(xor(x.afp, y.afp)) <= 2
           ORDER BY a, b""",

@@ -354,17 +354,19 @@ object Stress {
       |row amortizes across the query stream.
       |""".stripMargin
 
-    // ---- LM quality scoring: the gram table is exploded ONCE and cached
-    // across vocab-build and scoring (r10); the two-pass reference row
-    // measures what the cache saves on identical input.
-    bench(s"LM trigram quality score single-pass ${nDocs / 1000000}M docs", nDocs) {
-      val sc = graft.ext.LlmOps.lmScore(docs)
+    // ---- LM quality scoring A/B: the cached-gram-table form was built on
+    // the hypothesis that one explode + persist beats two explodes — the
+    // A/B REJECTED it (1M docs: cached 29.1 s vs uncached 8.1 s; the gram
+    // cache is corpus-sized and round-trips storage, the second explode
+    // streams). lmScore defaults to the measured winner (uncached).
+    bench(s"LM trigram quality score two-explode (default) ${nDocs / 1000000}M docs", nDocs) {
+      graft.ext.LlmOps.lmScore(docs)
+        .agg(sum(col("n_grams")), avg(col("avg_logp"))).collect()
+    }
+    bench(s"LM trigram quality score cached-gram (rejected) ${nDocs / 1000000}M docs", nDocs) {
+      val sc = graft.ext.LlmOps.lmScoreCached(docs)
       sc.agg(sum(col("n_grams")), avg(col("avg_logp"))).collect()
       sc.unpersist()
-    }
-    bench(s"LM trigram quality score two-pass (old form) ${nDocs / 1000000}M docs", nDocs) {
-      graft.ext.LlmOps.lmScoreTwoPass(docs)
-        .agg(sum(col("n_grams")), avg(col("avg_logp"))).collect()
     }
 
     // ---- modality-native dedup at corpus scale: the %10==0 ids duplicate

@@ -594,6 +594,18 @@ class LlmOpsSpec extends SparkSpec {
       s"unrelated track must not pair: ${pairs.toSeq}")
   }
 
+  test("hamming pigeonhole: oversized block buckets are capped out of pairing") {
+    // 6 identical tracks: one fingerprint, every block bucket holds all 6.
+    // cap 3 excludes them all (pairs empty); cap 1000 restores the full
+    // 6-choose-2 — the BlockProbe-measured degenerate-envelope hazard
+    // (silence/test tones collapse onto few fingerprint values), bounded
+    // exactly like minhash maxBucket / video maxPostings
+    val rows = (1L to 6L).map(i => (i, ("abcdefghij" * 13).take(130)))
+    val d = docs(rows: _*)
+    assert(LlmOps.audioFingerprintNearDups(d, maxBucket = 3).count() == 0)
+    assert(LlmOps.audioFingerprintNearDups(d, maxBucket = 1000).count() == 15)
+  }
+
   test("video frame dedup: re-upload jac 1, end-trim above gate, " +
     "stop-frame cap drops non-discriminative frames") {
     val f1 = ("frame-one-payload-" + "0123456789" * 5).take(64)

@@ -184,16 +184,16 @@ class TrainedOpsSpec extends SparkSpec {
       s"appended batch must be probe-visible, got ${got2.toSeq}")
   }
 
-  test("lmScore single-pass (cached gram table) is value-identical to the " +
-       "two-pass reference form") {
+  test("lmScore (two-explode default) is value-identical to the cached " +
+       "alternative (the STRESS A/B's rejected side)") {
     val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val fast = LlmOps.lmScore(docs)
-    val a = fast.orderBy("doc_id").collect()
+    val a = LlmOps.lmScore(docs).orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    val b = LlmOps.lmScoreTwoPass(docs).orderBy("doc_id").collect()
+    val cached = LlmOps.lmScoreCached(docs)
+    val b = cached.orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    fast.unpersist()
+    cached.unpersist()
     assert(a == b)
     assert(a.nonEmpty)
   }
