@@ -375,15 +375,18 @@ object LlmOps {
                            query: DataFrame, k: Int,
                            overfetch: Int = 4): DataFrame = {
     val q = broadcast(query.select(col("embedding").as("q")))
-    val cand = codes.crossJoin(q)
+    // the whole approx scan runs on the codegen'd graft_dot kernel
+    // (tinyint codes promote exactly into its double accumulator) — the
+    // interpreted aggregate/zip_with formulation this replaces measured
+    // 4-5x SLOWER than the float brute scan at 10M vectors, inverting the
+    // operator's entire premise; with the native kernel the scan does
+    // 1/4 the bytes of the float path at the same per-element cost
+    val cand = ensureFns(codes).crossJoin(q)
       .select(col("vec_id"),
-        (expr("""aggregate(zip_with(codes, q, (c, qv) -> c * cast(qv as double)),
-                           cast(0.0 as double), (acc, x) -> acc + x)""") /
-          (sqrt(expr("""aggregate(q, cast(0.0 as double),
-                                  (acc, qv) -> acc + cast(qv as double) * cast(qv as double))""")) *
-            greatest(sqrt(expr("""aggregate(codes, cast(0.0 as double),
-                                            (acc, c) -> acc + cast(c as double) * cast(c as double))""")),
-              lit(1e-30)))).as("approx"))
+        (expr("graft_dot(codes, q)") /
+          (sqrt(expr("graft_dot(q, q)")) *
+            greatest(sqrt(expr("graft_dot(codes, codes)")), lit(1e-30))))
+          .as("approx"))
       .orderBy(col("approx").desc, col("vec_id"))
       .limit(k * overfetch)
     ensureFns(corpus).join(broadcast(cand.select(col("vec_id"))), "vec_id")
@@ -2040,18 +2043,38 @@ object LlmOps {
     * round6 buffers the reordering noise (≤1e-11 at 10⁴ grams/doc, five
     * orders under the rounding step).
     */
-  def lmScore(docs: DataFrame, vocabK: Int = 4096): DataFrame = {
-    // The gram stream feeds BOTH the vocab count-agg and the scoring
-    // join, and the DEFAULT is to explode it twice, uncached. The cached
-    // alternative ([[lmScoreCached]]) was built on the hypothesis that
-    // one explode + persist beats two explodes — MEASURED AND REJECTED
-    // (STRESS A/B, 1M docs: cached 29.1 s vs uncached 8.1 s): the gram
-    // stream is corpus-sized (~n_chars rows of (doc_id, h)), so
-    // materializing it round-trips storage memory/disk, while the second
-    // explode is a streaming codegen'd scan that never leaves the CPU
-    // cache. Caching pays when the cached thing is SMALLER than its
-    // input (shingle tables feeding multi-join verify chains); a cache
-    // larger than the text it derives from loses to recompute.
+  /** Corpus-size crossover for [[lmScore]]'s two value-identical forms.
+    * The gram stream feeds BOTH the vocab count-agg and the scoring join;
+    * the question is whether to explode it twice (uncached) or once into
+    * a persisted cache. The STRESS A/B measured BOTH sides of a
+    * crossover on the same host: at 1M docs two-explode wins
+    * (8.1 s vs cached 29.1 s — the cache's per-row storage overhead
+    * dwarfs a second cheap streaming explode), at 10M docs the cached
+    * form wins 2.5× (95.9 s vs 237.7 s — the explode's md5-per-gram CPU
+    * now dominates, and paying it once plus a disk-spilled cache
+    * round-trip beats paying it twice). 4M is the log-midpoint of the
+    * measured bracket.
+    */
+  val LmCacheCrossoverDocs = 4000000L
+
+  /** Per-document char-trigram LM score with the evaluation form picked
+    * by corpus size at [[LmCacheCrossoverDocs]] — `corpusSizeHint` skips
+    * the count pass when the caller already knows N. Both branches are
+    * value-identical (parity spec-pinned); only the physical shape
+    * differs.
+    */
+  def lmScore(docs: DataFrame, vocabK: Int = 4096,
+              corpusSizeHint: Option[Long] = None): DataFrame = {
+    val n = corpusSizeHint.getOrElse(docs.count())
+    if (n >= LmCacheCrossoverDocs) lmScoreCached(docs, vocabK)
+    else lmScoreTwoExplode(docs, vocabK)
+  }
+
+  /** The uncached form: the gram stream is exploded twice. Wins below the
+    * crossover, where the codegen'd explode is cheap relative to cache
+    * materialization.
+    */
+  private[graft] def lmScoreTwoExplode(docs: DataFrame, vocabK: Int = 4096): DataFrame = {
     val g = lmGrams(docs)
     val counts = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
     // total grams WITHOUT a gram-table pass: graft_gram_hash emits
@@ -2073,9 +2096,10 @@ object LlmOps {
     ensureFns(docs)
       .select(col("doc_id"), explode(expr("graft_gram_hash(text, 3, ':lm', 15)")).as("h"))
 
-  /** The persisted-gram-table form of [[lmScore]] — kept as the measured
-    * LOSING side of the STRESS A/B (see [[lmScore]]'s docstring) and for
-    * the value-parity pin; produces byte-identical results.
+  /** The persisted-gram-table form: one explode, cached. Wins above the
+    * crossover, where md5-per-gram CPU dominates and is paid once. The
+    * returned frame is persisted (scores only — 3 narrow columns/doc);
+    * callers may unpersist once consumed.
     */
   private[graft] def lmScoreCached(docs: DataFrame, vocabK: Int = 4096): DataFrame = {
     val g = lmGrams(docs).persist()

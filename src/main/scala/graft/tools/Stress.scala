@@ -76,13 +76,18 @@ object Stress {
     bench("lww_merge (max_by hash agg)", 2 * n) {
       val o = orders.withColumn("writetime", col("o_orderkey") % 1000).withColumn("src", lit(0))
       val t = orders.withColumn("writetime", col("o_orderkey") % 997).withColumn("src", lit(1))
+      // sum a merged VALUE column so pruning can't delete the max_by
+      // evaluation under a bare group count
       Diff.lwwMerge(o.unionByName(t), Seq("o_orderkey"), "writetime", Seq("src"))
-        .agg(count(lit(1))).collect()
+        .agg(count(lit(1)), sum(col("writetime"))).collect()
     }
     bench("window running total per key", n) {
+      // aggregate OVER the window output — a bare count(1) lets column
+      // pruning delete the window projection entirely and the row
+      // measures a naked count (r9's 99M rows/s figure was that artifact)
       graft.window.TimeSeries.runningTotal(orders, Seq("o_custkey"),
           Seq(col("o_orderdate"), col("o_orderkey")), col("o_totalprice"), "rt")
-        .agg(count(lit(1))).collect()
+        .agg(count(lit(1)), sum(col("rt"))).collect()
     }
     bench("hash agg group-by status", n) {
       orders.groupBy("o_orderstatus")
@@ -134,14 +139,24 @@ object Stress {
         .agg(count(lit(1))).collect()
     }
 
-    bench(s"ExactSubstr spans k=20 ${nDocs / 1000000}M docs", nDocs) {
-      // gram table = ~250 positions × nDocs rows (the heaviest row in the
-      // text family by design — substring dedup touches every char
-      // position); the pipeline holds it to TWO exchanges (gram hash,
-      // doc id), so the cost is bandwidth-linear in corpus bytes. ~20%
-      // of docs are full-text duplicates (ids %10==0 copy id-1), so the
-      // span output is corpus-fraction-sized, not pathological.
-      graft.ext.LlmOps.duplicatedSpans(docs, "doc_id")
+    // ExactSubstr is the ONE operator whose shuffle is gram-table-sized:
+    // ~20 B per corpus char, and NO map-side combine is possible (every
+    // gram occurrence must reach its hash's partition for the corpus-wide
+    // duplicate test — near-unique 20-gram hashes don't collapse the way
+    // LM trigrams do). At the full 10M-doc fixture that is a ~100 GB
+    // spill, beyond this box's free disk (measured: died ENOSPC inside
+    // the first exchange), so the row runs a 1M/2M growth pair instead
+    // and the factor is the linearity evidence. At 100 TB the operator
+    // needs ~20× corpus bytes of shuffle capacity — the same
+    // working-storage multiple the paper's suffix array carries (~9×
+    // corpus); there is no cheaper exact formulation.
+    def subDocs(m: Long) = docs.filter(col("doc_id") < m)
+    val sub1 = bench(s"ExactSubstr spans k=20 1M docs", 1000000L) {
+      graft.ext.LlmOps.duplicatedSpans(subDocs(1000000L), "doc_id")
+        .agg(count(lit(1)), sum(col("span_len"))).collect()
+    }
+    val sub2 = bench(s"ExactSubstr spans k=20 2M docs (2×)", 2000000L) {
+      graft.ext.LlmOps.duplicatedSpans(subDocs(2000000L), "doc_id")
         .agg(count(lit(1)), sum(col("span_len"))).collect()
     }
 
@@ -274,6 +289,13 @@ object Stress {
       |Capped kNN growth at 10× the vectors: ${knn10 / knn1}%.1f× wall-clock
       |(quadratic label-only pairing would be ~100×, and its 1× row — 10⁴-row
       |cells uncapped — is already ~10¹⁰ dots, not runnable at all).
+      |
+      |ExactSubstr growth at 2× the docs: ${sub2 / sub1}%.1f× wall-clock —
+      |the shuffle is gram-table-sized (~20 B/char, no map-side combine
+      |possible for the corpus-wide duplicate test), so the operator's
+      |capacity requirement is ~20× corpus bytes of shuffle disk (the
+      |public suffix-array tooling carries a comparable ~9× working-set
+      |multiple); the 10M-doc form needs ~100 GB of spill this box lacks.
       |""".stripMargin
 
     // ---- trained IVF (r9 fourth pass): spherical k-means over the
@@ -354,16 +376,16 @@ object Stress {
       |row amortizes across the query stream.
       |""".stripMargin
 
-    // ---- LM quality scoring A/B: the cached-gram-table form was built on
-    // the hypothesis that one explode + persist beats two explodes — the
-    // A/B REJECTED it (1M docs: cached 29.1 s vs uncached 8.1 s; the gram
-    // cache is corpus-sized and round-trips storage, the second explode
-    // streams). lmScore defaults to the measured winner (uncached).
-    bench(s"LM trigram quality score two-explode (default) ${nDocs / 1000000}M docs", nDocs) {
-      graft.ext.LlmOps.lmScore(docs)
+    // ---- LM quality scoring A/B: the two value-identical forms CROSS
+    // OVER with scale (1M docs: two-explode 8.1 s vs cached 29.1 s;
+    // 10M docs: cached 95.9 s vs two-explode 237.7 s — the md5-per-gram
+    // CPU comes to dominate and is worth paying once). lmScore
+    // auto-selects at LmCacheCrossoverDocs; both sides stay measured.
+    bench(s"LM trigram quality score two-explode ${nDocs / 1000000}M docs", nDocs) {
+      graft.ext.LlmOps.lmScoreTwoExplode(docs)
         .agg(sum(col("n_grams")), avg(col("avg_logp"))).collect()
     }
-    bench(s"LM trigram quality score cached-gram (rejected) ${nDocs / 1000000}M docs", nDocs) {
+    bench(s"LM trigram quality score cached-gram ${nDocs / 1000000}M docs", nDocs) {
       val sc = graft.ext.LlmOps.lmScoreCached(docs)
       sc.agg(sum(col("n_grams")), avg(col("avg_logp"))).collect()
       sc.unpersist()

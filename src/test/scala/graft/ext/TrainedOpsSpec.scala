@@ -184,11 +184,11 @@ class TrainedOpsSpec extends SparkSpec {
       s"appended batch must be probe-visible, got ${got2.toSeq}")
   }
 
-  test("lmScore (two-explode default) is value-identical to the cached " +
-       "alternative (the STRESS A/B's rejected side)") {
+  test("lmScore's two auto-select branches (two-explode / cached-gram) " +
+       "are value-identical") {
     val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val a = LlmOps.lmScore(docs).orderBy("doc_id").collect()
+    val a = LlmOps.lmScoreTwoExplode(docs).orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     val cached = LlmOps.lmScoreCached(docs)
     val b = cached.orderBy("doc_id").collect()

@@ -20,6 +20,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(cmp.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("graft_dot on tinyint code arrays matches the HOF formulation bit-for-bit") {
+    // the int8 ANN approx stage runs graft_dot over (codes, float query)
+    // and (codes, codes) — byte elements must promote exactly as the
+    // interpreted lambda formulation promotes them
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("embedding"),
+        expr("transform(embedding, x -> cast(floor(x * 50.0d + 0.5d) as tinyint))").as("codes"))
+    val cmp = e.select(
+      expr("graft_dot(codes, embedding)").as("mixed_native"),
+      expr("""aggregate(zip_with(codes, embedding, (c, v) -> c * cast(v as double)),
+              cast(0.0 as double), (acc, x) -> acc + x)""").as("mixed_hof"),
+      expr("graft_dot(codes, codes)").as("self_native"),
+      expr("""aggregate(codes, cast(0.0 as double),
+              (acc, c) -> acc + cast(c as double) * cast(c as double))""").as("self_hof"))
+    assert(cmp.filter(col("mixed_native") =!= col("mixed_hof") ||
+      col("self_native") =!= col("self_hof")).count() == 0)
+  }
+
   test("graft_dot handles empty arrays and nulls") {
     val df = Seq(
       (Seq.empty[Float], Seq.empty[Float]),
