@@ -753,8 +753,15 @@ object LlmQueries {
     // mirrors), applied to the dup-injected corpus.
     "dedup_semantic" -> ((s, d) => {
       val e = t(s, d, "embeddings")
+      // c = 16 keeps every trained cell under DefaultMaxCell at all gated
+      // tiers (sf1: ~20.8k vectors / 16 ≈ 1.3k per cell), so the gated
+      // query runs the SAME plan shape production uses (no sub-bucket cap
+      // firing) and the oracle mirrors exact uncapped-cell semantics; the
+      // cap path itself is spec-pinned (LlmOpsSpec hot-cell fixtures).
+      // c = 4 at sf1 put ~5.2k vectors in each cell and the cap dropped
+      // 169 planted pairs the oracle kept.
       val cents =
-        LlmOps.kmeansCentroids(e.filter(col("vec_id") =!= 0), c = 4, iters = 2)
+        LlmOps.kmeansCentroids(e.filter(col("vec_id") =!= 0), c = 16, iters = 2)
       LlmOps.semanticDedupWith(embWithDups(e), cents, threshold = 0.95)
         .orderBy(col("vec_id"))
     }),
@@ -860,21 +867,23 @@ object LlmQueries {
         cent$i AS (SELECT cid, list(cval ORDER BY pos) AS cvec FROM c$i GROUP BY 1)"""
 
   /** CTE chain ending in `cent2` (trained centroids) and `a3` (the final
-    * vec_id → cid assignment under them). Seed = the 4 smallest vec_ids.
+    * vec_id → cid assignment under them). Seed = the `c` smallest vec_ids.
     */
-  private lazy val duckKmeansChain: String =
+  private def duckKmeansChainC(c: Int): String =
     s"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
            FROM embeddings
            WHERE vec_id <> 0
              AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0),
         cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS cvec
-           FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 4)),
+           FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT $c)),
         ${duckKmeansAssign(1, "cent0")},
         ${duckKmeansUpdate(1)},
         ${duckKmeansAssign(2, "cent1")},
         ${duckKmeansUpdate(2)},
         ${duckKmeansAssign(3, "cent2")}"""
+
+  private lazy val duckKmeansChain: String = duckKmeansChainC(4)
 
   /** Shared CTE chain for the ExactSubstr mirrors: 20-gram md5-60bit
     * hashes at every char position (bit-identical to graft_gram_hash with
@@ -1127,7 +1136,15 @@ object LlmQueries {
                         FROM iblk x JOIN iblk y
                           ON x.blk = y.blk AND x.doc_id < y.doc_id
                         WHERE bit_count(xor(x.phash, y.phash)) <= 2),
-          audio AS ($audioDupSql),
+          -- the audio channel runs over the SAME corpus fixture as the
+          -- text channel (docsDupSql) — the Spark key feeds ONE
+          -- docsWithDups frame to both; the standalone dedup_audio_fp
+          -- key's richer audioDupSql fixture (transposition/glitch
+          -- variants) is a DIFFERENT corpus and using it here made the
+          -- channels disagree at sf1 (copies there are pristine, while
+          -- docsDupSql's %20 copies carry a ' tail' that moves the
+          -- time-normalized envelope)
+          audio AS (SELECT doc_id, text FROM docs),
           adims AS (SELECT doc_id, text, length(text) AS len,
                       greatest(1, CAST(ceil(length(text) / 64.0) AS BIGINT)) AS w
                     FROM audio),
@@ -1608,7 +1625,7 @@ object LlmQueries {
     // cid), then drop any vector with a smaller-id cluster-mate at
     // round6 cosine >= 0.95
     "dedup_semantic" ->
-      s"""WITH $duckKmeansChain,
+      s"""WITH ${duckKmeansChainC(16)},
           sdc AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                     sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
                   FROM ($embDupSql) t0

@@ -10,6 +10,12 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
 
 con = duckdb.connect()
+# bounded resources: at the sf1 tier some mirrors build multi-GB
+# intermediates, and an unbounded duckdb (threads = all cores, memory =
+# 80% RAM) intermittently dies with allocator/thread errors when run
+# back-to-back with Spark JVMs; these caps make the gate deterministic
+con.execute("SET threads TO 4")
+con.execute("SET memory_limit = '48GB'")
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p)[:-8]
     # testdata tables are single files; generated tiers (GenSf) are
