@@ -1613,6 +1613,46 @@ object LlmOps {
       .select(col(idCol), col("span_start"), col("span_len"))
   }
 
+  /** [[duplicatedSpans]] with peak shuffle capacity bounded to ~1/`passes`
+    * of the gram table — the dial for the operator's one heavy cost. The
+    * duplicate test is per-gram-value independent, so the gram stream
+    * splits by hash range: pass `i` explodes the corpus, keeps grams with
+    * `pmod(h, passes) = i`, and shuffles ONLY that slice for its
+    * count-over-window; the surviving duplicated positions (output-
+    * proportional, tiny next to the gram table) union across passes and
+    * one final doc-keyed exchange merges spans. The trade is the LM-cache
+    * trade in reverse: each pass re-runs the codegen'd explode (CPU,
+    * cheap and streaming) to avoid holding the whole gram table on
+    * shuffle disk at once (the 100 GB the 10M-doc STRESS form needed).
+    * Output is pass-count-invariant (spec-pinned); `passes = 1` IS
+    * [[duplicatedSpans]].
+    */
+  def duplicatedSpansStaged(docs: DataFrame, idCol: String, k: Int = 20,
+                            passes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(passes >= 1, s"passes must be >= 1, got $passes")
+    val grams = ensureFns(docs)
+      .select(col(idCol),
+        posexplode(expr(s"graft_gram_hash(text, $k, ':xs', 15)"))
+          .as(Seq("p0", "h")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("h"))
+    val dupPos = (0 until passes).map { i =>
+        grams.filter(pmod(col("h"), lit(passes.toLong)) === i)
+          .withColumn("sites", count(lit(1)).over(Window.partitionBy("h")))
+          .filter(col("sites") >= 2)
+          .select(col(idCol), col("pos"))
+      }.reduce(_ unionByName _)
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    dupPos
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= k, 0).otherwise(1))
+      .withColumn("grp", sum("brk").over(byDoc))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") - min("pos") + k).as("span_len"))
+      .select(col(idCol), col("span_start"), col("span_len"))
+  }
+
   /** Per-document duplicated-character load derived from
     * [[duplicatedSpans]]: (`idCol`, n_chars, dup_chars, dup_frac) — the
     * thresholdable form (the paper removes spans; production pipelines
@@ -2046,14 +2086,16 @@ object LlmOps {
   /** Corpus-size crossover for [[lmScore]]'s two value-identical forms.
     * The gram stream feeds BOTH the vocab count-agg and the scoring join;
     * the question is whether to explode it twice (uncached) or once into
-    * a persisted cache. The STRESS A/B measured BOTH sides of a
-    * crossover on the same host: at 1M docs two-explode wins
-    * (8.1 s vs cached 29.1 s — the cache's per-row storage overhead
-    * dwarfs a second cheap streaming explode), at 10M docs the cached
-    * form wins 2.5× (95.9 s vs 237.7 s — the explode's md5-per-gram CPU
-    * now dominates, and paying it once plus a disk-spilled cache
-    * round-trip beats paying it twice). 4M is the log-midpoint of the
-    * measured bracket.
+    * a persisted cache. Same-host STRESS A/Bs: at 1M docs two-explode
+    * wins decisively (8.1 s vs cached 29.1 s — the cache's per-row
+    * storage overhead dwarfs a second cheap streaming explode). At 10M
+    * docs two runs under different memory/disk states measured
+    * 237.7 vs 95.9 (loaded, post-IVF working set) and 62.1 vs 70.4
+    * (quiet): the cached form's cost is STABLE across states (70–96 s)
+    * while the double explode degrades up to ~4× under pressure — and
+    * sustained pressure is the realistic regime at corpus scale. The
+    * selector therefore prefers the low-variance cached form above the
+    * crossover; 4M is the log-midpoint of the measured bracket.
     */
   val LmCacheCrossoverDocs = 4000000L
 

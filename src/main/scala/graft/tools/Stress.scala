@@ -377,10 +377,11 @@ object Stress {
       |""".stripMargin
 
     // ---- LM quality scoring A/B: the two value-identical forms CROSS
-    // OVER with scale (1M docs: two-explode 8.1 s vs cached 29.1 s;
-    // 10M docs: cached 95.9 s vs two-explode 237.7 s — the md5-per-gram
-    // CPU comes to dominate and is worth paying once). lmScore
-    // auto-selects at LmCacheCrossoverDocs; both sides stay measured.
+    // OVER with scale (1M docs: two-explode 8.1 s vs cached 29.1 s; 10M
+    // docs across two same-host runs: 237.7 vs 95.9 loaded, 62.1 vs 70.4
+    // quiet — the cached form is the low-variance side under memory
+    // pressure). lmScore auto-selects at LmCacheCrossoverDocs; both
+    // sides stay measured.
     bench(s"LM trigram quality score two-explode ${nDocs / 1000000}M docs", nDocs) {
       graft.ext.LlmOps.lmScoreTwoExplode(docs)
         .agg(sum(col("n_grams")), avg(col("avg_logp"))).collect()

@@ -86,6 +86,25 @@ class SubstringDedupSpec extends SparkSpec {
     out.foreach { case (id, _, rem) => assert(rem.toLong == stats(id)) }
   }
 
+  test("staged form is pass-count-invariant and passes=1 equals the base form") {
+    // the capacity dial must not change results: grams split by hash
+    // range, each pass sees a disjoint slice, and the union of duplicated
+    // positions is identical to the single-shuffle form's
+    val d1 = "alpha bravo charlie delta echo foxtrot(" + B + ")golf hotel india"
+    val d2 = "zulu yankee xray whiskey victor uniform[" + B + "]tango sierra rmq"
+    val sep = "#one two three four five six seven eight nine#"
+    val d = docs(1L -> d1, 2L -> d2,
+      3L -> ("prefix-material-here(" + B + sep + B + ")suffix-material-done"),
+      4L -> "wholly unique text that nothing else in the corpus repeats")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    val base = rows(LlmOps.duplicatedSpans(d, "doc_id", K))
+    assert(base.nonEmpty)
+    assert(rows(LlmOps.duplicatedSpansStaged(d, "doc_id", K, passes = 1)) == base)
+    assert(rows(LlmOps.duplicatedSpansStaged(d, "doc_id", K, passes = 3)) == base)
+    assert(rows(LlmOps.duplicatedSpansStaged(d, "doc_id", K, passes = 7)) == base)
+  }
+
   test("spans are disjoint per doc and stats equal their summed coverage") {
     val d1 = "alpha bravo charlie delta echo foxtrot(" + B + ")golf hotel india"
     val d2 = "zulu yankee xray whiskey victor uniform[" + B + "]tango sierra rmq"
