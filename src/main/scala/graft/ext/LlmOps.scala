@@ -702,6 +702,32 @@ object LlmOps {
       .withColumn("capped_lsh_buckets", lit(capped))
   }
 
+  /** Surviving corpus with the BEST member of each near-dup cluster kept:
+    * keeper = longest text, ties to the smallest id — the keeper rule
+    * production pipelines actually want, because near-dup clusters
+    * typically hold truncated or boilerplate-wrapped variants of one
+    * document, and [[dedupCorpus]]'s keep-smallest-id throws away the
+    * complete copy whenever it arrived later. Same LSH + connected-
+    * components machinery; only the keeper election differs — one
+    * max(struct) per cluster (partial-agg friendly), then a semi-join
+    * back. Cost is one extra exchange on cluster_id over [[dedupCorpus]].
+    */
+  def dedupCorpusBest(docs: DataFrame, idCol: String,
+                      maxBucket: Int = 1000): DataFrame = {
+    val sh = shingleTable(docs, idCol)
+    val (pairs, capped) = candidatesWithCoverage(sh, idCol, maxBucket = maxBucket)
+    sh.unpersist()
+    val clusters = duplicateClusters(docs.select(col(idCol)), idCol, pairs)
+    pairs.unpersist()
+    val keepers = docs.select(col(idCol), length(col("text")).as("len"))
+      .join(clusters, idCol)
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("len"), (-col(idCol)).as("nid"))).as("m"))
+      .select((-col("m.nid")).as(idCol))
+    docs.join(keepers, Seq(idCol), "left_semi")
+      .withColumn("capped_lsh_buckets", lit(capped))
+  }
+
   /** Distributed fallback: label propagation to a fixpoint. */
   def distributedClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
                           maxIters: Int = 20): DataFrame = {
@@ -2164,6 +2190,41 @@ object LlmOps {
     out.count() // materialize BEFORE dropping the gram cache it derives from
     g.unpersist()
     out
+  }
+
+  /** Quality-weighted sampling (the DCLM/FineWeb-style soft filter): each
+    * document's keep probability is its LM quality score mapped linearly
+    * onto [0, 1] between `lo` and `hi` (clamped), and the keep DECISION
+    * is a content-stable md5 draw against that probability — no RNG, no
+    * partition dependence, so the sample is reproducible and re-run-
+    * stable exactly like [[sampleStratified]]'s buckets. A hard
+    * threshold keeps a cliff; the soft form keeps a quality GRADIENT
+    * (low-quality docs survive at low rate — the shape that preserves
+    * distribution tails instead of truncating them).
+    *
+    * Scale shape: [[lmScore]]'s cost plus one narrow per-row map; the
+    * draw is the 60-bit md5 prefix scaled by 2^-60 (both engines lose
+    * the same low bits casting to double, so parity is exact).
+    * Output: (id, n_grams, avg_logp, keep_prob, kept).
+    */
+  def qualityWeightedSample(docs: DataFrame, idCol: String,
+                            lo: Double, scale: Double,
+                            vocabK: Int = 4096): DataFrame = {
+    // (score - lo) * scale, not (score - lo) / (hi - lo): a span like
+    // 0.12 is not exactly representable, and the engine mirroring this
+    // would compute a SLIGHTLY different divisor from its own literals
+    // — multiply by an exactly-representable scale (8.0 = a 0.125 span)
+    // and the arithmetic is bit-identical everywhere
+    require(scale > 0, s"scale must be positive, got $scale")
+    val scored = lmScore(docs, vocabK)
+    val p = greatest(lit(0.0), least(lit(1.0),
+      (col("avg_logp") - lit(lo)) * lit(scale)))
+    val draw =
+      expr(s"cast(conv(substr(md5(concat(cast($idCol as string), ':qw')), 1, 15), 16, 10) as bigint)")
+        .cast("double") / lit(math.pow(2.0, 60))
+    scored
+      .withColumn("keep_prob", round6(p))
+      .withColumn("kept", draw < col("keep_prob"))
   }
 
   // ---- incremental dedup against a persisted signature store ----

@@ -594,6 +594,25 @@ object LlmQueries {
           col("capped_lsh_buckets"))
         .orderBy(col("doc_id"))),
 
+    // best-keeper collapse: each near-dup cluster keeps its LONGEST
+    // member (ties to smallest id) — the fixture's %20 copies carry a
+    // ' tail', so for those clusters the COPY survives, not the
+    // original: a materially different output from dedup_corpus's
+    // keep-smallest-id
+    "dedup_corpus_best" -> ((s, d) =>
+      LlmOps.dedupCorpusBest(docsWithDups(t(s, d, "documents")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("capped_lsh_buckets"))
+        .orderBy(col("doc_id"))),
+
+    // quality-weighted soft sampling: keep probability = LM score mapped
+    // onto [lo, hi], decision = content-stable md5 draw (no RNG) — the
+    // gradient form of the quality filter (tails survive at low rate)
+    "sample_quality_weighted" -> ((s, d) =>
+      LlmOps.qualityWeightedSample(t(s, d, "documents"), "doc_id",
+          lo = -2.405, scale = 8.0, vocabK = 1024)
+        .orderBy(col("doc_id"))),
+
     // k-NN join: top-3 neighbors of EVERY vector within its bucket (the
     // corpus-wide batch form of similarity search; sim_search_topk is the
     // single-query form)
@@ -1585,6 +1604,57 @@ object LlmQueries {
                        (m.nrm * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
           FROM a3 JOIN probed USING (cid) JOIN emb m USING (vec_id) CROSS JOIN q
           ORDER BY cos DESC, vec_id LIMIT 10""",
+    "dedup_corpus_best" ->
+      s"""WITH RECURSIVE docs AS ($docsDupSql),
+          $duckShingleCte,
+          $duckSigCte,
+          $duckBandCte,
+          cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                    FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+          undirected AS (SELECT a AS x, b AS y FROM cands
+                         UNION SELECT b AS x, a AS y FROM cands),
+          reach(x, y) AS (
+            SELECT x, y FROM undirected
+            UNION
+            SELECT r.x, u.y FROM reach r JOIN undirected u ON r.y = u.x),
+          clusters AS (
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS cluster_id
+            FROM docs d LEFT JOIN reach r ON r.x = d.doc_id
+            GROUP BY d.doc_id),
+          keepers AS (
+            SELECT doc_id FROM (
+              SELECT d.doc_id,
+                     row_number() OVER (PARTITION BY c.cluster_id
+                                        ORDER BY length(d.text) DESC, d.doc_id) AS rn
+              FROM docs d JOIN clusters c ON d.doc_id = c.doc_id)
+            WHERE rn = 1)
+          SELECT d.doc_id, d.lang, d.n_chars,
+                 (SELECT count(*) FROM
+                    (SELECT band FROM bands GROUP BY band HAVING count(*) > 1000))
+                   AS capped_lsh_buckets
+          FROM docs d JOIN keepers k ON d.doc_id = k.doc_id
+          ORDER BY d.doc_id""",
+    "sample_quality_weighted" ->
+      """WITH g AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, length(text) - 2),
+                        i -> ('0x' || substr(md5(substr(text, i, 3) || ':lm'), 1, 15))::BIGINT)) AS h
+                    FROM documents),
+         cnt AS (SELECT h, count(*) AS c FROM g GROUP BY 1),
+         tot AS (SELECT CAST(sum(greatest(length(text) - 2, 0)) AS DOUBLE) AS n
+                 FROM documents),
+         vocab AS (SELECT h, c FROM cnt ORDER BY c DESC, h LIMIT 1024),
+         scored AS (SELECT g.doc_id,
+                      coalesce(log10(v.c::DOUBLE / t.n), log10(0.5 / t.n)) AS logp
+                    FROM g LEFT JOIN vocab v USING (h) CROSS JOIN tot t),
+         lm AS (SELECT doc_id, count(*) AS n_grams, round(avg(logp), 6) AS avg_logp
+                FROM scored GROUP BY 1)
+         SELECT doc_id, n_grams, avg_logp,
+                round(greatest(0.0, least(1.0, (avg_logp - (-2.405)::DOUBLE) * 8.0)), 6) AS keep_prob,
+                (('0x' || substr(md5(doc_id::VARCHAR || ':qw'), 1, 15))::BIGINT::DOUBLE
+                   / 1152921504606846976.0)
+                  < round(greatest(0.0, least(1.0, (avg_logp - (-2.405)::DOUBLE) * 8.0)), 6) AS kept
+         FROM lm ORDER BY doc_id""",
     "quality_lm_score" ->
       """WITH g AS (SELECT doc_id,
                       unnest(list_transform(generate_series(1, length(text) - 2),

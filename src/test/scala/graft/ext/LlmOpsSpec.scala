@@ -594,6 +594,42 @@ class LlmOpsSpec extends SparkSpec {
       s"unrelated track must not pair: ${pairs.toSeq}")
   }
 
+  test("dedupCorpusBest keeps the longest cluster member; dedupCorpus the smallest id") {
+    // doc 2 is a superset of doc 1 (the common truncated-variant shape):
+    // same shingle mass → same cluster; best-keeper elects the LONGER
+    // doc 2 even though its id is larger, keep-smallest-id elects doc 1
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(
+      1L -> a,
+      2L -> (a + " extended"),
+      3L -> "entirely different words about spark catalyst tungsten codegen shuffles")
+    val best = LlmOps.dedupCorpusBest(d, "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val smallest = LlmOps.dedupCorpus(d, "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(best.toSeq == Seq(2L, 3L), best.toSeq.toString)
+    assert(smallest.toSeq == Seq(1L, 3L), smallest.toSeq.toString)
+  }
+
+  test("qualityWeightedSample: probability tracks the LM score, clamps, and is rerun-stable") {
+    // boilerplate (repeated trigrams → high score) vs alphabet soup
+    val rows = (1L to 8L).map(i => (i, "common common common common common words")) :+
+      (9L, "zq9!kx7#vw2@pl5&mn8*st4%") // OOV-heavy → floor score
+    val d = docs(rows: _*)
+    val out = LlmOps.qualityWeightedSample(d, "doc_id", lo = -3.0, scale = 2.0, vocabK = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    val byId = out.map(x => x._1 -> x).toMap
+    // every boilerplate doc shares one score/probability; the soup doc is lower
+    assert(byId(9L)._2 < byId(1L)._2)
+    assert(byId(9L)._3 <= byId(1L)._3)
+    out.foreach { case (_, _, p, _) => assert(p >= 0.0 && p <= 1.0) }
+    // content-stable: identical output under a different partitioning
+    val out2 = LlmOps.qualityWeightedSample(d.repartition(7), "doc_id",
+        lo = -3.0, scale = 2.0, vocabK = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
+  }
+
   test("hamming pigeonhole: oversized block buckets are capped out of pairing") {
     // 6 identical tracks: one fingerprint, every block bucket holds all 6.
     // cap 3 excludes them all (pairs empty); cap 1000 restores the full
