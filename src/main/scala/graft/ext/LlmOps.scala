@@ -1683,6 +1683,45 @@ object LlmOps {
       .select(col(idCol), col("span_start"), col("span_len"))
   }
 
+  /** Substring-level decontamination: the maximal character spans of each
+    * CORPUS document whose `k`-grams appear anywhere in the BENCHMARK —
+    * the span-precise form of the decontamination family ([[decontaminate]]
+    * flags whole documents by shingle-overlap ratio; this localizes the
+    * leaked text itself, the way the ExactSubstr tooling is used for
+    * benchmark decontamination). A position is contaminated when its
+    * k-gram occurs in the benchmark; runs ≤ k apart merge exactly as in
+    * [[duplicatedSpans]].
+    *
+    * Scale shape: the corpus pays one narrow gram explode; the duplicate
+    * test is a semi-join against the benchmark's DISTINCT gram-hash set —
+    * eval suites are small, so that side aggregates to a modest distinct
+    * set and AQE may broadcast it (left UNHINTED: a data-dependent build
+    * side is never force-broadcast — the decontaminate-family gate
+    * convention), in which case the corpus gram table NEVER shuffles on
+    * the gram hash at all; the only guaranteed exchange is the doc-keyed
+    * span merge. Output: (`idCol`, span_start 1-based, span_len).
+    */
+  def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def grams(df: DataFrame) = ensureFns(df)
+      .select(col(idCol),
+        posexplode(expr(s"graft_gram_hash(text, $k, ':xs', 15)"))
+          .as(Seq("p0", "h")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("h"))
+    val benchGrams = grams(benchmark).select(col("h")).distinct()
+    val hit = grams(corpus).join(benchGrams, Seq("h"), "left_semi")
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    hit
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= k, 0).otherwise(1))
+      .withColumn("grp", sum("brk").over(byDoc))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") - min("pos") + k).as("span_len"))
+      .select(col(idCol), col("span_start"), col("span_len"))
+  }
+
   /** Per-document duplicated-character load derived from
     * [[duplicatedSpans]]: (`idCol`, n_chars, dup_chars, dup_frac) — the
     * thresholdable form (the paper removes spans; production pipelines

@@ -808,6 +808,19 @@ object LlmQueries {
       LlmOps.substringDupStats(docsWithDups(t(s, d, "documents")), "doc_id", k = 20)
         .orderBy(col("doc_id"))),
 
+    // span-precise decontamination: the exact character ranges of each
+    // corpus doc whose 20-grams appear in the benchmark (same split as
+    // decontaminate_ngram: originals %10==0 play the benchmark, their
+    // re-injected twins are the planted leaks — whole-doc leaks surface
+    // as full-length spans, the ' tail' variants as all-but-tail spans)
+    "decontaminate_spans" -> ((s, d) => {
+      val all = docsWithDups(t(s, d, "documents"))
+      val bench = all.filter(col("doc_id") < 100000 && col("doc_id") % 10 === 0)
+      val corpus = all.filter(col("doc_id") >= 100000 || col("doc_id") % 10 =!= 0)
+      LlmOps.decontaminateSpans(corpus, bench, "doc_id", k = 20)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // span-excised corpus (remove-all policy, the public ExactSubstr
     // tooling default): duplicated chars cut from every doc; fully-
     // duplicated docs surface as empty strings, never silently dropped
@@ -939,6 +952,38 @@ object LlmQueries {
           $duckSpanCte
           SELECT doc_id, span_start, span_len
           FROM spans ORDER BY doc_id, span_start""",
+    "decontaminate_spans" ->
+      s"""WITH alldocs AS ($docsDupSql),
+          bench AS (SELECT doc_id, text FROM alldocs
+                    WHERE doc_id < 100000 AND doc_id % 10 = 0),
+          corpus AS (SELECT doc_id, text FROM alldocs
+                     WHERE doc_id >= 100000 OR doc_id % 10 <> 0),
+          bg0 AS (SELECT list_transform(generate_series(1, length(text) - 19),
+                    i -> ('0x' || substr(md5(substr(text, i::INT, 20) || ':xs'),
+                                         1, 15))::BIGINT) AS hs
+                  FROM bench),
+          bg AS (SELECT DISTINCT unnest(hs) AS h FROM bg0),
+          cg0 AS (SELECT doc_id,
+                    list_transform(generate_series(1, length(text) - 19),
+                      i -> ('0x' || substr(md5(substr(text, i::INT, 20) || ':xs'),
+                                           1, 15))::BIGINT) AS hs
+                  FROM corpus),
+          cg AS (SELECT doc_id, generate_subscripts(hs, 1) AS pos, unnest(hs) AS h
+                 FROM cg0),
+          hit AS (SELECT cg.doc_id, cg.pos FROM cg
+                  WHERE EXISTS (SELECT 1 FROM bg WHERE bg.h = cg.h)),
+          brk AS (SELECT doc_id, pos,
+                    CASE WHEN pos - lag(pos) OVER
+                                (PARTITION BY doc_id ORDER BY pos) <= 20
+                         THEN 0 ELSE 1 END AS brk
+                  FROM hit),
+          runs AS (SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                   FROM brk)
+          SELECT doc_id, min(pos) AS span_start,
+                 max(pos) - min(pos) + 20 AS span_len
+          FROM runs GROUP BY doc_id, grp
+          ORDER BY doc_id, span_start""",
     "dedup_substring_purge" ->
       s"""WITH docs AS ($docsDupSql),
           $duckSpanCte,

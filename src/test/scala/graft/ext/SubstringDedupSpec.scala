@@ -105,6 +105,24 @@ class SubstringDedupSpec extends SparkSpec {
     assert(rows(LlmOps.duplicatedSpansStaged(d, "doc_id", K, passes = 7)) == base)
   }
 
+  test("decontaminateSpans localizes exactly the leaked benchmark text") {
+    // corpus doc 1 embeds the benchmark block with distinct delimiters;
+    // doc 2 is a verbatim whole-doc leak; doc 3 is clean
+    val benchDoc = "held-out eval question(" + B + ")with its reference answer"
+    val bench = docs(900L -> benchDoc)
+    val c1 = "training text that quotes[" + B + "]inside otherwise-clean prose"
+    val corpus = docs(1L -> c1, 2L -> benchDoc,
+      3L -> "entirely clean training document with no benchmark overlap")
+    val spans = LlmOps.decontaminateSpans(corpus, bench, "doc_id", K)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    // doc 1: only grams fully inside B occur in the benchmark (the
+    // delimiters differ), so the span is B exactly; doc 2: every gram is
+    // a benchmark gram — one span covering the whole doc; doc 3: nothing
+    assert(spans === Seq(
+      (1L, c1.indexOf(B) + 1, B.length),
+      (2L, 1, benchDoc.length)))
+  }
+
   test("spans are disjoint per doc and stats equal their summed coverage") {
     val d1 = "alpha bravo charlie delta echo foxtrot(" + B + ")golf hotel india"
     val d2 = "zulu yankee xray whiskey victor uniform[" + B + "]tango sierra rmq"
