@@ -390,8 +390,9 @@ object LlmQueries {
         .orderBy(col("a"), col("b"))),
 
     // CROSS-MODAL cluster collapse: text-LSH ∪ image-dHash ∪ audio-
-    // fingerprint edges → one connected-components pass; transitive
-    // linkage across modalities, cluster_id = smallest member id
+    // fingerprint ∪ video-shared-frame edges → one connected-components
+    // pass; transitive linkage across modalities, cluster_id = smallest
+    // member id
     "dedup_multimodal" -> ((s, d) =>
       LlmOps.multimodalClusters(docsWithDups(t(s, d, "documents")),
           imagesWithDups(t(s, d, "embeddings")))
@@ -609,7 +610,7 @@ object LlmQueries {
     // onto [lo, hi], decision = content-stable md5 draw (no RNG) — the
     // gradient form of the quality filter (tails survive at low rate)
     "sample_quality_weighted" -> ((s, d) =>
-      LlmOps.qualityWeightedSample(t(s, d, "documents"), "doc_id",
+      LlmOps.qualityWeightedSample(t(s, d, "documents"),
           lo = -2.405, scale = 8.0, vocabK = 1024)
         .orderBy(col("doc_id"))),
 
@@ -1012,8 +1013,9 @@ object LlmQueries {
                   FROM spans GROUP BY doc_id)
           SELECT d.doc_id, length(d.text) AS n_chars,
                  coalesce(agg.dup_chars, 0)::BIGINT AS dup_chars,
-                 round(coalesce(agg.dup_chars, 0)::DOUBLE
-                       / length(d.text)::DOUBLE, 6) AS dup_frac
+                 CASE WHEN length(d.text) = 0 THEN 0.0
+                      ELSE round(coalesce(agg.dup_chars, 0)::DOUBLE
+                                 / length(d.text)::DOUBLE, 6) END AS dup_frac
           FROM docs d LEFT JOIN agg ON d.doc_id = agg.doc_id
           ORDER BY d.doc_id""",
     "dedup_exact" ->
@@ -1060,11 +1062,15 @@ object LlmQueries {
                       FROM simh64),
           live AS (SELECT blk FROM blocked
                    GROUP BY blk HAVING count(*) <= 4096),
-          lb AS (SELECT b.* FROM blocked b JOIN live USING (blk))
+          lb AS (SELECT b.* FROM blocked b JOIN live USING (blk)),
+          cap AS (SELECT count(*) AS capped_blocks FROM
+                    (SELECT blk FROM blocked GROUP BY blk HAVING count(*) > 4096))
           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-                 CAST(bit_count(xor(x.simhash64, y.simhash64)) AS INTEGER) AS hamming
+                 CAST(bit_count(xor(x.simhash64, y.simhash64)) AS INTEGER) AS hamming,
+                 cap.capped_blocks
           FROM lb x JOIN lb y
             ON x.blk = y.blk AND x.doc_id < y.doc_id
+          CROSS JOIN cap
           WHERE bit_count(xor(x.simhash64, y.simhash64)) <= 2
           ORDER BY a, b""",
     "dedup_ngram_jaccard" ->
@@ -1105,11 +1111,15 @@ object LlmQueries {
                       FROM ph),
           live AS (SELECT blk FROM blocked
                    GROUP BY blk HAVING count(*) <= 4096),
-          lb AS (SELECT b.* FROM blocked b JOIN live USING (blk))
+          lb AS (SELECT b.* FROM blocked b JOIN live USING (blk)),
+          cap AS (SELECT count(*) AS capped_blocks FROM
+                    (SELECT blk FROM blocked GROUP BY blk HAVING count(*) > 4096))
           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-                 CAST(bit_count(xor(x.phash, y.phash)) AS INTEGER) AS hamming
+                 CAST(bit_count(xor(x.phash, y.phash)) AS INTEGER) AS hamming,
+                 cap.capped_blocks
           FROM lb x JOIN lb y
             ON x.blk = y.blk AND x.doc_id < y.doc_id
+          CROSS JOIN cap
           WHERE bit_count(xor(x.phash, y.phash)) <= 2
           ORDER BY a, b""",
     // mirrors LlmOps.audioFingerprintNearDups: 64 time-normalized windows
@@ -1140,11 +1150,15 @@ object LlmQueries {
                       FROM ph),
           live AS (SELECT blk FROM blocked
                    GROUP BY blk HAVING count(*) <= 4096),
-          lb AS (SELECT b.* FROM blocked b JOIN live USING (blk))
+          lb AS (SELECT b.* FROM blocked b JOIN live USING (blk)),
+          cap AS (SELECT count(*) AS capped_blocks FROM
+                    (SELECT blk FROM blocked GROUP BY blk HAVING count(*) > 4096))
           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-                 CAST(bit_count(xor(x.afp, y.afp)) AS INTEGER) AS hamming
+                 CAST(bit_count(xor(x.afp, y.afp)) AS INTEGER) AS hamming,
+                 cap.capped_blocks
           FROM lb x JOIN lb y
             ON x.blk = y.blk AND x.doc_id < y.doc_id
+          CROSS JOIN cap
           WHERE bit_count(xor(x.afp, y.afp)) <= 2
           ORDER BY a, b""",
     // mirrors LlmOps.videoFrameNearDups: distinct 64-char frame md5 sets,
@@ -1161,6 +1175,8 @@ object LlmQueries {
                               unnest(fhs) AS fh FROM sigs),
           live AS (SELECT fh FROM postings GROUP BY fh
                    HAVING count(*) > 1 AND count(*) <= 1024),
+          cap AS (SELECT count(*) AS capped_postings FROM
+                    (SELECT fh FROM postings GROUP BY fh HAVING count(*) > 1024)),
           pairs AS (SELECT x.doc_id AS a, x.nf AS na, y.doc_id AS b, y.nf AS nb,
                            count(*) AS shared
                     FROM postings x
@@ -1168,21 +1184,29 @@ object LlmQueries {
                     JOIN live l ON l.fh = x.fh
                     GROUP BY 1, 2, 3, 4)
           SELECT a, b, shared, na, nb,
-                 round(shared::DOUBLE / (na + nb - shared), 6) AS jac
-          FROM pairs
+                 round(shared::DOUBLE / (na + nb - shared), 6) AS jac,
+                 cap.capped_postings
+          FROM pairs CROSS JOIN cap
           WHERE round(shared::DOUBLE / (na + nb - shared), 6) >= 0.5
           ORDER BY a, b""",
-    // mirrors LlmOps.multimodalClusters: the three modality pair sets
+    // mirrors LlmOps.multimodalClusters: the four modality pair sets
     // (text minhash-band CTE chain, image dHash pigeonhole, audio
-    // energy-envelope pigeonhole) unioned into one transitive closure;
-    // cluster_id = smallest component member, singletons self-label
+    // energy-envelope pigeonhole, video shared-frame postings) unioned
+    // into one transitive closure; cluster_id = smallest component
+    // member, singletons self-label. EVERY channel carries its Spark-
+    // side hot-bucket cap (text maxBucket=1000, image/audio
+    // maxBucket=4096, video maxPostings=1024) so the engines can never
+    // diverge on a degenerate bucket at a gated tier (r10 ADVICE)
     "dedup_multimodal" ->
       s"""WITH RECURSIVE docs AS ($docsDupSql),
           $duckShingleCte,
           $duckSigCte,
           $duckBandCte,
+          tlive AS (SELECT band FROM bands GROUP BY band
+                    HAVING count(*) <= 1000),
+          tlb AS (SELECT b.* FROM bands b JOIN tlive USING (band)),
           cands_text AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                         FROM bands x JOIN bands y
+                         FROM tlb x JOIN tlb y
                            ON x.band = y.band AND x.doc_id < y.doc_id),
           imgs AS ($imgDupSql),
           iph AS (SELECT vec_id AS doc_id,
@@ -1196,8 +1220,11 @@ object LlmQueries {
                             ((phash // (1::BIGINT << (b * 21))) %
                              (1::BIGINT << 21))::VARCHAR)) AS blk
                    FROM iph),
+          ilive AS (SELECT blk FROM iblk GROUP BY blk
+                    HAVING count(*) <= 4096),
+          ilb AS (SELECT b.* FROM iblk b JOIN ilive USING (blk)),
           cands_img AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                        FROM iblk x JOIN iblk y
+                        FROM ilb x JOIN ilb y
                           ON x.blk = y.blk AND x.doc_id < y.doc_id
                         WHERE bit_count(xor(x.phash, y.phash)) <= 2),
           -- the audio channel runs over the SAME corpus fixture as the
@@ -1230,13 +1257,38 @@ object LlmQueries {
                             ((afp // (1::BIGINT << (b * 21))) %
                              (1::BIGINT << 21))::VARCHAR)) AS blk
                    FROM aph),
+          alive AS (SELECT blk FROM ablk GROUP BY blk
+                    HAVING count(*) <= 4096),
+          alb AS (SELECT b.* FROM ablk b JOIN alive USING (blk)),
           cands_audio AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                          FROM ablk x JOIN ablk y
+                          FROM alb x JOIN alb y
                             ON x.blk = y.blk AND x.doc_id < y.doc_id
                           WHERE bit_count(xor(x.afp, y.afp)) <= 2),
+          -- the video channel runs over the SAME corpus frame as
+          -- text/audio (multimodalClusters feeds docsWithDups to
+          -- videoFramePairsWithCoverage): fixed-width frame md5 sets,
+          -- stop-frame live window, Jaccard >= 0.5
+          vsigs AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                        generate_series(0, CAST(ceil(length(text) / 64.0) AS BIGINT) - 1),
+                        f -> md5(substr(text, (f * 64 + 1)::INT, 64)))) AS fhs
+                    FROM docs WHERE length(text) > 0),
+          vpostings AS (SELECT doc_id, CAST(len(fhs) AS INTEGER) AS nf,
+                               unnest(fhs) AS fh FROM vsigs),
+          vlive AS (SELECT fh FROM vpostings GROUP BY fh
+                    HAVING count(*) > 1 AND count(*) <= 1024),
+          vpairs AS (SELECT x.doc_id AS a, x.nf AS na, y.doc_id AS b, y.nf AS nb,
+                            count(*) AS shared
+                     FROM vpostings x
+                     JOIN vpostings y ON x.fh = y.fh AND x.doc_id < y.doc_id
+                     JOIN vlive l ON l.fh = x.fh
+                     GROUP BY 1, 2, 3, 4),
+          cands_video AS (SELECT a, b FROM vpairs
+                          WHERE round(shared::DOUBLE / (na + nb - shared), 6) >= 0.5),
           allc AS (SELECT a, b FROM cands_text
                    UNION SELECT a, b FROM cands_img
-                   UNION SELECT a, b FROM cands_audio),
+                   UNION SELECT a, b FROM cands_audio
+                   UNION SELECT a, b FROM cands_video),
           undirected AS (SELECT a AS x, b AS y FROM allc
                          UNION SELECT b AS x, a AS y FROM allc),
           reach(x, y) AS (

@@ -25,7 +25,7 @@ object DumpPlans {
       "join_fk_orders_users" -> "dimension side broadcast (BHJ), fact side never shuffles",
       "topk_orders" -> "TakeOrderedAndProject — no global sort for top-k",
       "dedup_minhash" -> "signature table materialized (InMemoryRelation), band self-join is an equi-join — no cartesian",
-      "dedup_simhash_hamming64" -> "radius-2 hamming search via grouped pair generation: one hash-agg shuffle on the 20-bit block key (buckets ~N/2^20), a<b pairs exploded inside each group, hamming filter inline — no join, no cached state",
+      "dedup_simhash_hamming64" -> "radius-2 hamming search via grouped pair generation: one hash-agg shuffle on the 20-bit block key (buckets ~N/2^20), a<b pairs exploded inside each group, hamming filter inline — the only join is the 1-row capped_blocks coverage attach (BNLJ over a global scalar aggregate, reusing the block exchange); no cached state",
       "sim_search_ivf" -> "centroid build = one (label,pos) shuffle; probe + cell filter both broadcast",
       "multimodal_decode" -> "binary payloads stay per-partition; only feature rows leave the scan",
       "sim_knn_join" -> "pairs built inside the bounded, salted (label, sub, salt) cell slice — the STREAMED (replicated) side repartitions on the full pair key, spreading one bucket's pairwise block over ceil(bucket_n/512) tasks (output-skew fix AQE cannot see); the probe side carries no explicit exchange (r10 — wasted under the broadcast build, auto-inserted under SMJ) — oversize label cells LSH-sub-bucketed at maxCell, degenerate buckets capped-and-counted from the bucket AGGREGATE table (r10 — no corpus re-join for the accounting) — no cartesian; top-k via graft_topk partial aggregation — the exchange carries #vectors×k rows, not the pairwise set",
@@ -41,10 +41,10 @@ object DumpPlans {
       "quality_lm_score" -> "LM scoring: gram explode is narrow codegen; the only exchanges are the charset-bounded gram-count agg and the per-doc avg; the vocabulary joins as a top-K broadcast bounded by .limit(vocabK)",
       "dedup_semantic" -> "SemDeDup: assignment = corpus scan vs the c-row broadcast centroid table (argmax agg shuffles on vec_id); in-cluster pairing inherits the bounded (cid, sub, salt) cell machinery; the dropped-id side rejoins UNHINTED (data-sized — AQE may broadcast at runtime, never a hard hint)",
       "mix_temperature" -> "tempered mixture: one tiny per-lang count agg → |langs|-row keep_frac table broadcast back; the keep decision is a narrow per-row md5 filter — the corpus itself never shuffles",
-      "dedup_audio_fp" -> "acoustic fingerprint: graft_frame_energy → graft_dhash is one codegen'd narrow map; block explode + grouped in-bucket pairing shuffle ONLY (id, fingerprint, block) rows — no join, payload bytes never leave the scan stage",
-      "dedup_video_frames" -> "frame-set Jaccard: signature (array_distinct) and its size compute narrowly pre-explode — no per-doc count pass, no size join-back; exactly two exchanges (frame-hash postings groupBy with the stop-frame cap, then the (a,b) shared-count agg), join-free",
+      "dedup_audio_fp" -> "acoustic fingerprint: graft_frame_energy → graft_dhash is one codegen'd narrow map; block explode + grouped in-bucket pairing shuffle ONLY (id, fingerprint, block) rows — payload bytes never leave the scan stage; the only join is the 1-row capped_blocks coverage attach",
+      "dedup_video_frames" -> "frame-set Jaccard: signature (array_distinct) and its size compute narrowly pre-explode — no per-doc count pass, no size join-back; two core exchanges (frame-hash postings groupBy with the stop-frame cap, then the (a,b) shared-count agg) with the capped-count branch reusing the postings exchange; the only join is the 1-row capped_postings coverage attach",
       "sim_search_quantized" -> "int8 two-stage ANN: approx stage scans codes and carries only (vec_id, approx) into a TakeOrdered; rescore joins the 40-row candidate list as a broadcast build — zero shuffle exchanges, the corpus is never hash- or range-partitioned",
-      "dedup_substring" -> "ExactSubstr: gram explode is narrow codegen (graft_gram_hash, no gram strings materialized); the gram table is touched by exactly two wide ops — one exchange on the 60-bit gram hash (duplicate test = count-over-window there; an agg+join form would shuffle the gram table twice), one exchange back on the doc id for the span-merge windows — no join, no global suffix sort")
+      "dedup_substring" -> "ExactSubstr (r11 skew-safe): gram explode is narrow codegen (graft_gram_hash, no gram strings materialized); the duplicate test is a TWO-LEVEL count — map-side partial combine collapses hot grams, the (h, sites) partials shuffle small, and ONE left-semi join streams the gram table against the dup-gram set (AQE may broadcast it or skew-split the probe — the r10 hot-gram window buffered a hot gram's whole position list in one unsplittable task); one exchange back on the doc id for the span-merge windows — no gram-hash window, no global suffix sort")
 
     val out = new StringBuilder
     out ++= "# Physical plan audit (generated by graft.tools.DumpPlans at sf0.01)\n\n"

@@ -127,4 +127,19 @@ class BenchFormatSpec extends AnyFunSuite {
       assert(!line.contains("0,5"), line)
     } finally java.util.Locale.setDefault(saved)
   }
+
+  test("StressProtocol: heavy rows go median-of-3, cheap rows stay single, " +
+       "the artifact cell shows every sample (r10 verdict item 7)") {
+    import graft.tools.StressProtocol
+    assert(StressProtocol.samplesNeeded(5.0) == 1)
+    assert(StressProtocol.samplesNeeded(StressProtocol.MedianThresholdSecs) == 1)
+    assert(StressProtocol.samplesNeeded(30.1) == 3)
+    assert(StressProtocol.median(Seq(62.1)) == 62.1)
+    // median is the MIDDLE sample, immune to one loaded-host outlier
+    assert(StressProtocol.median(Seq(237.7, 62.1, 70.4)) == 70.4)
+    assert(StressProtocol.cell(Seq(12.3)) == "12.3")
+    val c = StressProtocol.cell(Seq(237.7, 62.1, 70.4))
+    assert(c.startsWith("70.4 (med of 3:") && c.contains("237.7") &&
+      c.contains("62.1"), c)
+  }
 }

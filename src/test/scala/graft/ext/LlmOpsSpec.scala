@@ -616,7 +616,7 @@ class LlmOpsSpec extends SparkSpec {
     val rows = (1L to 8L).map(i => (i, "common common common common common words")) :+
       (9L, "zq9!kx7#vw2@pl5&mn8*st4%") // OOV-heavy → floor score
     val d = docs(rows: _*)
-    val out = LlmOps.qualityWeightedSample(d, "doc_id", lo = -3.0, scale = 2.0, vocabK = 64)
+    val out = LlmOps.qualityWeightedSample(d, lo = -3.0, scale = 2.0, vocabK = 64)
       .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
     val byId = out.map(x => x._1 -> x).toMap
     // every boilerplate doc shares one score/probability; the soup doc is lower
@@ -624,7 +624,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(byId(9L)._3 <= byId(1L)._3)
     out.foreach { case (_, _, p, _) => assert(p >= 0.0 && p <= 1.0) }
     // content-stable: identical output under a different partitioning
-    val out2 = LlmOps.qualityWeightedSample(d.repartition(7), "doc_id",
+    val out2 = LlmOps.qualityWeightedSample(d.repartition(7),
         lo = -3.0, scale = 2.0, vocabK = 64)
       .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
     assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
@@ -640,6 +640,27 @@ class LlmOpsSpec extends SparkSpec {
     val d = docs(rows: _*)
     assert(LlmOps.audioFingerprintNearDups(d, maxBucket = 3).count() == 0)
     assert(LlmOps.audioFingerprintNearDups(d, maxBucket = 1000).count() == 15)
+  }
+
+  test("hamming pigeonhole: the cap is COUNTED into capped_blocks, never silent") {
+    // hot group: 6 identical envelopes → every one of its 3 blocks
+    // exceeds cap 4 (capped_blocks = 3); live group: 2 identical
+    // envelopes → pairs normally, carrying the coverage count (r10
+    // verdict item 5 — the "no silent caps" convention)
+    val hot = (1L to 6L).map(i => (i, ("abcdefghij" * 13).take(130)))
+    val live = Seq(7L -> ("zyxwvutsrq" * 13).take(130),
+                   8L -> ("zyxwvutsrq" * 13).take(130))
+    val out = LlmOps.audioFingerprintNearDups(docs(hot ++ live: _*), maxBucket = 4)
+      .collect()
+    assert(out.length == 1, out.toSeq.toString)
+    val r = out.head
+    assert(r.getLong(0) == 7L && r.getLong(1) == 8L && r.getInt(2) == 0)
+    assert(r.getLong(3) == 3L,
+      s"all 3 hot-fingerprint blocks must be counted: ${r.getLong(3)}")
+    // uncapped → coverage reports exact (0)
+    val exact = LlmOps.audioFingerprintNearDups(docs(hot ++ live: _*),
+      maxBucket = 1000).collect()
+    assert(exact.nonEmpty && exact.forall(_.getLong(3) == 0L))
   }
 
   test("video frame dedup: re-upload jac 1, end-trim above gate, " +
@@ -666,6 +687,17 @@ class LlmOpsSpec extends SparkSpec {
     val capped = LlmOps.videoFrameNearDups(docs(hot: _*), maxPostings = 4)
     assert(capped.count() == 0,
       "the only shared frame exceeds the postings cap → no pairs")
+    // stop-frame cut is COUNTED, never silent: the hot posting (5 > 4)
+    // surfaces as capped_postings = 1 on surviving pairs — add a live
+    // identical pair so the output is non-empty (r10 verdict item 5)
+    val withLive = hot ++ Seq(
+      11L -> (("L" * 64) + ("M" * 64)), 12L -> (("L" * 64) + ("M" * 64)))
+    val covered = LlmOps.videoFrameNearDups(docs(withLive: _*), maxPostings = 4)
+      .collect()
+    assert(covered.length == 1, covered.toSeq.toString)
+    assert(covered.head.getLong(0) == 11L && covered.head.getLong(1) == 12L)
+    assert(covered.head.getLong(6) == 1L,
+      s"the hot posting list must be counted: ${covered.head}")
   }
 
   test("multimodal clusters: linkage is transitive ACROSS modalities") {
@@ -688,5 +720,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L,
       s"cross-modal transitivity must merge 1-2-3: $out")
     assert(out(4L) == 4L, s"unlinked item must self-label: $out")
+  }
+
+  test("multimodal clusters: a pair linked ONLY by shared video frames co-clusters") {
+    // r10 verdict item 3: videoFrameNearDups existed but its edges never
+    // reached the cross-modal pass. Construct a pair no OTHER channel
+    // links: same frame SET in a different ORDER — video jac = 1 (sets),
+    // audio fingerprints differ by 3 sign-of-delta bits (> radius 2,
+    // order-dependent envelope), and the space-free payloads are single
+    // distinct tokens (no shingles → no text edge).
+    val p = "a" * 64
+    val q = "z" * 64
+    val d = docs(
+      5L -> (p + q + p + q),
+      6L -> (q + p + q + p),
+      // alternates every energy window (~31 sign-of-delta bits — far
+      // outside radius 2 of either clip) and repeats ONE private frame
+      7L -> ("bbbbyyyy" * 32))
+    // prove the link is video-only on this fixture
+    assert(LlmOps.audioFingerprintNearDups(d).filter("a = 5 and b = 6").count() == 0,
+      "audio must NOT link the reordered pair")
+    assert(LlmOps.minhashCandidates(d, "doc_id").filter("a = 5 and b = 6").count() == 0,
+      "text must NOT link the reordered pair")
+    assert(LlmOps.videoFrameNearDups(d).filter("a = 5 and b = 6").count() == 1,
+      "video MUST link the reordered pair")
+    val imgs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val out = LlmOps.multimodalClusters(d, imgs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(5L) == 5L && out(6L) == 5L,
+      s"frame-linked clips must co-cluster: $out")
+    assert(out(7L) == 7L, s"unlinked clip must self-label: $out")
   }
 }

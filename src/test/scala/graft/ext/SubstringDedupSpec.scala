@@ -103,6 +103,11 @@ class SubstringDedupSpec extends SparkSpec {
     assert(rows(LlmOps.duplicatedSpansStaged(d, "doc_id", K, passes = 1)) == base)
     assert(rows(LlmOps.duplicatedSpansStaged(d, "doc_id", K, passes = 3)) == base)
     assert(rows(LlmOps.duplicatedSpansStaged(d, "doc_id", K, passes = 7)) == base)
+    // the disk-bounded per-pass-action form is bit-identical too
+    val wd = java.nio.file.Files
+      .createTempDirectory("graft-substr-passes").toString
+    assert(rows(LlmOps.duplicatedSpansStagedToDisk(d, "doc_id", wd, K,
+      passes = 3)) == base)
   }
 
   test("decontaminateSpans localizes exactly the leaked benchmark text") {

@@ -58,7 +58,13 @@ class BroadcastGateLintSpec extends AnyFunSuite {
     ("crossJoin(broadcast(tot))",
       "LlmOps.lmScore: groupless global gram-count aggregate — exactly 1 row"),
     ("broadcast(cand.select(col(\"vec_id\")))",
-      "LlmOps.quantizedSearchCodes: rescore candidate ids — ≤ k·overfetch rows by .limit(k * overfetch)"))
+      "LlmOps.quantizedSearchCodes: rescore candidate ids — ≤ k·overfetch rows by .limit(k * overfetch)"),
+    ("pairs.crossJoin(broadcast(capped))",
+      "LlmOps hammingPairsByBlock/videoFrameNearDups: groupless global capped-bucket count — exactly 1 row"),
+    ("argmaxCell(topG.join(broadcast(groups), \"gid\"))",
+      "LlmOps.kmeansAssignToHier: the fine centroid table — c rows, CentroidBudgetBytes-gated at readAnnIndex"),
+    ("crossJoin(broadcast(withCnorm(coarse)))",
+      "LlmOps.kmeansAssignToHier stage 1: the coarse quantizer — ≤ √c rows by kmeansCoarse construction"))
 
   test("every broadcast( in src/main is gated or allowlisted with a cited bound") {
     val root = Paths.get("src/main/scala")

@@ -31,9 +31,10 @@ class PlanAuditSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian:\n$plan")
       // sim_search_topk: single query vector broadcast; sim_knn_join: the
-      // 1-row capped_cells global-aggregate attach — both 1-row build sides
+      // 1-row capped_cells global-aggregate attach; hamming64: the 1-row
+      // capped_blocks coverage attach (r11) — all 1-row build sides
       assert(!plan.contains("BroadcastNestedLoopJoin") ||
-          Set("sim_search_topk", "sim_knn_join")(name),
+          Set("sim_search_topk", "sim_knn_join", "dedup_simhash_hamming64")(name),
         s"$name has a nested-loop join:\n$plan")
     }
   }
@@ -249,11 +250,14 @@ class PlanAuditSpec extends SparkSpec {
 
   test("audit: dedup_image_phash pairing stays bucketed — grouped, join-free") {
     // the whole pipeline is hash → block explode → groupBy(blk) → in-group
-    // pair explode: no join operator of any kind should appear, and the
-    // single wide step must be the hash aggregation on the block key
+    // pair explode: the ONLY join allowed is the 1-row capped_blocks
+    // coverage attach (r11 — a BNLJ over a global scalar aggregate), and
+    // the single wide step must be the hash aggregation on the block key
     val plan = physical(LlmQueries.qs("dedup_image_phash")(spark, sf()))
     val joins = plan.collect { case j: BaseJoinExec => j }
-    assert(joins.isEmpty, s"phash pairing must be grouped, found joins:\n$plan")
+    assert(joins.length == 1 &&
+      joins.head.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec],
+      s"phash pairing must be grouped + one 1-row coverage attach, found:\n$plan")
     val s = plan.toString
     assert(s.contains("blk"), s)
     assert(!s.contains("CartesianProduct"), s)
@@ -261,10 +265,13 @@ class PlanAuditSpec extends SparkSpec {
 
   test("audit: dedup_audio_fp pairing stays bucketed — grouped, join-free") {
     // same discipline as the image pin: fingerprint → block explode →
-    // groupBy(blk) → in-group pair explode; no join operator anywhere
+    // groupBy(blk) → in-group pair explode; the only join is the 1-row
+    // capped_blocks coverage attach
     val plan = physical(LlmQueries.qs("dedup_audio_fp")(spark, sf()))
     val joins = plan.collect { case j: BaseJoinExec => j }
-    assert(joins.isEmpty, s"audio pairing must be grouped, found joins:\n$plan")
+    assert(joins.length == 1 &&
+      joins.head.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec],
+      s"audio pairing must be grouped + one 1-row coverage attach, found:\n$plan")
     assert(plan.toString.contains("blk"), plan.toString)
   }
 
@@ -288,33 +295,62 @@ class PlanAuditSpec extends SparkSpec {
     // signature + size compute NARROWLY pre-explode (no per-doc count
     // pass, no size join-back); the only exchanges are the frame-hash
     // postings groupBy and the (a,b) shared-frame aggregation (the
-    // registry key adds a presentation orderBy → built here without it)
-    val plan = physical(graft.ext.LlmOps.videoFrameNearDups(
-      spark.read.parquet(s"${sf()}/documents.parquet")))
-    val joins = plan.collect { case j: BaseJoinExec => j }
-    assert(joins.isEmpty, s"postings pairing must be grouped, found joins:\n$plan")
-    val exchanges = plan.collect {
+    // registry key adds a presentation orderBy → built here without it).
+    // The EDGE core is pinned join-free; the public form adds exactly
+    // one bounded join — the 1-row capped_postings broadcast attach —
+    // and reuses the postings exchange for the count branch (no third
+    // corpus shuffle).
+    val clips = spark.read.parquet(s"${sf()}/documents.parquet")
+    val core = physical(
+      graft.ext.LlmOps.videoFramePairsWithCoverage(clips)._1)
+    val joins = core.collect { case j: BaseJoinExec => j }
+    assert(joins.isEmpty, s"postings pairing must be grouped, found joins:\n$core")
+    val exchanges = core.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
     assert(exchanges.length == 2,
-      s"expected exactly 2 exchanges (postings, pair agg), got ${exchanges.length}:\n$plan")
+      s"expected exactly 2 exchanges (postings, pair agg), got ${exchanges.length}:\n$core")
+    val full = physical(graft.ext.LlmOps.videoFrameNearDups(clips))
+    val fullJoins = full.collect { case j: BaseJoinExec => j }
+    assert(fullJoins.length == 1 &&
+      fullJoins.head.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec],
+      s"coverage attach must be the single 1-row BNLJ:\n$full")
+    val fullExchanges = full.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the initial plan prints the postings exchange once per branch; what
+    // matters is that the branches CANONICALIZE equal, so AQE's stage
+    // cache runs the postings shuffle once (3 distinct shuffles total:
+    // postings, pair agg — the capped count rides the reused postings)
+    assert(fullExchanges.map(_.canonicalized).distinct.length <= 3,
+      s"capped-count branch must reuse the postings exchange:\n$full")
   }
 
-  test("audit: dedup_substring touches the gram table with exactly two exchanges") {
-    // ExactSubstr's scale contract: gram extraction is narrow codegen,
-    // the duplicate test is count-over-window on the gram hash (ONE
-    // exchange — an agg+join form would shuffle the gram table twice),
-    // and the span-merge windows ride ONE exchange back on the doc id.
-    // No join anywhere (built without the presentation orderBy).
+  test("audit: dedup_substring duplicate test is skew-safe — no gram-hash window") {
+    // ExactSubstr's scale contract (r11): gram extraction is narrow
+    // codegen; the duplicate test is a two-level count (map-side partial
+    // combine → small (h, sites) shuffle) + ONE left-semi join of the
+    // gram stream against the duplicated-gram set; the span-merge
+    // windows ride one exchange back on the doc id. The r10 form's
+    // count(*) OVER (PARTITION BY h) — which buffered a hot gram's
+    // entire position list in one unsplittable task — must NOT reappear:
+    // every window in the plan partitions on the DOC id, never the gram
+    // hash.
     val plan = physical(graft.ext.LlmOps.duplicatedSpans(
       spark.read.parquet(s"${sf()}/documents.parquet"), "doc_id"))
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty &&
+      windows.forall(_.partitionSpec.forall(_.toString.contains("doc_id"))),
+      s"every window must partition on doc_id, never the gram hash:\n$plan")
     val joins = plan.collect { case j: BaseJoinExec => j }
-    assert(joins.isEmpty, s"span pipeline must be join-free, found joins:\n$plan")
+    assert(joins.length == 1 &&
+      joins.head.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi,
+      s"the duplicate test must be one left-semi join:\n$plan")
     val exchanges = plan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    assert(exchanges.length == 2,
-      s"expected exactly 2 exchanges (gram hash, doc id), got ${exchanges.length}:\n$plan")
+    assert(exchanges.length <= 3,
+      s"expected ≤3 exchanges (partial counts, probe on h, doc id), got ${exchanges.length}:\n$plan")
   }
 
   test("audit: EVERY registry query plans cartesian-free") {
@@ -335,7 +371,17 @@ class PlanAuditSpec extends SparkSpec {
       // c-row centroid assignment cross join + capped_cells scalar attach
       "dedup_semantic",
       // 1-row query-vector cross joins (approx scan + rescore stages)
-      "sim_search_quantized")
+      "sim_search_quantized",
+      // inherits quality_lm_score's 1-row total-gram aggregate attach
+      // (LlmOps.lmScore: crossJoin(broadcast(tot)) where tot is a single
+      // global-sum row) — same bounded shape as quality_lm_score above
+      "sample_quality_weighted",
+      // 1-row capped_blocks / capped_postings coverage attach (r11: the
+      // hamming pigeonhole and video stop-frame families surface their
+      // hot-bucket cap like capped_cells — a global scalar aggregate
+      // cross-joined onto the pair output)
+      "dedup_simhash_hamming64", "dedup_image_phash", "dedup_audio_fp",
+      "dedup_video_frames")
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =
