@@ -2313,12 +2313,69 @@ object LlmOps {
   }
 
   /** Serve a query from the stored index ([[ivfSearchKmeansWith]] over the
-    * persisted centroids — no training on the query path).
+    * persisted centroids — no training on the query path). NOTE this
+    * still re-assigns the corpus per query (one corpus scan × c dots) —
+    * fine for batch analytics, wrong for a query STREAM; the serving
+    * shape for that is [[writeAnnAssignments]] + [[annAssignedSearch]],
+    * where per-query cost is nprobe cells, not the corpus.
     */
   def annIndexSearch(emb0: DataFrame, path: String, query: DataFrame,
                      nprobe: Int, k: Int): DataFrame =
     ivfSearchKmeansWith(emb0, readAnnIndex(emb0.sparkSession, path), query,
       nprobe, k)
+
+  /** Persist the index ASSIGNMENT partitioned by cell — the IVF serving
+    * layout: one hive partition per cid, each cell's rows in one file
+    * (`repartition(col("cid"))` groups a cell into one task before
+    * `partitionBy`). Computed once per corpus snapshot (one assignment
+    * scan — use [[kmeansAssignToHier]] upstream at auto-c scale and
+    * write ITS output via the overload); after that EVERY query reads
+    * only its probed cells through partition pruning
+    * ([[annAssignedSearch]]) — per-query bytes are nprobe/c of the
+    * corpus instead of a full scan. At c = √N this is the difference
+    * between per-query O(N) and per-query O(√N·nprobe): the other half
+    * of the r10 √N-wall fix (the two-level assignment bounds the BUILD;
+    * this bounds the SERVE).
+    */
+  def writeAnnAssignments(emb0: DataFrame, cents: DataFrame,
+                          path: String): Unit =
+    writeAssignedCells(kmeansAssignTo(emb0, cents), path)
+
+  /** Write an already-computed assignment (e.g. [[kmeansAssignToHier]]'s)
+    * in the cell-partitioned serving layout.
+    */
+  def writeAssignedCells(assigned: DataFrame, path: String): Unit =
+    assigned.select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** Serve one query from the cell-partitioned assignment store: rank the
+    * c centroids against the query (bounded — cents is the local c-row
+    * table), collect the top-`nprobe` cell ids (nprobe ints, bounded by
+    * the literal), and scan ONLY those cells — the `cid IN (...)`
+    * literals hit the hive partition filter, so the parquet reader never
+    * lists, opens, or materializes any other cell (partition pruning
+    * asserted from task input metrics in AnnIndexSpec). Output is
+    * row-identical to [[ivfSearchKmeansWith]] at the same
+    * (cents, nprobe, k) — spec-pinned.
+    */
+  def annAssignedSearch(spark: org.apache.spark.sql.SparkSession,
+                        assignPath: String, cents: DataFrame,
+                        query: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val q = ensureFns(query).select(col("embedding").as("qv"))
+    val probedCids = withCnorm(cents).crossJoin(broadcast(q))
+      .select(col("cid"),
+        round6(expr("graft_dot(cvec, qv)") /
+          (col("cnrm") * sqrt(expr("graft_dot(qv, qv)")))).as("ccos"))
+      .orderBy(col("ccos").desc, col("cid")).limit(nprobe)
+      .collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(assignPath)
+      .filter(col("cid").isin(probedCids.map(c => c: Any): _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cid").cast("int").as("cid"),
+        round6(dot("embedding", "qv") / (col("nrm") * sqrt(dot("qv", "qv")))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+  }
 
   /** Mean assignment cosine of `emb0` against a centroid table — the
     * index-quality scalar: drops when the corpus distribution drifts away

@@ -846,8 +846,44 @@ object LlmQueries {
           h.meanCosNow, h.stale, h.reason))
         .toDF("n_indexed", "n_now", "c_index", "c_auto", "mean_cos_build",
           "mean_cos_now", "stale", "reason")
+    }),
+
+    // the IVF SERVING path (r11): assignment persisted cell-partitioned
+    // ONCE, then every query partition-prunes to its nprobe probed cells
+    // — per-query bytes are nprobe/c of the corpus, the shape a query
+    // STREAM needs at 100 TB. Row-identical to sim_search_ivf_kmeans at
+    // the same (c, iters, nprobe, k); the shared oracle asserts it.
+    "sim_search_served" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val cents = LlmOps.kmeansCentroids(corpus, c = 4, iters = 2)
+      val store = scratch("ann_assigned_store", d)
+      LlmOps.writeAnnAssignments(corpus, cents, store)
+      LlmOps.annAssignedSearch(s, store, cents,
+        e.filter(col("vec_id") === 0), nprobe = 2, k = 10)
     })
   )
+
+  /** DuckDB mirror of the trained-IVF search (c=4, iters=2, nprobe=2,
+    * k=10, query = vec 0) — shared by `sim_search_ivf_kmeans` (the
+    * re-assigning form) and `sim_search_served` (the cell-partitioned
+    * assignment store), which are row-identical by contract.
+    */
+  private lazy val simSearchKmeansSql: String =
+    s"""WITH $duckKmeansChain,
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        probed AS (SELECT cid,
+                     round(list_dot_product(c2.cvec, q.qv) /
+                           (sqrt(list_dot_product(c2.cvec, c2.cvec))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS ccos
+                   FROM cent2 c2 CROSS JOIN q
+                   WHERE sqrt(list_dot_product(c2.cvec, c2.cvec)) > 0
+                   ORDER BY ccos DESC, cid LIMIT 2)
+        SELECT m.vec_id, a3.cid,
+               round(list_dot_product(m.e, q.qv) /
+                     (m.nrm * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+        FROM a3 JOIN probed USING (cid) JOIN emb m USING (vec_id) CROSS JOIN q
+        ORDER BY cos DESC, vec_id LIMIT 10"""
 
   /** DuckDB mirror of LlmOps.ivfSearch (nprobe=2, k=10, query = vec 0). */
   private val simSearchIvfSql: String =
@@ -1686,21 +1722,11 @@ object LlmQueries {
                       WHEN mean_cos_build - mean_cos_now > 0.05 THEN 'drift'
                       ELSE 'fresh' END AS reason
           FROM h""",
-    "sim_search_ivf_kmeans" ->
-      s"""WITH $duckKmeansChain,
-          q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-          probed AS (SELECT cid,
-                       round(list_dot_product(c2.cvec, q.qv) /
-                             (sqrt(list_dot_product(c2.cvec, c2.cvec))
-                              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS ccos
-                     FROM cent2 c2 CROSS JOIN q
-                     WHERE sqrt(list_dot_product(c2.cvec, c2.cvec)) > 0
-                     ORDER BY ccos DESC, cid LIMIT 2)
-          SELECT m.vec_id, a3.cid,
-                 round(list_dot_product(m.e, q.qv) /
-                       (m.nrm * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
-          FROM a3 JOIN probed USING (cid) JOIN emb m USING (vec_id) CROSS JOIN q
-          ORDER BY cos DESC, vec_id LIMIT 10""",
+    "sim_search_ivf_kmeans" -> simSearchKmeansSql,
+    // the cell-partitioned SERVING path is row-identical to the
+    // re-assigning trained-IVF search at the same (c, iters, nprobe, k)
+    // — the shared mirror asserts exactly that
+    "sim_search_served" -> simSearchKmeansSql,
     "dedup_corpus_best" ->
       s"""WITH RECURSIVE docs AS ($docsDupSql),
           $duckShingleCte,

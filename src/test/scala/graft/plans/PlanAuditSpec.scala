@@ -372,6 +372,9 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_semantic",
       // 1-row query-vector cross joins (approx scan + rescore stages)
       "sim_search_quantized",
+      // 1-row query-vector cross join over the cell-partitioned
+      // assignment store (the probed-cell scan is partition-pruned)
+      "sim_search_served",
       // inherits quality_lm_score's 1-row total-gram aggregate attach
       // (LlmOps.lmScore: crossJoin(broadcast(tot)) where tot is a single
       // global-sum row) — same bounded shape as quality_lm_score above
