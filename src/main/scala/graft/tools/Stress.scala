@@ -40,6 +40,12 @@ object Stress {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // one long-lived JVM runs dozens of shuffle-heavy jobs back to
+      // back; unreferenced shuffle files are only reclaimed when their
+      // dependencies GC, so force the cleaner's GC often enough that the
+      // session's blockmgr dir can't accrete tens of GB and ENOSPC a
+      // late row (it did — r11 first run died in the trained-IVF pair)
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = "/root/repo/target/stress"
