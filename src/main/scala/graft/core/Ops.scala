@@ -60,6 +60,26 @@ object Ops {
       octet_length(to_json(struct(
         df.columns.toIndexedSeq.filterNot(exclude.contains).map(col): _*))) > lit(maxRowBytes))
 
+  /** Hot-partition report — the reference names oversized partitions as
+    * THE migration bottleneck its readers stall on (>100 MB partitions,
+    * docs/04-cdm-approach.md:455-456; docs/07-challenges-risks.md wide-row
+    * guidance): per partition key, row count and summed payload bytes,
+    * top-N by bytes with a `hot` flag at the byte threshold — the
+    * diagnostic a user runs BEFORE a migration to know where the skew
+    * will land. Plan shape: ONE hash aggregate (map-side combined — each
+    * hot key collapses to one partial per task, so the report itself
+    * never concentrates a hot key's rows in one task) + a TakeOrdered.
+    * Linear at any corpus size; no window, no self-join.
+    */
+  def hotPartitionReport(df: DataFrame, keyCols: Seq[String],
+                         bytesCol: Column, topN: Int = 100,
+                         hotBytes: Long = 100L << 20): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(bytesCol).as("part_bytes"))
+      .withColumn("hot", col("part_bytes") >= lit(hotBytes))
+      .orderBy(col("part_bytes").desc +: keyCols.map(col): _*)
+      .limit(topN)
+
   /** S6 — partition-key-grouped write layout (dsbulk
     * `batch.mode=PARTITION_KEY`, reference: docs/03-dse-tooling.md:138,186-189):
     * co-locate and order rows by PK before the sink so a Cassandra-style

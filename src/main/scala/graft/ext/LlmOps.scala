@@ -2438,6 +2438,248 @@ object LlmOps {
     h
   }
 
+  // ---- product quantization (PQ): subspace codebooks + ADC code scan ----
+
+  /** Deterministic product-quantization codebooks (the public PQ
+    * construction — Jégou/Douze/Schmid, "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011 / arXiv hal-00514462): the embedding
+    * splits into `m` contiguous subvectors of width dim/m (a trailing
+    * remainder is ignored on both engines) and each subspace trains its
+    * own `ks`-entry codebook by Lloyd iterations under the REDUCED L2
+    * metric d2r = |c|² − 2·x·c (same argmin as true L2², one dot cheaper,
+    * and the quantity both engines round at 6 so ties are portable).
+    * Engine-portable by the [[kmeansCentroids]] discipline: seeds are the
+    * `ks` smallest vec_ids' subvectors (no RNG), assignment ties break to
+    * the smallest code, mean updates go through DECIMAL partial sums.
+    * All `m` subspaces train inside the SAME jobs — the subspace ordinal
+    * is just a grouping column — so training costs `iters` corpus scans
+    * plus m·ks-row aggregates regardless of m.
+    *
+    * Output: (sub, code, cvec: array<double>) — m·ks rows, materialized
+    * to a local relation exactly like [[kmeansCentroids]] (the collect is
+    * bounded by the m·ks LITERAL, the same contract as broadcasting it;
+    * downstream stages reference it from several subtrees).
+    */
+  def pqTrainCodebooks(emb0: DataFrame, m: Int = 4, ks: Int = 4,
+                       iters: Int = 2): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val subs = pqSubspaces(emb0, m)
+    var cbs = pqSeed(emb0, m, ks)
+    for (_ <- 1 to iters) cbs = pqUpdate(pqAssign(subs, cbs))
+    emb0.sparkSession.createDataFrame(cbs.collect().toSeq.asJava, cbs.schema)
+  }
+
+  /** The (vec_id, sub, sv) subvector view: one row per subspace, sliced
+    * from the float embedding and cast to double AFTER the slice (cast of
+    * float→double is exact, so slice order is immaterial; keeping the
+    * slice on the raw attribute avoids re-evaluating a computed cast).
+    * Plain projections — no lambda references any outer column.
+    */
+  private def pqSubspaces(emb0: DataFrame, m: Int): DataFrame =
+    pqInput(emb0)
+      .withColumn("sub", explode(expr(s"sequence(0, ${m - 1})")))
+      .select(col("vec_id"), col("sub"), expr(
+        s"""cast(slice(embedding, sub * (size(embedding) div $m) + 1,
+                       size(embedding) div $m) as array<double>)""").as("sv"))
+
+  /** Corpus view the PQ family indexes: zero-norm vectors are excluded up
+    * front (the final rescore ranks by cosine, undefined on them) — the
+    * same contract as [[kmeansInput]] and [[knnJoin]].
+    */
+  private def pqInput(emb0: DataFrame): DataFrame =
+    ensureFns(emb0).filter(sqrt(dot("embedding", "embedding")) > 0)
+
+  /** Seed codebooks: the `ks` smallest vec_ids' subvectors, code = rank.
+    * The rank window runs over the already-limited ks·m-row frame —
+    * bounded by construction, never the corpus.
+    */
+  private def pqSeed(emb0: DataFrame, m: Int, ks: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sub")).orderBy(col("vec_id"))
+    pqSubspaces(pqInput(emb0).orderBy(col("vec_id")).limit(ks), m)
+      .select(col("sub"), (row_number().over(w) - 1).as("code"),
+        col("sv").as("cvec"))
+  }
+
+  /** Hard assignment under the reduced-L2 metric: argmin over the
+    * broadcast m·ks-row codebook table, tie to the smallest code via one
+    * max(struct(−d2r, −code)) aggregate — partial-agg friendly, same
+    * shape as [[assignCells]]. The subvector payload rides along for the
+    * update step.
+    */
+  private def pqAssign(subs: DataFrame, cbs: DataFrame): DataFrame =
+    subs.join(broadcast(cbs), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("sv"), col("code"),
+        round6(dot("cvec", "cvec") - lit(2.0) * dot("sv", "cvec")).as("d2r"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(max(struct((-col("d2r")).as("nd"), (-col("code")).as("nc"),
+        col("sv").as("s0"))).as("m"))
+      .select(col("vec_id"), col("sub"), (-col("m.nc")).as("code"),
+        col("m.s0").as("sv"))
+
+  /** One Lloyd update per (sub, code): element-wise mean through DECIMAL
+    * partial sums (exact, partitioning-independent — the [[ivfCentroids]]
+    * rule). Codes that lost every member disappear, exactly as empty
+    * k-means cells do.
+    */
+  private def pqUpdate(assigned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    assigned.select(col("sub"), col("code"),
+        posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy(col("sub"), col("code"), col("pos"))
+      .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
+        count(lit(1))).as("cval"))
+      .groupBy(col("sub"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cval))), x -> x.cval)")
+        .as("cvec"))
+  }
+
+  /** The m·ks codebook rows grouped into ONE row — `cb` = array (by sub)
+    * of array (by code, ascending) of (code, cvec) structs — the bounded
+    * attach every per-row PQ stage crossJoins (the same 1-row-BNLJ
+    * contract as the query-vector attach). Carrying the code VALUE in the
+    * struct keeps encodes correct when a code died during training (the
+    * array ordinal no longer equals the code).
+    */
+  private def pqCbRow(cbs: DataFrame): DataFrame =
+    cbs.groupBy(col("sub"))
+      .agg(expr("array_sort(collect_list(struct(code, cvec)))").as("entries"))
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(sub, entries))), x -> x.entries)")
+        .as("cb"))
+
+  /** The (vec_id, sub, code) training assignment under a codebook table —
+    * the argmin [[pqEncode]] must agree with (PqSpec pins the equality
+    * in-repo; the pq_train_codebooks oracle proves it cross-engine).
+    */
+  def pqAssignments(emb0: DataFrame, cbs: DataFrame, m: Int = 4): DataFrame =
+    pqAssign(pqSubspaces(emb0, m), cbs)
+      .select(col("vec_id"), col("sub"), col("code"))
+
+  /** PQ encoder: ONE narrow pass mapping each vector to its m codebook
+    * codes — no explode, no shuffle, no join wider than the 1-row
+    * codebook attach. codes[s] = the code minimizing round6(d2r) over the
+    * subspace's entries, first-minimum = smallest code (the aggregate
+    * walks entries in code order with a strict '<'), bit-identical to the
+    * [[pqAssign]] argmin by construction. Output (vec_id, codes:
+    * array<int>): m small ints per vector — at dim 64 / m 8 / ks 256 the
+    * parquet codes column is ~8 B/vector vs 256 B float32 (and vs 64 B
+    * for the int8 scan), the 32× scan-bandwidth cut ADC search rides.
+    */
+  def pqEncode(emb0: DataFrame, cbs: DataFrame, m: Int = 4): DataFrame =
+    pqInput(emb0).crossJoin(broadcast(pqCbRow(cbs)))
+      .select(col("vec_id"), expr(
+        s"""transform(sequence(0, $m - 1), s ->
+              aggregate(
+                transform(element_at(cb, s + 1), e -> named_struct(
+                  'code', e.code,
+                  'd', round(graft_dot(e.cvec, e.cvec)
+                             - 2.0d * graft_dot(
+                                 slice(embedding,
+                                       s * (size(embedding) div $m) + 1,
+                                       size(embedding) div $m), e.cvec), 6))),
+                named_struct('bc', -1, 'bd', cast('Infinity' as double)),
+                (st, x) -> if(x.d < st.bd,
+                              named_struct('bc', x.code, 'bd', x.d), st),
+                st -> st.bc))""").as("codes"))
+
+  /** Asymmetric-distance (ADC) search over a pre-built [[pqEncode]] table:
+    * the query builds an m·ks lookup table of subvector dot products (one
+    * pass over the codebook rows, grouped to ONE row), every code vector
+    * scores as the FIXED-ORDER sum of its m table entries (the aggregate
+    * HOF walks s = 0..m−1 sequentially; round6 buffers engine summation
+    * noise), the top k·overfetch ids by (approx desc, vec_id) fetch their
+    * float rows back via a broadcast id list, and the exact cosine rescore
+    * ranks the final k. Neither the codes table nor the corpus is ever
+    * hash- or range-exchanged — the same two-stage contract as
+    * [[quantizedSearchCodes]], at m bytes/vector scanned instead of dim.
+    */
+  def pqSearchCodes(codes: DataFrame, corpus: DataFrame, cbs: DataFrame,
+                    query: DataFrame, k: Int, m: Int = 4, ks: Int = 4,
+                    overfetch: Int = 4): DataFrame = {
+    val q = broadcast(ensureFns(query).select(col("embedding").as("qm")))
+    // LUT rows: pdot(sub, code) = q_sub · cvec — m·ks rows, grouped to ONE
+    // and densified to slot s·ks + code (training-dead codes leave 0-filled
+    // holes no vector can reference — codes never renumber), the layout
+    // the codegen'd graft_pq_adc kernel indexes
+    val lut = ensureFns(cbs).crossJoin(q)
+      .select(col("sub"), col("code"), expr(
+        s"""graft_dot(slice(qm, sub * (size(qm) div $m) + 1,
+                            size(qm) div $m), cvec)""").as("pdot"))
+      .groupBy(col("sub"))
+      .agg(expr("array_sort(collect_list(struct(code, pdot)))").as("entries"))
+      .groupBy()
+      .agg(expr("array_sort(collect_list(struct(sub, entries)))").as("se"))
+      .select(expr(
+        s"""flatten(transform(se, x ->
+              transform(sequence(0, $ks - 1), c ->
+                aggregate(x.entries, cast(0.0 as double),
+                  (acc, e) -> if(e.code = c, e.pdot, acc)))))""").as("lutflat"))
+    // the whole approx scan runs on the codegen'd graft_pq_adc kernel —
+    // the interpreted aggregate/filter HOF formulation it replaces pays
+    // an m·ks entry re-scan per row outside codegen (the same inversion
+    // the int8 scan hit before graft_dot)
+    val cand = ensureFns(codes).crossJoin(broadcast(lut))
+      .select(col("vec_id"),
+        round6(expr(s"graft_pq_adc(codes, lutflat, $ks)")).as("approx"))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(k * overfetch)
+    pqInput(corpus).join(broadcast(cand.select(col("vec_id"))), "vec_id")
+      .crossJoin(q)
+      .select(col("vec_id"), col("label"), cosine("embedding", "qm").as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Self-contained PQ search: train + encode + ADC scan in one call. A
+    * production index trains ONCE ([[pqTrainCodebooks]]), materializes the
+    * codes ONCE ([[pqEncode]] → parquet), and serves every query through
+    * [[pqSearchCodes]] — this composition exists for the registry/oracle
+    * and small corpora.
+    */
+  def pqSearch(emb0: DataFrame, query: DataFrame, k: Int, m: Int = 4,
+               ks: Int = 4, iters: Int = 2, overfetch: Int = 4): DataFrame = {
+    val cbs = pqTrainCodebooks(emb0, m, ks, iters)
+    pqSearchCodes(pqEncode(emb0, cbs, m), emb0, cbs, query, k, m, ks, overfetch)
+  }
+
+  // ---- end-to-end training manifest: dedup → decontaminate → gate → shard ----
+
+  /** The "what ships to training" table — the full pre-export pipeline
+    * composed end to end from this library's own operators, in the order
+    * a production corpus runs them:
+    *
+    *   1. best-keeper near-dup collapse ([[dedupCorpusBest]] — each LSH
+    *      cluster keeps its longest member, ties to the smallest id);
+    *   2. benchmark decontamination ([[decontaminate]] at `threshold`,
+    *      flagged survivors removed by the byte-gated [[purge]]);
+    *   3. a token-count gate [minTokens, maxTokens] — the cheap
+    *      Gopher-rule bound (the full rule set is text_quality_filter;
+    *      the manifest takes the bound that rides the existing scan);
+    *   4. the seeded content-stable shard assignment
+    *      ([[graft.core.Ops.shardShuffle]] — no RNG, no global sort).
+    *
+    * Output: one row per surviving doc — (id, lang, n_tokens, shard,
+    * ord), ready to write partitioned by shard. The composition adds NO
+    * new shuffle beyond its stages' own: the gate and shard columns are
+    * narrow maps over the purge output, and every stage keeps its
+    * standalone caps/gates (LSH bucket cap, flagged-id byte gate).
+    */
+  def trainingManifest(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                       threshold: Double = 0.5, minTokens: Int = 5,
+                       maxTokens: Int = 100000, numShards: Int = 8,
+                       seed: String = "42"): DataFrame = {
+    val kept = dedupCorpusBest(corpus, idCol).drop("capped_lsh_buckets")
+    val flagged = decontaminate(kept, benchmark, idCol, threshold)
+      .filter(col("contaminated")).select(col(idCol))
+    val gated = purge(kept, flagged, idCol)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+    graft.core.Ops.shardShuffle(gated, idCol, numShards, seed)
+      .select(col(idCol), col("lang"), col("n_tokens"),
+        col("shard"), col("ord"))
+  }
+
   // ---- char-n-gram LM quality scoring (the CCNet-style LM filter) ----
 
   /** Per-document language-model quality score: average log10 probability

@@ -31,6 +31,12 @@ object GraftFunctions {
         require(args.length == 2, "graft_dot takes exactly 2 array<float|double> arguments")
         DotProduct(args.head, args(1))
       }),
+    (FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_pq_adc takes (array<int> codes, array<double> lut, int ks)")
+        PqAdc(args(0), args(1), args(2))
+      }),
     (FunctionIdentifier("graft_hash_array"),
       new ExpressionInfo(classOf[HashArray].getName, "graft_hash_array"),
       (args: Seq[Expression]) => {

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expression for the embedding dot product (north-star
   * similarity ops). Spark's generic route — `aggregate(zip_with(a, b, …))` —
@@ -560,4 +560,103 @@ case class LshSigAny(child: Expression) extends
 
   override protected def withNewChildInternal(newChild: Expression): LshSigAny =
     copy(child = newChild)
+}
+
+/** Native ADC (asymmetric-distance) kernel for the PQ search scan:
+  * `graft_pq_adc(codes, lut, ks)` = Σ_s lut[s·ks + codes[s]] — the
+  * per-vector lookup-table sum product quantization ranks by (Jégou et
+  * al., TPAMI 2011). The HOF formulation (aggregate over sequence with a
+  * nested filter) evaluates interpreted and re-scans the LUT entries per
+  * subspace; this expression is a branch-light primitive loop inside
+  * whole-stage codegen — the same reason the int8 scan rides
+  * [[DotProduct]]. Accumulation order is s ascending, identical to the
+  * HOF form and the DuckDB mirror's fixed-order sum.
+  *
+  * `lut` is the DENSE per-query table (slot s·ks + code; codes that died
+  * during training leave 0-filled holes no vector can reference — codes
+  * never renumber). NULL on null inputs, null elements, or an
+  * out-of-range code (a codes/ks mismatch — fail loud, not wrong).
+  */
+case class PqAdc(codes: Expression, lut: Expression, ksExpr: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = codes
+  override def second: Expression = lut
+  override def third: Expression = ksExpr
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, lut.dataType, ksExpr.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _), IntegerType)
+          if ksExpr.foldable =>
+        val ks = ksExpr.eval()
+        if (ks == null || ks.asInstanceOf[Int] < 1)
+          TypeCheckResult.TypeCheckFailure(s"graft_pq_adc ks must be >= 1, got $ks")
+        else TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_adc requires (array<int>, array<double>, foldable int), got " +
+          s"(${codes.dataType}, ${lut.dataType}, ${ksExpr.dataType})")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_adc"
+
+  private def mayHaveNullElems: Boolean = (codes.dataType, lut.dataType) match {
+    case (ArrayType(_, cn), ArrayType(_, ln)) => cn || ln
+    case _ => true
+  }
+
+  override def nullSafeEval(c: Any, l: Any, k: Any): Any = {
+    val cs = c.asInstanceOf[ArrayData]
+    val lt = l.asInstanceOf[ArrayData]
+    val ks = k.asInstanceOf[Int]
+    val m = cs.numElements()
+    val n = lt.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      if (cs.isNullAt(s)) return null
+      val code = cs.getInt(s)
+      val slot = s * ks + code
+      if (code < 0 || code >= ks || slot >= n) return null
+      if (lt.isNullAt(slot)) return null
+      acc += lt.getDouble(slot)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l, k) => {
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val n = ctx.freshName("n")
+      val code = ctx.freshName("code")
+      val slot = ctx.freshName("slot")
+      val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (mayHaveNullElems)
+          s"if ($c.isNullAt($s) || $l.isNullAt($slot)) { ${ev.isNull} = true; break; }"
+        else ""
+      // the code-range check is unconditional: an out-of-range code is a
+      // codes/ks contract violation and must surface as NULL, not as a
+      // read of another subspace's slot
+      s"""
+         |int $m = $c.numElements();
+         |int $n = $l.numElements();
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $code = $c.getInt($s);
+         |  int $slot = $s * $k + $code;
+         |  if ($code < 0 || $code >= $k || $slot >= $n) { ${ev.isNull} = true; break; }
+         |  $nullCheck
+         |  $acc += $l.getDouble($slot);
+         |}
+         |if (!${ev.isNull}) ${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): PqAdc =
+    copy(codes = newFirst, lut = newSecond, ksExpr = newThird)
 }

@@ -414,6 +414,34 @@ object LlmQueries {
         e.filter(col("vec_id") === 0), 10)
     }),
 
+    // product-quantized ADC search (m=4 subspaces × ks=4 codes, L2-Lloyd
+    // codebooks): the query builds an m·ks dot-product LUT, every vector
+    // scores as the fixed-order sum of its m code entries, the overfetched
+    // survivors rescore in exact float — the 32×-narrower scan path
+    // (m bytes/vector at production m=8/ks=256 vs dim×4 float)
+    "sim_search_pq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      LlmOps.pqSearch(e.filter(col("vec_id") =!= 0),
+        e.filter(col("vec_id") === 0), 10)
+    }),
+
+    // the trained PQ codebook table: per-(sub, code) occupancy under the
+    // NARROW encoder (pqEncode — so the oracle cross-checks the join-free
+    // encode path against the training assignment) + centroid norms
+    "pq_train_codebooks" -> ((s, d) => {
+      val e = t(s, d, "embeddings").filter(col("vec_id") =!= 0)
+      val cbs = LlmOps.pqTrainCodebooks(e, m = 4, ks = 4, iters = 2)
+      val counts = LlmOps.pqEncode(e, cbs, m = 4)
+        .select(posexplode(col("codes")).as(Seq("sub", "code")))
+        .groupBy(col("sub"), col("code"))
+        .agg(count(lit(1)).as("n_assigned"))
+      cbs.join(counts, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+          LlmOps.round6(sqrt(LlmOps.dot("cvec", "cvec"))).as("cnorm"))
+        .orderBy(col("sub"), col("code"))
+    }),
+
     // cluster collapse: connected components over the LSH candidate pairs —
     // the keep-one-per-duplicate-cluster step after candidate generation
     "dedup_clusters" -> ((s, d) => {
@@ -481,6 +509,19 @@ object LlmQueries {
       LlmOps.purge(corpus, flagged, "doc_id")
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // the end-to-end pre-export pipeline as ONE operator: best-keeper
+    // dedup → benchmark decontamination → token-count gate → seeded shard
+    // assignment — the "what ships to training" manifest a user of the
+    // reference would otherwise hand-chain; every stage keeps its
+    // standalone caps/gates, and the composition adds no new shuffle
+    "training_manifest" -> ((s, d) => {
+      val all = docsWithDups(t(s, d, "documents"))
+      val bench = all.filter(col("doc_id") < 100000 && col("doc_id") % 10 === 0)
+      val corpus = all.filter(col("doc_id") >= 100000 || col("doc_id") % 10 =!= 0)
+      LlmOps.trainingManifest(corpus, bench, "doc_id")
+        .orderBy(col("shard"), col("ord"), col("doc_id"))
     }),
 
     // paraphrase-level decontamination: corpus docs near-duplicating ANY
@@ -954,6 +995,60 @@ object LlmQueries {
 
   private lazy val duckKmeansChain: String = duckKmeansChainC(4)
 
+  // ---- DuckDB mirror of the PQ chain (LlmOps.pqTrainCodebooks at m=4,
+  // ks=4, iters=2 over the non-query vectors). Same Lloyd discipline as
+  // the k-means mirror, but per (sub, code) under the reduced-L2 metric
+  // d2r = |c|² − 2·x·c rounded at 6 (argmin ties to the smallest code —
+  // row_number mirrors both pqAssign's max(struct) and pqEncode's
+  // first-minimum walk). Ends in cb2 (trained codebooks) and a3 (the
+  // final per-(vec_id, sub) code assignment under them).
+
+  private def duckPqAssign(i: Int, prev: String): String =
+    s"""s$i AS (SELECT x.vec_id, x.sub, c.code,
+             round(list_dot_product(c.cvec, c.cvec)
+                   - 2 * list_dot_product(x.sv, c.cvec), 6) AS d2r
+           FROM subs x JOIN $prev c USING (sub)),
+        a$i AS (SELECT vec_id, sub, code FROM (
+             SELECT vec_id, sub, code,
+                    row_number() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY d2r ASC, code) AS rn
+             FROM s$i) WHERE rn = 1)"""
+
+  private def duckPqUpdate(i: Int): String =
+    s"""p$i AS (SELECT a.sub, a.code, generate_subscripts(x.sv, 1) AS pos,
+                   unnest(x.sv) AS v
+           FROM a$i a JOIN subs x ON x.vec_id = a.vec_id AND x.sub = a.sub),
+        c$i AS (SELECT sub, code, pos,
+             CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS cval
+           FROM p$i GROUP BY 1, 2, 3),
+        cb$i AS (SELECT sub, code, list(cval ORDER BY pos) AS cvec
+           FROM c$i GROUP BY 1, 2)"""
+
+  /** CTE chain for m=4 / ks=4 / iters=2: subvector width len//4 computed
+    * per row (trailing remainder ignored — mirrored by `size(embedding)
+    * div m` on the Spark side), seed = the 4 smallest vec_ids.
+    */
+  private lazy val duckPqChain: String =
+    s"""emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+           FROM embeddings
+           WHERE vec_id <> 0
+             AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0),
+        ss AS (SELECT unnest([0, 1, 2, 3]) AS s),
+        subs AS (SELECT vec_id, s AS sub,
+                   e[(s * (len(e) // 4) + 1):((s + 1) * (len(e) // 4))] AS sv
+                 FROM emb CROSS JOIN ss),
+        seed AS (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 4),
+        cb0 AS (SELECT sub,
+                  CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+                       AS INTEGER) AS code,
+                  sv AS cvec
+                FROM subs WHERE vec_id IN (SELECT vec_id FROM seed)),
+        ${duckPqAssign(1, "cb0")},
+        ${duckPqUpdate(1)},
+        ${duckPqAssign(2, "cb1")},
+        ${duckPqUpdate(2)},
+        ${duckPqAssign(3, "cb2")}"""
+
   /** Shared CTE chain for the ExactSubstr mirrors: 20-gram md5-60bit
     * hashes at every char position (bit-identical to graft_gram_hash with
     * suffix ':xs', nibbles 15), positions whose gram occurs at >= 2 sites
@@ -1390,6 +1485,39 @@ object LlmQueries {
                       6) AS cos
          FROM embeddings e JOIN cand USING (vec_id), q
          ORDER BY cos DESC, vec_id LIMIT 10""",
+    // mirrors LlmOps.pqSearch (m=4, ks=4, iters=2, overfetch=4): ADC
+    // approx = sum of the query's per-(sub, code) LUT dots, rounded at 6;
+    // the 4-term group sum is order-noise-safe five orders under the
+    // rounding step; exact-cosine rescore of the 40 survivors
+    "sim_search_pq" ->
+      s"""WITH $duckPqChain,
+          q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+          qs AS (SELECT s.s AS sub,
+                   qv[(s.s * (len(qv) // 4) + 1):((s.s + 1) * (len(qv) // 4))] AS qsv
+                 FROM q CROSS JOIN ss s),
+          lut AS (SELECT c.sub, c.code, list_dot_product(qs.qsv, c.cvec) AS pdot
+                  FROM cb2 c JOIN qs USING (sub)),
+          adc AS (SELECT a.vec_id, round(sum(l.pdot), 6) AS approx
+                  FROM a3 a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+                  GROUP BY 1),
+          cand AS (SELECT vec_id FROM adc ORDER BY approx DESC, vec_id LIMIT 40),
+          qq AS (SELECT qv, sqrt(list_dot_product(qv, qv)) AS qn FROM q)
+          SELECT e.vec_id, e.label,
+                 round(list_dot_product(e.e, qq.qv) /
+                       (sqrt(list_dot_product(e.e, e.e)) * qq.qn), 6) AS cos
+          FROM emb e JOIN cand USING (vec_id) CROSS JOIN qq
+          ORDER BY cos DESC, vec_id LIMIT 10""",
+    // mirrors the pq_train_codebooks registry key: occupancy counted from
+    // the final assignment a3 (the Spark side counts the NARROW pqEncode
+    // output — the match proves the join-free encoder agrees with the
+    // training assignment), codebook norms from cb2
+    "pq_train_codebooks" ->
+      s"""WITH $duckPqChain,
+          cnt AS (SELECT sub, code, count(*) AS n_assigned FROM a3 GROUP BY 1, 2)
+          SELECT c.sub, c.code, coalesce(cnt.n_assigned, 0) AS n_assigned,
+                 round(sqrt(list_dot_product(c.cvec, c.cvec)), 6) AS cnorm
+          FROM cb2 c LEFT JOIN cnt USING (sub, code)
+          ORDER BY sub, code""",
     "sim_search_ivf" -> simSearchIvfSql,
     // mirrors LlmOps.lshSearch: same int8 quantization as embed_quantize,
     // same ±1 plane literal (LlmOps.lshPlanesDuckLit), integer-exact signs
@@ -1440,6 +1568,71 @@ object LlmQueries {
             SELECT doc_id FROM hits
             WHERE round(n_shared::DOUBLE / n_shingles::DOUBLE, 6) >= 0.5)
           ORDER BY doc_id""",
+    // mirrors LlmOps.trainingManifest end to end: the dedup_corpus_best
+    // keeper chain (WITH the live<=1000 bucket cap candidatesWithCoverage
+    // applies), the decontaminate hits fragment re-aimed at the KEPT
+    // corpus, the [5, 100000] token gate, and shuffle_shards' md5
+    // shard/ord expressions
+    "training_manifest" ->
+      s"""WITH RECURSIVE all_docs AS ($docsDupSql),
+          bdocs AS (SELECT * FROM all_docs WHERE doc_id < 100000 AND doc_id % 10 = 0),
+          docs AS (SELECT * FROM all_docs WHERE doc_id >= 100000 OR doc_id % 10 <> 0),
+          $duckShingleCte,
+          $duckSigCte,
+          $duckBandCte,
+          tlive AS (SELECT band FROM bands GROUP BY band
+                    HAVING count(*) <= 1000),
+          tlb AS (SELECT b.* FROM bands b JOIN tlive USING (band)),
+          cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                    FROM tlb x JOIN tlb y
+                      ON x.band = y.band AND x.doc_id < y.doc_id),
+          undirected AS (SELECT a AS x, b AS y FROM cands
+                         UNION SELECT b AS x, a AS y FROM cands),
+          reach(x, y) AS (
+            SELECT x, y FROM undirected
+            UNION
+            SELECT r.x, u.y FROM reach r JOIN undirected u ON r.y = u.x),
+          clusters AS (
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS cluster_id
+            FROM docs d LEFT JOIN reach r ON r.x = d.doc_id
+            GROUP BY d.doc_id),
+          keepers AS (
+            SELECT doc_id FROM (
+              SELECT d.doc_id,
+                     row_number() OVER (PARTITION BY c.cluster_id
+                                        ORDER BY length(d.text) DESC, d.doc_id) AS rn
+              FROM docs d JOIN clusters c ON d.doc_id = c.doc_id)
+            WHERE rn = 1),
+          kept AS (SELECT d.* FROM docs d JOIN keepers k USING (doc_id)),
+          kw AS (SELECT doc_id, text, $duckWords AS words FROM kept),
+          ksh AS (SELECT doc_id,
+                    list_distinct(CASE WHEN len(words) < 3 THEN [lower(text)]
+                         ELSE list_transform(generate_series(1, len(words) - 2),
+                                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                    END) AS shg
+                  FROM kw),
+          bw AS (SELECT doc_id, text, $duckWords AS words FROM bdocs),
+          bshg AS (SELECT CASE WHEN len(words) < 3 THEN [lower(text)]
+                         ELSE list_transform(generate_series(1, len(words) - 2),
+                                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                    END AS shg
+                  FROM bw),
+          bg AS (SELECT DISTINCT unnest(shg) AS g FROM bshg),
+          kg AS (SELECT doc_id, len(shg) AS n_shingles, unnest(shg) AS g FROM ksh),
+          hits AS (SELECT doc_id, n_shingles, count(*) AS n_shared
+                   FROM kg JOIN bg USING (g) GROUP BY 1, 2),
+          flagged AS (SELECT doc_id FROM hits
+                      WHERE round(n_shared::DOUBLE / n_shingles::DOUBLE, 6) >= 0.5),
+          survivors AS (SELECT k.*, len(string_split(k.text, ' ')) AS n_tokens
+                        FROM kept k
+                        WHERE k.doc_id NOT IN (SELECT doc_id FROM flagged))
+          SELECT doc_id, lang, n_tokens,
+                 (('0x' || substr(md5('42:' || doc_id::VARCHAR || ':shard'), 1, 15))::BIGINT % 8)::INT AS shard,
+                 md5('42:' || doc_id::VARCHAR || ':ord') AS ord
+          FROM survivors
+          WHERE n_tokens >= 5 AND n_tokens <= 100000
+          ORDER BY shard, ord, doc_id""",
     "decontaminate_minhash" ->
       s"""WITH all_docs AS ($docsDupSql),
           bdocs AS (SELECT * FROM all_docs WHERE doc_id < 100000 AND doc_id % 10 = 0),

@@ -28,6 +28,16 @@ object MiscQueries {
         .select(col("doc_id"), col("shard"), col("ord"))
         .orderBy(col("shard"), col("ord"), col("doc_id"))),
 
+    // hot-partition diagnostic: per partition key, row count + payload
+    // bytes, top-20 by bytes, hot-flagged at the threshold — the pre-
+    // migration skew report for the reference's >100 MB-partition
+    // bottleneck (one map-combined hash agg + TakeOrdered; the report
+    // itself can never strand a hot key in one task)
+    "hot_partition_report" -> ((s, d) =>
+      graft.core.Ops.hotPartitionReport(t(s, d, "events"),
+        Seq("user_id"), octet_length(col("props")), topN = 20,
+        hotBytes = 4096L)),
+
     // z-order layout key: the Morton-interleaved (custkey, epoch-day)
     // sort key zorderLayout clusters files on — values oracle-checked
     // here; the clustering/skipping effect is measured in ZorderSpec
@@ -194,6 +204,14 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // mirrors Ops.hotPartitionReport over events keyed on user_id: strlen
+    // (DuckDB bytes) = Spark octet_length on the ASCII props payload
+    "hot_partition_report" ->
+      """SELECT user_id, count(*) AS n_rows,
+                CAST(sum(strlen(props)) AS BIGINT) AS part_bytes,
+                CAST(sum(strlen(props)) AS BIGINT) >= 4096 AS hot
+         FROM events GROUP BY user_id
+         ORDER BY part_bytes DESC, user_id LIMIT 20""",
     "shuffle_shards" ->
       """SELECT doc_id,
                 (('0x' || substr(md5('42:' || doc_id::VARCHAR || ':shard'), 1, 15))::BIGINT % 8)::INT AS shard,

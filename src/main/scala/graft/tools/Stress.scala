@@ -484,6 +484,29 @@ object Stress {
       graft.ext.LlmOps.quantizedSearchCodes(spark.read.parquet(codesXlSrc),
         embXl, embXl.filter(col("vec_id") === 0), 10).collect()
     }
+    // ---- PQ ADC at corpus scale (r11): codebooks train on a bounded
+    // id-prefix sample (standard PQ practice — the codebook is a fixed
+    // m·ks table, not a corpus statistic), the codes materialize ONCE at
+    // m ints/vector, and every query scans the codes through the
+    // codegen'd graft_pq_adc LUT kernel — the 32×-narrower cousin of the
+    // int8 row above (8 coded subspaces vs 64 int8 lanes).
+    val pqM = 8; val pqKs = 16
+    val pqCbs = graft.ext.LlmOps.pqTrainCodebooks(
+      embXl.filter(col("vec_id") =!= 0 && col("vec_id") < 100000),
+      m = pqM, ks = pqKs, iters = 2)
+    val pqCodesSrc = s"$base/emb_pq_codes.parquet"
+    bench(s"pq codes build+materialize m=$pqM ks=$pqKs ${nVecXl / 1000000}M vectors (once per corpus)",
+        nVecXl) {
+      graft.ext.LlmOps.pqEncode(embXl.filter(col("vec_id") =!= 0), pqCbs, pqM)
+        .write.mode("overwrite").parquet(pqCodesSrc)
+    }
+    val pqXl = bench(
+        s"pq ADC top-10 over materialized codes ${nVecXl / 1000000}M vectors", nVecXl) {
+      graft.ext.LlmOps.pqSearchCodes(spark.read.parquet(pqCodesSrc), embXl,
+        pqCbs, embXl.filter(col("vec_id") === 0), 10, m = pqM, ks = pqKs)
+        .collect()
+    }
+
     notes ++= f"""
       |Quantized search at ${nVecXl / 1000000}M vectors: ${bruteXl / quantXl}%.1f× faster than the
       |float brute-force scan per query (codes parquet ${"%,d".format(
@@ -494,6 +517,14 @@ object Stress {
           .filter(p => p.toString.endsWith(".parquet")).mapToLong(p =>
             java.nio.file.Files.size(p)).sum() >> 20)} MB on disk); the build
       |row amortizes across the query stream.
+      |PQ ADC at the same ${nVecXl / 1000000}M vectors: ${bruteXl / pqXl}%.1f× vs the float scan and
+      |${quantXl / pqXl}%.1f× vs the int8 scan per query (pq codes parquet ${"%,d".format(
+        java.nio.file.Files.walk(java.nio.file.Paths.get(pqCodesSrc))
+          .filter(p => p.toString.endsWith(".parquet")).mapToLong(p =>
+            java.nio.file.Files.size(p)).sum() >> 20)} MB at m=$pqM ints/vector);
+      |ADC is approximate where int8 is near-exact — the overfetch dial and
+      |the measured recall curve live in PqSpec, and the exact-recovery
+      |regime (tight clusters) is spec-pinned.
       |""".stripMargin
 
     // ---- LM quality scoring A/B: the two value-identical forms CROSS

@@ -64,7 +64,15 @@ class BroadcastGateLintSpec extends AnyFunSuite {
     ("argmaxCell(topG.join(broadcast(groups), \"gid\"))",
       "LlmOps.kmeansAssignToHier: the fine centroid table — c rows, CentroidBudgetBytes-gated at readAnnIndex"),
     ("crossJoin(broadcast(withCnorm(coarse)))",
-      "LlmOps.kmeansAssignToHier stage 1: the coarse quantizer — ≤ √c rows by kmeansCoarse construction"))
+      "LlmOps.kmeansAssignToHier stage 1: the coarse quantizer — ≤ √c rows by kmeansCoarse construction"),
+    ("subs.join(broadcast(cbs), Seq(\"sub\"))",
+      "LlmOps.pqAssign: the PQ codebook table — ≤ m·ks rows by construction (the pqSeed/pqUpdate aggregates)"),
+    ("crossJoin(broadcast(pqCbRow(cbs)))",
+      "LlmOps.pqEncode: the m·ks codebook rows grouped to ONE row — bounded by the (m, ks) literals"),
+    ("broadcast(ensureFns(query).select(col(\"embedding\").as(\"qm\")))",
+      "LlmOps.pqSearchCodes: the single query vector — 1 row by contract"),
+    ("crossJoin(broadcast(lut))",
+      "LlmOps.pqSearchCodes: the ADC lookup table grouped to ONE row — bounded by the (m, ks) literals"))
 
   test("every broadcast( in src/main is gated or allowlisted with a cited bound") {
     val root = Paths.get("src/main/scala")

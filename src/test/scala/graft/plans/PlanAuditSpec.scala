@@ -384,7 +384,12 @@ class PlanAuditSpec extends SparkSpec {
       // hot-bucket cap like capped_cells — a global scalar aggregate
       // cross-joined onto the pair output)
       "dedup_simhash_hamming64", "dedup_image_phash", "dedup_audio_fp",
-      "dedup_video_frames")
+      "dedup_video_frames",
+      // PQ family (r11): 1-row bounded attaches only — the grouped m·ks
+      // codebook row (pqCbRow), the query vector, and the 1-row ADC LUT;
+      // the codes/corpus sides are never nested-loop-joined against
+      // anything data-sized
+      "sim_search_pq", "pq_train_codebooks")
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =
