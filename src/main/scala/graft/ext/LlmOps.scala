@@ -2568,20 +2568,25 @@ object LlmOps {
     */
   def pqEncode(emb0: DataFrame, cbs: DataFrame, m: Int = 4): DataFrame =
     pqInput(emb0).crossJoin(broadcast(pqCbRow(cbs)))
-      .select(col("vec_id"), expr(
-        s"""transform(sequence(0, $m - 1), s ->
-              aggregate(
-                transform(element_at(cb, s + 1), e -> named_struct(
-                  'code', e.code,
-                  'd', round(graft_dot(e.cvec, e.cvec)
-                             - 2.0d * graft_dot(
-                                 slice(embedding,
-                                       s * (size(embedding) div $m) + 1,
-                                       size(embedding) div $m), e.cvec), 6))),
-                named_struct('bc', -1, 'bd', cast('Infinity' as double)),
-                (st, x) -> if(x.d < st.bd,
-                              named_struct('bc', x.code, 'bd', x.d), st),
-                st -> st.bc))""").as("codes"))
+      .select(col("vec_id"), expr(pqCodesExpr(m)).as("codes"))
+
+  /** The per-row m-code walk over the grouped `cb` attach — shared by
+    * [[pqEncode]] and [[pqEncodeIvf]].
+    */
+  private def pqCodesExpr(m: Int): String =
+    s"""transform(sequence(0, $m - 1), s ->
+          aggregate(
+            transform(element_at(cb, s + 1), e -> named_struct(
+              'code', e.code,
+              'd', round(graft_dot(e.cvec, e.cvec)
+                         - 2.0d * graft_dot(
+                             slice(embedding,
+                                   s * (size(embedding) div $m) + 1,
+                                   size(embedding) div $m), e.cvec), 6))),
+            named_struct('bc', -1, 'bd', cast('Infinity' as double)),
+            (st, x) -> if(x.d < st.bd,
+                          named_struct('bc', x.code, 'bd', x.d), st),
+            st -> st.bc))"""
 
   /** Asymmetric-distance (ADC) search over a pre-built [[pqEncode]] table:
     * the query builds an m·ks lookup table of subvector dot products (one
@@ -2598,11 +2603,25 @@ object LlmOps {
                     query: DataFrame, k: Int, m: Int = 4, ks: Int = 4,
                     overfetch: Int = 4): DataFrame = {
     val q = broadcast(ensureFns(query).select(col("embedding").as("qm")))
-    // LUT rows: pdot(sub, code) = q_sub · cvec — m·ks rows, grouped to ONE
-    // and densified to slot s·ks + code (training-dead codes leave 0-filled
-    // holes no vector can reference — codes never renumber), the layout
-    // the codegen'd graft_pq_adc kernel indexes
-    val lut = ensureFns(cbs).crossJoin(q)
+    // the whole approx scan runs on the codegen'd graft_pq_adc kernel —
+    // the interpreted aggregate/filter HOF formulation it replaces pays
+    // an m·ks entry re-scan per row outside codegen (the same inversion
+    // the int8 scan hit before graft_dot)
+    val cand = ensureFns(codes).crossJoin(broadcast(pqLut(cbs, q, m, ks)))
+      .select(col("vec_id"),
+        round6(expr(s"graft_pq_adc(codes, lutflat, $ks)")).as("approx"))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(k * overfetch)
+    pqRescore(corpus, cand, q, k)
+  }
+
+  /** LUT rows: pdot(sub, code) = q_sub · cvec — m·ks rows, grouped to ONE
+    * and densified to slot s·ks + code (training-dead codes leave 0-filled
+    * holes no vector can reference — codes never renumber), the layout
+    * the codegen'd graft_pq_adc kernel indexes.
+    */
+  private def pqLut(cbs: DataFrame, q: DataFrame, m: Int, ks: Int): DataFrame =
+    ensureFns(cbs).crossJoin(q)
       .select(col("sub"), col("code"), expr(
         s"""graft_dot(slice(qm, sub * (size(qm) div $m) + 1,
                             size(qm) div $m), cvec)""").as("pdot"))
@@ -2615,21 +2634,18 @@ object LlmOps {
               transform(sequence(0, $ks - 1), c ->
                 aggregate(x.entries, cast(0.0 as double),
                   (acc, e) -> if(e.code = c, e.pdot, acc)))))""").as("lutflat"))
-    // the whole approx scan runs on the codegen'd graft_pq_adc kernel —
-    // the interpreted aggregate/filter HOF formulation it replaces pays
-    // an m·ks entry re-scan per row outside codegen (the same inversion
-    // the int8 scan hit before graft_dot)
-    val cand = ensureFns(codes).crossJoin(broadcast(lut))
-      .select(col("vec_id"),
-        round6(expr(s"graft_pq_adc(codes, lutflat, $ks)")).as("approx"))
-      .orderBy(col("approx").desc, col("vec_id"))
-      .limit(k * overfetch)
+
+  /** Exact-cosine rescore of the ADC survivors: the k·overfetch id list
+    * broadcasts back onto the float corpus — the corpus itself is never
+    * exchanged.
+    */
+  private def pqRescore(corpus: DataFrame, cand: DataFrame, q: DataFrame,
+                        k: Int): DataFrame =
     pqInput(corpus).join(broadcast(cand.select(col("vec_id"))), "vec_id")
       .crossJoin(q)
       .select(col("vec_id"), col("label"), cosine("embedding", "qm").as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
-  }
 
   /** Self-contained PQ search: train + encode + ADC scan in one call. A
     * production index trains ONCE ([[pqTrainCodebooks]]), materializes the
@@ -2641,6 +2657,100 @@ object LlmOps {
                ks: Int = 4, iters: Int = 2, overfetch: Int = 4): DataFrame = {
     val cbs = pqTrainCodebooks(emb0, m, ks, iters)
     pqSearchCodes(pqEncode(emb0, cbs, m), emb0, cbs, query, k, m, ks, overfetch)
+  }
+
+  // ---- IVF+PQ (IVFADC): coarse-cell pruning over the ADC code scan ----
+
+  /** IVFADC index build (Jégou et al., TPAMI 2011 §IV — the composition
+    * every production-scale ANN serves from): each vector carries its
+    * coarse IVF cell ([[kmeansAssignTo]] semantics — round6-cosine argmax
+    * over the trained centroids, ties to the smallest cid) AND its m PQ
+    * codes ([[pqEncode]]'s first-minimum walk). Both attaches are bounded
+    * broadcasts (the c-row centroid table, the 1-row grouped codebook);
+    * the only corpus exchange is the assignment argmax's vec_id combine —
+    * a BUILD-time cost paid once per corpus snapshot. Write the output
+    * partitioned by `cid` and a query stream reads nprobe/c of the codes
+    * at m ints per vector — the double pruning (cells × code width) that
+    * makes a 10¹²-vector corpus servable.
+    */
+  def pqEncodeIvf(emb0: DataFrame, cents: DataFrame, cbs: DataFrame,
+                  m: Int = 4): DataFrame =
+    kmeansAssignTo(emb0, cents)
+      .crossJoin(broadcast(pqCbRow(cbs)))
+      .select(col("vec_id"), col("cid"), expr(pqCodesExpr(m)).as("codes"))
+
+  /** ADC search restricted to the query's `nprobe` best coarse cells — the
+    * IVFADC serving path over a pre-built [[pqEncodeIvf]] table: rank the
+    * c trained centroids against the broadcast query (bounded), keep the
+    * top `nprobe` cells, ADC-score ONLY the codes rows in them (a
+    * broadcast semi-join — when the table is written partitioned by cid
+    * the filter partition-prunes instead), exact-rescore the k·overfetch
+    * survivors. Per-query work: c centroid dots + nprobe/c of the codes at
+    * m bytes each + k·overfetch float rows; nothing data-sized is ever
+    * hash- or range-exchanged.
+    */
+  def pqSearchIvfCodes(codesC: DataFrame, corpus: DataFrame,
+                       cents: DataFrame, cbs: DataFrame, query: DataFrame,
+                       k: Int, nprobe: Int = 2, m: Int = 4, ks: Int = 4,
+                       overfetch: Int = 4): DataFrame = {
+    val q = broadcast(ensureFns(query).select(col("embedding").as("qm")))
+    val probed = withCnorm(cents).crossJoin(q)
+      .select(col("cid"),
+        round6(expr("graft_dot(cvec, qm)") /
+          (col("cnrm") * sqrt(expr("graft_dot(qm, qm)")))).as("ccos"))
+      .orderBy(col("ccos").desc, col("cid")).limit(nprobe)
+    val cand = ensureFns(codesC)
+      .join(broadcast(probed.select(col("cid"))), "cid")
+      .crossJoin(broadcast(pqLut(cbs, q, m, ks)))
+      .select(col("vec_id"),
+        round6(expr(s"graft_pq_adc(codes, lutflat, $ks)")).as("approx"))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(k * overfetch)
+    pqRescore(corpus, cand, q, k)
+  }
+
+  /** Serve one query from a cid-PARTITIONED [[pqEncodeIvf]] store (write
+    * it `.partitionBy("cid")`): the top-nprobe cell ids collect first
+    * (≤ nprobe ints, bounded by the literal) into `cid IN (...)`
+    * partition-pruning literals, so the parquet reader never lists,
+    * opens, or materializes any other cell's codes — per-query bytes are
+    * (nprobe/c)·m ints per vector, the [[annAssignedSearch]] pruning
+    * discipline applied to the code scan. Row-identical to
+    * [[pqSearchIvfCodes]] at the same arguments (spec-pinned).
+    */
+  def pqIvfServe(spark: org.apache.spark.sql.SparkSession, codesPath: String,
+                 corpus: DataFrame, cents: DataFrame, cbs: DataFrame,
+                 query: DataFrame, k: Int, nprobe: Int = 2, m: Int = 4,
+                 ks: Int = 4, overfetch: Int = 4): DataFrame = {
+    val q = broadcast(ensureFns(query).select(col("embedding").as("qm")))
+    val probedCids = withCnorm(cents).crossJoin(q)
+      .select(col("cid"),
+        round6(expr("graft_dot(cvec, qm)") /
+          (col("cnrm") * sqrt(expr("graft_dot(qm, qm)")))).as("ccos"))
+      .orderBy(col("ccos").desc, col("cid")).limit(nprobe)
+      .collect().map(_.getInt(0)).toSeq
+    val cand = spark.read.parquet(codesPath)
+      .filter(col("cid").isin(probedCids.map(c => c: Any): _*))
+      .crossJoin(broadcast(pqLut(cbs, q, m, ks)))
+      .select(col("vec_id"),
+        round6(expr(s"graft_pq_adc(codes, lutflat, $ks)")).as("approx"))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(k * overfetch)
+    pqRescore(corpus, cand, q, k)
+  }
+
+  /** Self-contained IVF+PQ search: train the coarse quantizer and the PQ
+    * codebooks, build the [[pqEncodeIvf]] index, serve through
+    * [[pqSearchIvfCodes]]. A production index trains and encodes ONCE —
+    * this composition exists for the registry/oracle and small corpora.
+    */
+  def pqSearchIvf(emb0: DataFrame, query: DataFrame, k: Int, c: Int = 4,
+                  nprobe: Int = 2, m: Int = 4, ks: Int = 4, iters: Int = 2,
+                  overfetch: Int = 4): DataFrame = {
+    val cents = kmeansCentroids(emb0, c, iters)
+    val cbs = pqTrainCodebooks(emb0, m, ks, iters)
+    pqSearchIvfCodes(pqEncodeIvf(emb0, cents, cbs, m), emb0, cents, cbs,
+      query, k, nprobe, m, ks, overfetch)
   }
 
   // ---- end-to-end training manifest: dedup → decontaminate → gate → shard ----

@@ -425,6 +425,17 @@ object LlmQueries {
         e.filter(col("vec_id") === 0), 10)
     }),
 
+    // IVF+PQ (IVFADC — the composition production ANN serves from): the
+    // coarse IVF quantizer prunes the scan to the query's nprobe=2 best
+    // trained cells, the PQ ADC LUT ranks ONLY the codes rows in them,
+    // exact float rescore of the survivors — double pruning (cells ×
+    // code width), per-query bytes = (nprobe/c) · m ints per vector
+    "sim_search_ivfpq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      LlmOps.pqSearchIvf(e.filter(col("vec_id") =!= 0),
+        e.filter(col("vec_id") === 0), 10)
+    }),
+
     // the trained PQ codebook table: per-(sub, code) occupancy under the
     // NARROW encoder (pqEncode — so the oracle cross-checks the join-free
     // encode path against the training assignment) + centroid norms
@@ -956,42 +967,45 @@ object LlmQueries {
   // (row_number mirrors Spark's max(struct(ccos, -cid))). One update step:
   // DECIMAL-exact element-wise mean (the ivfCentroids construction).
 
-  private def duckKmeansAssign(i: Int, prevCent: String): String =
-    s"""s$i AS (SELECT m.vec_id, c.cid,
+  private def duckKmeansAssign(i: Int, prevCent: String,
+                               p: String = ""): String =
+    s"""${p}s$i AS (SELECT m.vec_id, c.cid,
                   round(list_dot_product(m.e, c.cvec) /
                         (m.nrm * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS ccos
-           FROM emb m CROSS JOIN (SELECT * FROM $prevCent
+           FROM ${p}emb m CROSS JOIN (SELECT * FROM $prevCent
                   WHERE sqrt(list_dot_product(cvec, cvec)) > 0) c),
-        a$i AS (SELECT vec_id, cid FROM (
+        ${p}a$i AS (SELECT vec_id, cid FROM (
                   SELECT vec_id, cid,
                          row_number() OVER (PARTITION BY vec_id
                                             ORDER BY ccos DESC, cid) AS rn
-                  FROM s$i) WHERE rn = 1)"""
+                  FROM ${p}s$i) WHERE rn = 1)"""
 
-  private def duckKmeansUpdate(i: Int): String =
-    s"""p$i AS (SELECT a$i.cid, generate_subscripts(m.e, 1) AS pos, unnest(m.e) AS v
-           FROM a$i JOIN emb m USING (vec_id)),
-        c$i AS (SELECT cid, pos,
+  private def duckKmeansUpdate(i: Int, p: String = ""): String =
+    s"""${p}p$i AS (SELECT ${p}a$i.cid, generate_subscripts(m.e, 1) AS pos, unnest(m.e) AS v
+           FROM ${p}a$i JOIN ${p}emb m USING (vec_id)),
+        ${p}c$i AS (SELECT cid, pos,
                   CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS cval
-           FROM p$i GROUP BY 1, 2),
-        cent$i AS (SELECT cid, list(cval ORDER BY pos) AS cvec FROM c$i GROUP BY 1)"""
+           FROM ${p}p$i GROUP BY 1, 2),
+        ${p}cent$i AS (SELECT cid, list(cval ORDER BY pos) AS cvec FROM ${p}c$i GROUP BY 1)"""
 
   /** CTE chain ending in `cent2` (trained centroids) and `a3` (the final
     * vec_id → cid assignment under them). Seed = the `c` smallest vec_ids.
+    * Every CTE name takes prefix `p`, so the chain composes collision-free
+    * with the PQ chain (the IVF+PQ mirror runs both).
     */
-  private def duckKmeansChainC(c: Int): String =
-    s"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+  private def duckKmeansChainC(c: Int, p: String = ""): String =
+    s"""${p}emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
            FROM embeddings
            WHERE vec_id <> 0
              AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0),
-        cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS cvec
-           FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT $c)),
-        ${duckKmeansAssign(1, "cent0")},
-        ${duckKmeansUpdate(1)},
-        ${duckKmeansAssign(2, "cent1")},
-        ${duckKmeansUpdate(2)},
-        ${duckKmeansAssign(3, "cent2")}"""
+        ${p}cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS cvec
+           FROM (SELECT vec_id, e FROM ${p}emb ORDER BY vec_id LIMIT $c)),
+        ${duckKmeansAssign(1, s"${p}cent0", p)},
+        ${duckKmeansUpdate(1, p)},
+        ${duckKmeansAssign(2, s"${p}cent1", p)},
+        ${duckKmeansUpdate(2, p)},
+        ${duckKmeansAssign(3, s"${p}cent2", p)}"""
 
   private lazy val duckKmeansChain: String = duckKmeansChainC(4)
 
@@ -1499,6 +1513,39 @@ object LlmQueries {
                   FROM cb2 c JOIN qs USING (sub)),
           adc AS (SELECT a.vec_id, round(sum(l.pdot), 6) AS approx
                   FROM a3 a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+                  GROUP BY 1),
+          cand AS (SELECT vec_id FROM adc ORDER BY approx DESC, vec_id LIMIT 40),
+          qq AS (SELECT qv, sqrt(list_dot_product(qv, qv)) AS qn FROM q)
+          SELECT e.vec_id, e.label,
+                 round(list_dot_product(e.e, qq.qv) /
+                       (sqrt(list_dot_product(e.e, e.e)) * qq.qn), 6) AS cos
+          FROM emb e JOIN cand USING (vec_id) CROSS JOIN qq
+          ORDER BY cos DESC, vec_id LIMIT 10""",
+    // mirrors LlmOps.pqSearchIvf (c=4, nprobe=2, m=4, ks=4, iters=2,
+    // overfetch=4): the kmeans chain (prefix k, collision-free with the PQ
+    // chain) picks the query's 2 best cells, the ADC sum ranks only
+    // vectors assigned to them (ka3), exact-cosine rescore of the 40
+    // survivors — both trained chains identical to their standalone mirrors
+    "sim_search_ivfpq" ->
+      s"""WITH ${duckKmeansChainC(4, "k")},
+          $duckPqChain,
+          q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+          probed AS (SELECT cid,
+                       round(list_dot_product(c2.cvec, q.qv) /
+                             (sqrt(list_dot_product(c2.cvec, c2.cvec))
+                              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS ccos
+                     FROM kcent2 c2 CROSS JOIN q
+                     WHERE sqrt(list_dot_product(c2.cvec, c2.cvec)) > 0
+                     ORDER BY ccos DESC, cid LIMIT 2),
+          qs AS (SELECT s.s AS sub,
+                   qv[(s.s * (len(qv) // 4) + 1):((s.s + 1) * (len(qv) // 4))] AS qsv
+                 FROM q CROSS JOIN ss s),
+          lut AS (SELECT c.sub, c.code, list_dot_product(qs.qsv, c.cvec) AS pdot
+                  FROM cb2 c JOIN qs USING (sub)),
+          adc AS (SELECT a.vec_id, round(sum(l.pdot), 6) AS approx
+                  FROM a3 a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+                  JOIN ka3 kv ON kv.vec_id = a.vec_id
+                  JOIN probed p ON p.cid = kv.cid
                   GROUP BY 1),
           cand AS (SELECT vec_id FROM adc ORDER BY approx DESC, vec_id LIMIT 40),
           qq AS (SELECT qv, sqrt(list_dot_product(qv, qv)) AS qn FROM q)

@@ -506,6 +506,31 @@ object Stress {
         pqCbs, embXl.filter(col("vec_id") === 0), 10, m = pqM, ks = pqKs)
         .collect()
     }
+    // ---- IVFADC serving (r11): the coarse quantizer prunes the ADC scan
+    // to nprobe/c of the codes, and the cid-PARTITIONED layout turns that
+    // into physical file pruning — per-query bytes = (nprobe/c)·m ints per
+    // vector, the double pruning a 10^12-vector corpus needs. The coarse
+    // quantizer trains on the same bounded id-prefix sample as the
+    // codebooks (standard IVF practice; assignment cost is what scales).
+    val ivfpqC = 100; val ivfpqNprobe = 4
+    val ivfpqCents = graft.ext.LlmOps.kmeansCentroids(
+      embXl.filter(col("vec_id") =!= 0 && col("vec_id") < 100000),
+      ivfpqC, iters = 2)
+    val ivfpqSrc = s"$base/emb_ivfpq_codes.parquet"
+    bench(s"ivfpq index build c=$ivfpqC m=$pqM cid-partitioned ${nVecXl / 1000000}M vectors (once per corpus)",
+        nVecXl) {
+      graft.ext.LlmOps.pqEncodeIvf(embXl.filter(col("vec_id") =!= 0),
+          ivfpqCents, pqCbs, pqM)
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(ivfpqSrc)
+    }
+    val ivfpqXl = bench(
+        s"ivfpq ADC top-10 nprobe=$ivfpqNprobe/$ivfpqC partition-pruned ${nVecXl / 1000000}M vectors",
+        nVecXl) {
+      graft.ext.LlmOps.pqIvfServe(spark, ivfpqSrc, embXl, ivfpqCents, pqCbs,
+        embXl.filter(col("vec_id") === 0), 10, nprobe = ivfpqNprobe,
+        m = pqM, ks = pqKs).collect()
+    }
 
     notes ++= f"""
       |Quantized search at ${nVecXl / 1000000}M vectors: ${bruteXl / quantXl}%.1f× faster than the
@@ -525,6 +550,9 @@ object Stress {
       |ADC is approximate where int8 is near-exact — the overfetch dial and
       |the measured recall curve live in PqSpec, and the exact-recovery
       |regime (tight clusters) is spec-pinned.
+      |IVFADC serving at the same corpus: ${pqXl / ivfpqXl}%.1f× vs the flat ADC scan per
+      |query (nprobe=$ivfpqNprobe of $ivfpqC cells — the partition-pruned read touches
+      |~${100 * ivfpqNprobe / ivfpqC}%% of the code files; build row amortizes once per corpus).
       |""".stripMargin
 
     // ---- LM quality scoring A/B: the two value-identical forms CROSS

@@ -137,6 +137,60 @@ class PqSpec extends SparkSpec {
         s"tail-only difference must not change codes: vec $i ${codes(i)} vs ${codes(i + 20)}")
   }
 
+  test("ivfpq at nprobe = c equals the unrestricted ADC scan") {
+    // probing every coarse cell removes the IVF restriction — the IVFADC
+    // composition must then reproduce the flat ADC search row for row
+    val flat = LlmOps.pqSearch(corpus, query, K, m = 4, ks = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val ivf = LlmOps.pqSearchIvf(corpus, query, K, c = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(ivf == flat, s"nprobe=c must be the flat scan: $ivf vs $flat")
+  }
+
+  test("ivfpq serving plan: the materialized index is never exchanged") {
+    // production shape: cents + codebooks trained once, (vec_id, cid,
+    // codes) written once; per query the only work is the bounded probe
+    // ranking, the pruned ADC scan, and the rescore — nothing data-sized
+    // may shuffle
+    val cents = LlmOps.kmeansCentroids(corpus, c = 4, iters = 2)
+    val cbs = LlmOps.pqTrainCodebooks(corpus, m = 4, ks = 4, iters = 2)
+    val store = "target/pqspec_ivf_codes.parquet"
+    LlmOps.pqEncodeIvf(corpus, cents, cbs, m = 4)
+      .write.mode("overwrite").parquet(store)
+    val codesC = spark.read.parquet(store)
+    val search = physical(
+      LlmOps.pqSearchIvfCodes(codesC, corpus, cents, cbs, query, K))
+    def scansOutsideBroadcast(n: SparkPlan): Boolean = n match {
+      case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => false
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => true
+      case other => other.children.exists(scansOutsideBroadcast)
+    }
+    val offending = search.collect { case e: ShuffleExchangeExec => e }
+      .filter(e => e.children.exists(scansOutsideBroadcast))
+    assert(offending.isEmpty,
+      s"neither the codes index nor the corpus may be exchanged:\n$search")
+    assert(search.toString.contains("TakeOrderedAndProject"),
+      s"the candidate/final stages must be TakeOrderedAndProject:\n$search")
+  }
+
+  test("ivfpq store serve is row-identical to the in-plan form") {
+    // the cid-partitioned store path (collect nprobe cids -> partition-
+    // pruned scan) and the broadcast-semi-join form must rank identically
+    val cents = LlmOps.kmeansCentroids(corpus, c = 4, iters = 2)
+    val cbs = LlmOps.pqTrainCodebooks(corpus, m = 4, ks = 4, iters = 2)
+    val store = "target/pqspec_ivf_codes_part.parquet"
+    LlmOps.pqEncodeIvf(corpus, cents, cbs, m = 4)
+      .write.mode("overwrite").partitionBy("cid").parquet(store)
+    val inPlan = LlmOps.pqSearchIvfCodes(
+        LlmOps.pqEncodeIvf(corpus, cents, cbs, m = 4), corpus, cents, cbs,
+        query, K)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val served = LlmOps.pqIvfServe(spark, store, corpus, cents, cbs, query, K)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(served == inPlan, s"store serve $served != in-plan $inPlan")
+  }
+
   test("plans: the corpus is never exchanged — encode and ADC scan stay narrow") {
     // the only legitimate exchanges are the m·ks-row codebook/LUT
     // group-bys: their subtrees read the LOCAL trained table plus the

@@ -71,8 +71,8 @@ class BroadcastGateLintSpec extends AnyFunSuite {
       "LlmOps.pqEncode: the m·ks codebook rows grouped to ONE row — bounded by the (m, ks) literals"),
     ("broadcast(ensureFns(query).select(col(\"embedding\").as(\"qm\")))",
       "LlmOps.pqSearchCodes: the single query vector — 1 row by contract"),
-    ("crossJoin(broadcast(lut))",
-      "LlmOps.pqSearchCodes: the ADC lookup table grouped to ONE row — bounded by the (m, ks) literals"))
+    ("crossJoin(broadcast(pqLut(cbs, q, m, ks)))",
+      "LlmOps.pqSearchCodes/pqSearchIvfCodes: the ADC lookup table grouped to ONE row — bounded by the (m, ks) literals"))
 
   test("every broadcast( in src/main is gated or allowlisted with a cited bound") {
     val root = Paths.get("src/main/scala")

@@ -389,7 +389,7 @@ class PlanAuditSpec extends SparkSpec {
       // codebook row (pqCbRow), the query vector, and the 1-row ADC LUT;
       // the codes/corpus sides are never nested-loop-joined against
       // anything data-sized
-      "sim_search_pq", "pq_train_codebooks")
+      "sim_search_pq", "pq_train_codebooks", "sim_search_ivfpq")
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =
