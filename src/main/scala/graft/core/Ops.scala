@@ -172,6 +172,38 @@ object Ops {
       .repartitionByRange(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("ord"))
 
+  /** Per-column table profile (the pre-migration data audit next to
+    * [[hotPartitionReport]]; the reference's validation posture —
+    * docs/06-validation-monitoring.md — checks counts and value ranges
+    * before/after a move): one output row per profiled column with
+    * row/non-null/exact-distinct counts and min/max rendered as strings.
+    * Plan shape: ONE aggregate over the table — Spark plans the k exact
+    * `count(DISTINCT)`s via Expand (k+1 rows per input row into one
+    * shuffle of the distinct values), then a 1-row→k-row `stack`
+    * unpivot. At 100 TB the Expand multiplies map output by the number
+    * of profiled columns — that is the price of EXACT distinct counts;
+    * profile few columns at a time, or swap `countDistinct` for
+    * `approx_count_distinct` (HLL++, no Expand) when ±2% is acceptable.
+    * min/max/count stay single-pass partials either way.
+    */
+  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("__n_rows")) ++ cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__${c}__nn"),
+          countDistinct(col(c)).as(s"__${c}__nd"),
+          min(col(c)).cast("string").as(s"__${c}__min"),
+          max(col(c)).cast("string").as(s"__${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `__${c}__nn`, `__${c}__nd`, `__${c}__min`, `__${c}__max`")
+      .mkString(", ")
+    one.selectExpr("`__n_rows` AS n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nonnull, n_distinct, min_s, max_s)")
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+      .orderBy(col("col_name"))
+  }
+
   /** Skew-salted equi-join: the reference flags >100MB partitions as the
     * migration bottleneck (docs/04-cdm-approach.md:455-456). A hot join key
     * on the fact side is spread across `salts` sub-keys; the (small) build

@@ -3178,4 +3178,91 @@ object LlmOps {
     cSh.unpersist()
     out
   }
+
+  /** CCNet-style paragraph-level deduplication (Wenzek et al.,
+    * arXiv:1911.00359 §3.1 — "deduplicating at the paragraph level removes
+    * boilerplate"): the corpus is segmented into fixed `segWords`-word
+    * units (the paragraph stand-in — testdata text has no newlines), each
+    * segment md5-keyed, and a segment is dropped from EVERY doc when its
+    * key occurs more than once corpus-wide. Granularity sits between
+    * dedup_exact (whole doc) and the ExactSubstr span tier (arbitrary
+    * char ranges): cheap enough to run first, catches shared boilerplate
+    * headers/footers that whole-doc dedup misses.
+    *
+    * Output per doc: (idCol, n_segs, n_dropped, text_clean) — the doc's
+    * surviving segments rejoined in order; fully-duplicated docs surface
+    * as empty strings, never silently dropped (same contract as
+    * [[substringPurge]]).
+    *
+    * Scale shape (the reason this tier exists NEXT TO the span tier): the
+    * global frequency is a map-combined hash aggregate on the segment key
+    * — a boilerplate paragraph duplicated 10^9× collapses to one row per
+    * map task BEFORE the shuffle, the exact degenerate input that strands
+    * the span tier's gram table in one task. The count join back to
+    * occurrences is a plain equi-join on the key: its probe side is
+    * skewed by the same hot key, but equi-join partitions are
+    * AQE-splittable (the build side per key is exactly 1 count row, so
+    * Spark's skew-join splits the probe partition and replicates that
+    * row), which no window over the key can do. Reassembly groups by doc
+    * id — bounded by doc length, the [[decontaminateSpans]] argument.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, segWords: Int = 10): DataFrame = {
+    val segs = withWords(docs)
+      .select(col(idCol), col("words"), size(col("words")).as("nw"))
+      .select(col(idCol), col("words"),
+        explode(expr(s"sequence(0, (nw - 1) div $segWords)")).as("seg_idx"))
+      .select(col(idCol), col("seg_idx"),
+        array_join(expr(s"slice(words, seg_idx * $segWords + 1, $segWords)"), " ")
+          .as("seg_text"))
+      .withColumn("h", expr(hashSql("seg_text", "'seg'")))
+    val counts = segs.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    segs.join(counts, "h")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        // collect_list drops the nulls the duplicated segments map to;
+        // array_sort orders the (seg_idx, seg_text) structs by seg_idx —
+        // per-doc memory is bounded by doc length
+        array_join(
+          expr("transform(array_sort(collect_list(if(cnt = 1, " +
+               "struct(seg_idx, seg_text), null))), x -> x.seg_text)"), " ")
+          .as("text_clean"))
+  }
+
+  /** Per-benchmark-item contamination attribution (the report a bench
+    * owner reads AFTER [[decontaminate]] says "something leaked"): which
+    * held-out items appear in the training corpus, how many corpus docs
+    * carry each, and how strongly. Unlike [[decontaminate]] — which scores
+    * each corpus doc against the benchmark's POOLED gram set — the join
+    * here keeps the bench id, so the pair ratio is per (corpus doc, bench
+    * item) and the rollup is per bench item.
+    *
+    * Scale shape: corpus grams stream once against the broadcast
+    * attributed bench-gram table (bench-suite-sized — same contract as
+    * [[decontaminate]]'s pooled set; a benchmark beyond broadcast goes
+    * through the [[decontaminateBloom]] prefilter first and feeds the
+    * survivors here). The pair aggregate is map-combined; pairs past the
+    * threshold are contamination-proportional, so the final per-bench
+    * rollup is report-sized.
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                          threshold: Double): DataFrame = {
+    val corpusGrams = withShingles(withWords(corpus))
+      .select(col(idCol).as("corpus_id"), array_distinct(col("shingles")).as("sh"))
+      .select(col("corpus_id"), size(col("sh")).as("n_shingles"),
+        explode(col("sh")).as("g"))
+    val benchGramsAttr = withShingles(withWords(benchmark))
+      .select(col(idCol).as("bench_id"), array_distinct(col("shingles")).as("sh"))
+      .select(col("bench_id"), explode(col("sh")).as("g")).distinct()
+    corpusGrams.join(broadcast(benchGramsAttr), "g")
+      .groupBy(col("corpus_id"), col("bench_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("contam_ratio",
+        round6(col("n_shared").cast("double") / col("n_shingles").cast("double")))
+      .filter(col("contam_ratio") >= threshold)
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("corpus_id")).as("n_contaminated"),
+        max(col("contam_ratio")).as("max_ratio"))
+  }
 }

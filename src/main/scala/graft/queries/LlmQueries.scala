@@ -359,6 +359,39 @@ object LlmQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // edit-distance verify tier over the same LSH candidates: normalized
+    // Levenshtein ≤ 0.2 (the byte-level near-dup check — catches small
+    // in-place edits that shift every downstream shingle, where n-gram
+    // Jaccard under-scores). O(len²) per pair, so it runs on banded
+    // candidates ONLY, never all pairs; levenshtein is a codegen'd
+    // built-in on both engines.
+    "dedup_edit_distance" -> ((s, d) => {
+      val docs = docsWithDups(t(s, d, "documents"))
+      val sh = LlmOps.shingleTable(docs, "doc_id")
+      val cands = LlmOps.minhashCandidatesFrom(sh, "doc_id")
+      val texts = docs.select(col("doc_id"), col("text"))
+      cands
+        .join(texts.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+        .join(texts.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+        .select(col("a"), col("b"),
+          levenshtein(col("ta"), col("tb")).cast("bigint").as("dist"),
+          greatest(length(col("ta")), length(col("tb"))).cast("double").as("ml"))
+        .select(col("a"), col("b"), col("dist"),
+          LlmOps.round6(col("dist").cast("double") / col("ml")).as("edit_ratio"))
+        .filter(col("edit_ratio") <= 0.2)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // CCNet paragraph-level dedup: fixed 10-word segments, a segment
+    // drops from EVERY doc when its hash repeats corpus-wide. The
+    // frequency pass is a map-combined agg (a 10^9×-duplicated
+    // boilerplate paragraph collapses map-side — the skew-safe
+    // counterpart to the ExactSubstr span tier; see
+    // LlmOps.paragraphDedup's scale note).
+    "dedup_paragraph" -> ((s, d) =>
+      LlmOps.paragraphDedup(docsWithDups(t(s, d, "documents")), "doc_id")
+        .orderBy(col("doc_id"))),
+
     // embedding cosine near-dups within an IVF-style bucket (cluster label)
     "dedup_embedding_cos" -> ((s, d) =>
       LlmOps.embeddingNearDups(embWithDups(t(s, d, "embeddings")), 0.95)
@@ -465,6 +498,42 @@ object LlmQueries {
       clusters.orderBy(col("doc_id"))
     }),
 
+    // soft dedup: keep EVERY doc but weight it 1/cluster_size, so a
+    // doc duplicated k× contributes one doc's worth of training loss in
+    // expectation (the downweight-instead-of-drop recipe — sampling with
+    // these weights reproduces hard dedup in expectation while keeping
+    // intra-cluster variants available). Plan: cluster sizes are one
+    // map-combined agg on cluster_id, joined back on the same key — the
+    // join shuffles on cluster_id, already the clusters frame's natural
+    // key, and no step holds a cluster in one task.
+    "dedup_weights" -> ((s, d) => {
+      val docs = docsWithDups(t(s, d, "documents"))
+      val sh = LlmOps.shingleTable(docs, "doc_id")
+      val pairs = LlmOps.minhashCandidatesFrom(sh, "doc_id").persist()
+      val clusters =
+        LlmOps.duplicateClusters(docs.select(col("doc_id")), "doc_id", pairs)
+      pairs.unpersist()
+      val sizes = clusters.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      clusters.join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_size"),
+          LlmOps.round6(lit(1.0) / col("cluster_size")).as("weight"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // token-frequency head: the tokenizer-training corpus statistic
+    // (vocabulary induction starts from exactly this table). Explode →
+    // map-combined count — the Zipf head collapses map-side, so the
+    // shuffle carries ≈ distinct-token rows per task, not corpus tokens —
+    // then a TakeOrdered top-k with a total (cnt, token) order so the
+    // cut is deterministic under ties.
+    "vocab_topk" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(100)),
+
     // IVF two-stage ANN: centroid build → probe best 2 cells → exact search
     // inside them (the scale path; brute force is sim_search_topk)
     "sim_search_ivf" -> ((s, d) => {
@@ -520,6 +589,17 @@ object LlmQueries {
       LlmOps.purge(corpus, flagged, "doc_id")
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // per-benchmark-item attribution (the report read AFTER decontaminate
+    // flags leaks): which held-out items leaked, into how many corpus
+    // docs, and how strongly — per-pair ratios, rolled up by bench id
+    "contamination_report" -> ((s, d) => {
+      val all = docsWithDups(t(s, d, "documents"))
+      val bench = all.filter(col("doc_id") < 100000 && col("doc_id") % 10 === 0)
+      val corpus = all.filter(col("doc_id") >= 100000 || col("doc_id") % 10 =!= 0)
+      LlmOps.contaminationReport(corpus, bench, "doc_id", threshold = 0.5)
+        .orderBy(col("bench_id"))
     }),
 
     // the end-to-end pre-export pipeline as ONE operator: best-keeper
@@ -1218,6 +1298,41 @@ object LlmQueries {
           CROSS JOIN cap
           WHERE bit_count(xor(x.simhash64, y.simhash64)) <= 2
           ORDER BY a, b""",
+    "dedup_edit_distance" ->
+      s"""WITH docs AS ($docsDupSql),
+          $duckShingleCte,
+          $duckSigCte,
+          $duckBandCte,
+          cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                    FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+          p AS (SELECT c.a, c.b,
+                  CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+                  greatest(length(da.text), length(db.text))::DOUBLE AS ml
+                FROM cands c
+                JOIN docs da ON da.doc_id = c.a
+                JOIN docs db ON db.doc_id = c.b)
+          SELECT a, b, dist, round(dist::DOUBLE / ml, 6) AS edit_ratio
+          FROM p WHERE round(dist::DOUBLE / ml, 6) <= 0.2
+          ORDER BY a, b""",
+    "dedup_paragraph" ->
+      s"""WITH docs AS ($docsDupSql),
+          w AS (SELECT doc_id, $duckWords AS words FROM docs),
+          st AS (SELECT doc_id, words,
+                   unnest(generate_series(0, (len(words) - 1) // 10)) AS seg_idx
+                 FROM w),
+          segs AS (SELECT doc_id, seg_idx,
+                     array_to_string(list_slice(words, seg_idx * 10 + 1, seg_idx * 10 + 10), ' ')
+                       AS seg_text
+                   FROM st),
+          counts AS (SELECT ${duckHash("seg_text", "'seg'")} AS h, count(*) AS cnt
+                     FROM segs GROUP BY 1)
+          SELECT s.doc_id, count(*) AS n_segs,
+                 CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                 coalesce(string_agg(CASE WHEN c.cnt = 1 THEN s.seg_text END,
+                                     ' ' ORDER BY s.seg_idx), '') AS text_clean
+          FROM segs s JOIN counts c ON ${duckHash("s.seg_text", "'seg'")} = c.h
+          GROUP BY s.doc_id
+          ORDER BY s.doc_id""",
     "dedup_ngram_jaccard" ->
       s"""WITH docs AS ($docsDupSql),
           $duckShingleCte,
@@ -1615,6 +1730,39 @@ object LlmQueries {
             SELECT doc_id FROM hits
             WHERE round(n_shared::DOUBLE / n_shingles::DOUBLE, 6) >= 0.5)
           ORDER BY doc_id""",
+    // mirrors LlmOps.contaminationReport: the decontam gram split with the
+    // BENCH id kept through the join, per-(corpus, bench) ratios past the
+    // 0.5 threshold, rolled up per bench item
+    "contamination_report" ->
+      s"""WITH all_docs AS ($docsDupSql),
+          bdocs AS (SELECT * FROM all_docs WHERE doc_id < 100000 AND doc_id % 10 = 0),
+          cdocs AS (SELECT * FROM all_docs WHERE doc_id >= 100000 OR doc_id % 10 <> 0),
+          cw AS (SELECT doc_id, text, $duckWords AS words FROM cdocs),
+          csh AS (SELECT doc_id,
+                    list_distinct(CASE WHEN len(words) < 3 THEN [lower(text)]
+                         ELSE list_transform(generate_series(1, len(words) - 2),
+                                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                    END) AS sh
+                  FROM cw),
+          bw AS (SELECT doc_id, text, $duckWords AS words FROM bdocs),
+          bsh AS (SELECT doc_id,
+                    list_distinct(CASE WHEN len(words) < 3 THEN [lower(text)]
+                         ELSE list_transform(generate_series(1, len(words) - 2),
+                                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                    END) AS sh
+                  FROM bw),
+          bg AS (SELECT doc_id AS bench_id, unnest(sh) AS g FROM bsh),
+          cg AS (SELECT doc_id AS corpus_id, len(sh) AS n_shingles, unnest(sh) AS g
+                 FROM csh),
+          pairs AS (SELECT corpus_id, bench_id, n_shingles, count(*) AS n_shared
+                    FROM cg JOIN bg USING (g) GROUP BY 1, 2, 3),
+          flagged AS (SELECT bench_id, corpus_id,
+                        round(n_shared::DOUBLE / n_shingles::DOUBLE, 6) AS contam_ratio
+                      FROM pairs
+                      WHERE round(n_shared::DOUBLE / n_shingles::DOUBLE, 6) >= 0.5)
+          SELECT bench_id, CAST(count(DISTINCT corpus_id) AS BIGINT) AS n_contaminated,
+                 max(contam_ratio) AS max_ratio
+          FROM flagged GROUP BY bench_id ORDER BY bench_id""",
     // mirrors LlmOps.trainingManifest end to end: the dedup_corpus_best
     // keeper chain (WITH the live<=1000 bucket cap candidatesWithCoverage
     // applies), the decontaminate hits fragment re-aimed at the KEPT
@@ -1775,6 +1923,36 @@ object LlmQueries {
           FROM docs d LEFT JOIN reach r ON r.x = d.doc_id
           GROUP BY d.doc_id
           ORDER BY d.doc_id""",
+    "dedup_weights" ->
+      s"""WITH RECURSIVE docs AS ($docsDupSql),
+          $duckShingleCte,
+          $duckSigCte,
+          $duckBandCte,
+          cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                    FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+          undirected AS (SELECT a AS x, b AS y FROM cands
+                         UNION SELECT b AS x, a AS y FROM cands),
+          reach(x, y) AS (
+            SELECT x, y FROM undirected
+            UNION
+            SELECT r.x, u.y FROM reach r JOIN undirected u ON r.y = u.x),
+          clusters AS (
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS cluster_id
+            FROM docs d LEFT JOIN reach r ON r.x = d.doc_id
+            GROUP BY d.doc_id),
+          sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                    FROM clusters GROUP BY cluster_id)
+          SELECT c.doc_id, s.cluster_size,
+                 round(1.0::DOUBLE / s.cluster_size, 6) AS weight
+          FROM clusters c JOIN sizes s ON c.cluster_id = s.cluster_id
+          ORDER BY c.doc_id""",
+    "vocab_topk" ->
+      """SELECT token, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         WHERE token <> ''
+         GROUP BY token
+         ORDER BY cnt DESC, token LIMIT 100""",
     "dedup_corpus" ->
       s"""WITH RECURSIVE docs AS ($docsDupSql),
           $duckShingleCte,

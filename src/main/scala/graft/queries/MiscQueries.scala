@@ -38,6 +38,13 @@ object MiscQueries {
         Seq("user_id"), octet_length(col("props")), topN = 20,
         hotBytes = 4096L)),
 
+    // per-column data profile (the pre-migration audit: exact counts,
+    // distincts, value ranges — the validation family's table-level
+    // summary; Expand-based exact distincts, see Ops.profileTable)
+    "profile_table" -> ((s, d) =>
+      graft.core.Ops.profileTable(t(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+
     // z-order layout key: the Morton-interleaved (custkey, epoch-day)
     // sort key zorderLayout clusters files on — values oracle-checked
     // here; the clustering/skipping effect is measured in ZorderSpec
@@ -217,6 +224,30 @@ object MiscQueries {
                 (('0x' || substr(md5('42:' || doc_id::VARCHAR || ':shard'), 1, 15))::BIGINT % 8)::INT AS shard,
                 md5('42:' || doc_id::VARCHAR || ':ord') AS ord
          FROM documents ORDER BY shard, ord, doc_id""",
+    "profile_table" ->
+      """WITH p AS (
+           SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+                  count(o_orderkey) AS n_nonnull,
+                  count(DISTINCT o_orderkey) AS n_distinct,
+                  CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+                  CAST(max(o_orderkey) AS VARCHAR) AS max_s
+           FROM orders
+           UNION ALL
+           SELECT 'o_custkey', count(*), count(o_custkey),
+                  count(DISTINCT o_custkey),
+                  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+                  count(DISTINCT o_orderstatus),
+                  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+                  count(DISTINCT o_orderpriority),
+                  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+           FROM orders)
+         SELECT * FROM p ORDER BY col_name""",
     "zorder_layout" ->
       """WITH dials AS (
            SELECT o_orderkey,

@@ -35,19 +35,36 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 10000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      // one long-lived JVM runs dozens of shuffle-heavy jobs back to
-      // back; unreferenced shuffle files are only reclaimed when their
-      // dependencies GC, so force the cleaner's GC often enough that the
-      // session's blockmgr dir can't accrete tens of GB and ENOSPC a
-      // late row (it did — r11 first run died in the trained-IVF pair)
-      .config("spark.cleaner.periodicGC.interval", "2min")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .config("spark.ui.enabled", "false")
+        // one long-lived JVM runs dozens of shuffle-heavy jobs back to
+        // back; unreferenced shuffle files are only reclaimed when their
+        // dependencies GC, so force the cleaner's GC often enough that the
+        // session's blockmgr dir can't accrete tens of GB and ENOSPC a
+        // late row (it did — r11 first run died in the trained-IVF pair)
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      s
+    }
+    var spark: SparkSession = newSession()
+    // Section boundary: SparkContext.stop() deletes the context's
+    // spark-local dirs SYNCHRONOUSLY — the only deterministic
+    // shuffle-disk reclaim. GC + the ContextCleaner reap a row's files
+    // only when its shuffle dependencies happen to be collected, and the
+    // r11 second run proved that isn't a bound: even with a forced GC
+    // after every sample the accumulated residue of 25 heavy rows
+    // ENOSPC'd the ~60 GB usable headroom right after the trained-IVF
+    // pair. Sections pass data exclusively through $base parquet files
+    // (and plain JVM doubles/strings), so bouncing the session between
+    // them resets shuffle disk to zero at a ~5 s session-startup cost.
+    // NOTE: session-bound values (LocalRelation centroid/codebook
+    // tables) must be created and consumed within ONE section.
+    def bounce(): Unit = { spark.stop(); spark = newSession() }
     val base = "/root/repo/target/stress"
     val src = s"$base/orders_big.parquet"
 
@@ -71,7 +88,15 @@ object Stress {
     report ++= "| pipeline | seconds | rows/sec |\n|---|---|---|\n"
     def bench(name: String, rows: Long)(f: => Unit): Double = {
       def once(): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        val t0 = System.nanoTime(); f; val secs = (System.nanoTime() - t0) / 1e9
+        // reap shuffle files BETWEEN samples, outside the timed span: a
+        // heavy row's median-of-3 writes ~3× its shuffle volume, and the
+        // ContextCleaner only deletes a sample's files once its shuffle
+        // dependencies GC — with a 96g heap that lags far behind the
+        // 2-minute periodicGC and the r11 100M run ENOSPC'd on the box's
+        // ~60 GB usable headroom (ext4 reserves the rest for another uid)
+        System.gc(); Thread.sleep(2000)
+        secs
       }
       // median-of-3 for heavy rows (StressProtocol — r10 verdict item 7):
       // a single >30 s sample is host weather; all samples land in the
@@ -134,6 +159,8 @@ object Stress {
         .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)"))).collect()
     }
 
+    bounce() // orders section done — drop its diff/window shuffle residue
+
     // ---- LLM-ops at scale: synthetic corpus + embeddings ----
     // documents: ~30 pseudo-words each; ids %10==0 duplicate the text of
     // id-1 (so dedup has ~10% real work); all deterministic from the id.
@@ -178,6 +205,8 @@ object Stress {
       graft.ext.LlmOps.hammingPairsByBlock(blocked, "simhash64", radius = 2)
         .agg(count(lit(1))).collect()
     }
+
+    bounce() // enter the gram-table-sized section with a clean disk
 
     // ExactSubstr is the ONE operator whose shuffle is gram-table-sized:
     // ~20 B per corpus char, and on near-unique 20-gram hashes map-side
@@ -235,6 +264,8 @@ object Stress {
           s"$base/substr_passes", passes = 8)
         .agg(count(lit(1)), sum(col("span_len"))).collect()
     }
+
+    bounce() // ExactSubstr leaves ~gram-table shuffle residue — reclaim it
 
     // ---- image perceptual-hash dedup: dHash over 64-px grids, 21-bit
     // pigeonhole blocks — the hash is a narrow codegen'd map, pairing
@@ -295,6 +326,8 @@ object Stress {
           docs.filter(col("doc_id") % 100 === 0), "doc_id", 0.5)
         .agg(count(lit(1))).collect()
     }
+
+    bounce() // text-family section done
 
     // embeddings: 64-dim, 1000 IVF buckets → cells of ~nVec/1000 bound the
     // pairwise term of the kNN join
@@ -379,6 +412,8 @@ object Stress {
       |unsplittable task per hot gram.
       |""".stripMargin
 
+    bounce() // kNN-join section done
+
     // ---- trained IVF (r9 fourth pass): spherical k-means over the
     // unlabeled embedding corpus — each Lloyd iteration is one corpus scan
     // vs a c-row broadcast table, so train+search cost must stay a small
@@ -425,6 +460,10 @@ object Stress {
         nprobe = 4, k = 10).collect()
     }
 
+    bounce() // the c=100/10M train+search medians are the run's biggest
+             // shuffle writers (~3 corpus-sized aggregates × 3 samples) —
+             // the r11b ENOSPC landed immediately after them
+
     // ---- two-level assignment at auto-c (r10 verdict item 4): at the √N
     // rule's c = √10M ≈ 3162 the FLAT assignment pays 3162 dots/vector —
     // the N·√N wall; the hierarchical form pays ~2√c ≈ 113. Centroids
@@ -463,6 +502,8 @@ object Stress {
       |miss (clustered: parity 1.0 at probeG=4; uniform noise: cell
       |identity is tie-arbitrary, cosine loss ~0.01).
       |""".stripMargin
+
+    bounce() // assignment section done (hierCents is section-local)
 
     // quantized-vs-brute at 10M vectors: the scan-bandwidth regime where
     // the 4×-narrower codes column pays (at 1M both fit cache and the
@@ -555,6 +596,8 @@ object Stress {
       |~${100 * ivfpqNprobe / ivfpqC}%% of the code files; build row amortizes once per corpus).
       |""".stripMargin
 
+    bounce() // quantized/PQ/IVFADC section done (pqCbs/ivfpqCents local)
+
     // ---- LM quality scoring A/B: the two value-identical forms CROSS
     // OVER with scale (1M docs: two-explode 8.1 s vs cached 29.1 s; 10M
     // docs across two same-host runs: 237.7 vs 95.9 loaded, 62.1 vs 70.4
@@ -584,6 +627,8 @@ object Stress {
       graft.ext.LlmOps.videoFrameNearDups(docs)
         .agg(count(lit(1))).collect()
     }
+
+    bounce() // LM + modality rows done
 
     // ---- incremental dedup: the store build pays the corpus's text cost
     // ONCE; each batch probe pays batch + candidate cost only. The two

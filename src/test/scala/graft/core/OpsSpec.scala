@@ -68,6 +68,19 @@ class OpsSpec extends SparkSpec {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("profileTable counts nulls, distincts and ranges per column") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (2L, null),
+      (null, "a"), (5L, "c")).toDF("k", "s")
+    val rows = Ops.profileTable(df, Seq("k", "s")).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("k", "s")) // ordered by name
+    val k = rows(0); val s = rows(1)
+    assert(k.getLong(1) == 5 && k.getLong(2) == 4 && k.getLong(3) == 3)
+    assert(k.getString(4) == "1" && k.getString(5) == "5")
+    assert(s.getLong(2) == 4 && s.getLong(3) == 3 &&
+      s.getString(4) == "a" && s.getString(5) == "c")
+  }
+
   test("approximate sketch swap-ins track exact results (A8/A7 scale path)") {
     val events = graft.queries.Common.events(spark, sf())
     val exact = events.agg(countDistinct(col("user_id"))).collect().head.getLong(0)

@@ -751,4 +751,76 @@ class LlmOpsSpec extends SparkSpec {
       s"frame-linked clips must co-cluster: $out")
     assert(out(7L) == 7L, s"unlinked clip must self-label: $out")
   }
+
+  test("paragraphDedup drops shared segments from every doc, keeps unique text") {
+    // boiler is EXACTLY one 10-word segment shared (position-aligned) by
+    // docs 1 and 2; each doc's second segment is unique; doc 3 is unique
+    val boiler = "shared license header text repeated across many documents verbatim"
+    // (9 words) + 1 pad word to fill the 10-word segment
+    val d = docs(
+      1L -> s"$boiler pad unique first document content words here apple banana cherry",
+      2L -> s"$boiler pad unique second document content words here dates elder figs",
+      3L -> "entirely original single segment document nothing shared anywhere at all")
+    val out = LlmOps.paragraphDedup(d, "doc_id").orderBy(col("doc_id")).collect()
+    val r1 = out(0); val r2 = out(1); val r3 = out(2)
+    assert(r1.getLong(1) == 2 && r1.getLong(2) == 1,
+      s"doc 1 must drop exactly the boilerplate segment: $r1")
+    assert(r1.getString(3) == "unique first document content words here apple banana cherry")
+    assert(r2.getLong(2) == 1 &&
+      r2.getString(3) == "unique second document content words here dates elder figs")
+    assert(r3.getLong(2) == 0 && r3.getString(3) ==
+      "entirely original single segment document nothing shared anywhere at all")
+  }
+
+  test("paragraphDedup erases fully-duplicated docs to empty, never drops them") {
+    val txt = "ten words exactly aaa bbb ccc ddd eee fff ggg"
+    val d = docs(1L -> txt, 2L -> txt)
+    val out = LlmOps.paragraphDedup(d, "doc_id").orderBy(col("doc_id")).collect()
+    assert(out.length == 2, "both docs must remain as rows")
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"all segments dropped: $r")
+      assert(r.getString(3) == "", s"clean text must be empty, not null: $r")
+    }
+  }
+
+  test("dedup_edit_distance: exact twins at dist 0, tail variants at dist 5") {
+    val out = graft.SparkEntry.queries("dedup_edit_distance")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.nonEmpty)
+    // planted exact dups: id%10==0, id%20!=0 → twin at +100000 with equal text
+    assert(out.exists { case (a, b, dist) => b - a == 100000L && dist == 0L })
+    // ' tail' variants: 5 appended chars → levenshtein exactly 5
+    assert(out.exists { case (a, b, dist) => b - a == 100000L && dist == 5L })
+    assert(out.forall(_._3 >= 0L))
+  }
+
+  test("contamination_report attributes every planted leak to its bench item") {
+    val rep = graft.SparkEntry.queries("contamination_report")(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // every bench doc id%10==0 has a planted twin at +100000 in the corpus
+    // (exact copy or all-but-' tail'), so every bench item must be flagged
+    val bench = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    bench.foreach { id =>
+      assert(rep.contains(id), s"bench item $id has a planted leak but no report row")
+      assert(rep(id)._1 >= 1L, s"bench item $id must attribute >= 1 corpus doc")
+      assert(rep(id)._2 > 0.5, s"bench item $id max_ratio must clear the threshold")
+    }
+  }
+
+  test("dedup_weights: every cluster's weights sum to 1 (soft dedup mass)") {
+    // the defining invariant of downweight-instead-of-drop: each
+    // duplicate cluster contributes exactly one document's worth of
+    // expected training mass. Cross-checked against dedup_clusters'
+    // cluster_id (same pair source), not against dedup_weights' own
+    // sizes — that check would be circular.
+    val weights = graft.SparkEntry.queries("dedup_weights")(spark, sf("sf0.001"))
+    val clusters = graft.SparkEntry.queries("dedup_clusters")(spark, sf("sf0.001"))
+    assert(weights.filter(col("weight") <= 0 || col("weight") > 1).count() == 0)
+    val perCluster = weights.join(clusters, "doc_id")
+      .groupBy(col("cluster_id")).agg(sum(col("weight")).as("mass"))
+    assert(perCluster.filter(abs(col("mass") - 1.0) > 1e-4).count() == 0,
+      "some cluster's weights do not sum to 1")
+  }
 }

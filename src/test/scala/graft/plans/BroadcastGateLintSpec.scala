@@ -37,6 +37,8 @@ class BroadcastGateLintSpec extends AnyFunSuite {
       "LlmOps.lshSearch: the query's band keys — ≤ bands rows per query"),
     ("broadcast(benchGrams)",
       "LlmOps.decontaminate: benchmark n-gram set — benchmark suites are contractually small (plan-audited)"),
+    ("broadcast(benchGramsAttr)",
+      "LlmOps.contaminationReport: attributed benchmark n-gram table — same bench-suite-small contract as decontaminate; beyond-broadcast suites go through decontaminateBloom first"),
     ("if (n <= flaggedBroadcastBudgetBytes / BytesPerBroadcastId) broadcast(ids)",
       "LlmOps.purge: the byte gate IS on this line"),
     ("broadcast(bBand",
