@@ -3265,4 +3265,138 @@ object LlmOps {
       .agg(countDistinct(col("corpus_id")).as("n_contaminated"),
         max(col("contam_ratio")).as("max_ratio"))
   }
+
+  /** Distributed connected components by alternating LARGE-STAR /
+    * SMALL-STAR rounds (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014 §3) — the fully-distributed tier of
+    * the [[duplicateClusters]] family. No driver state AT ALL: where the
+    * union-find path collects the (byte-gated) edge list and
+    * [[distributedClusters]]' label propagation needs one round per unit
+    * of graph DIAMETER (a 10⁶-doc near-dup chain = 10⁶ rounds — chains
+    * are exactly what boilerplate-mutation near-dups produce), star
+    * contraction converges in O(log² n) rounds on ANY topology because
+    * each round halves component height by pointer doubling.
+    *
+    * One round = two edge-set-sized shuffles:
+    *   - large-star: every node links its strictly-LARGER neighbors to
+    *     the minimum of its closed neighborhood;
+    *   - small-star: edges oriented toward the smaller endpoint, every
+    *     node links its smaller neighbors (and itself) to that minimum.
+    * Both emit edges oriented (larger → smaller), so the fixpoint check
+    * is a plain set compare. At the fixpoint every component is a star
+    * centered at its minimum id — the same min-id labels every other
+    * cluster path produces (spec-pinned against [[duplicateClusters]]).
+    *
+    * Each round's result is localCheckpoint'ed: the round's plan
+    * references its input several times, so without truncation the
+    * logical plan DOUBLES per round and analysis time explodes long
+    * before the data does (the GraphFrames lesson). On a cluster, swap
+    * localCheckpoint for a reliable checkpoint dir — same shape.
+    */
+  def distributedClustersStar(ids: DataFrame, idCol: String, pairs: DataFrame,
+                              maxIters: Int = 25): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = und.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("m"))
+      und.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = or.groupBy(col("u")).agg(min(col("v")).as("m"))
+      or.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var e = pairs
+      .select(greatest(col("a"), col("b")).cast("long").as("u"),
+        least(col("a"), col("b")).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // both steps emit (larger → smaller), so set equality is direct;
+      // counts first — the cheap reject — then one edge-set-sized except
+      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      val old = e
+      e = next
+      old.unpersist()
+      iters += 1
+    }
+    require(converged, s"star contraction did not converge in $maxIters rounds")
+    val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val lab = und.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("cluster_id"))
+      .withColumnRenamed("u", idCol)
+    val out = ids.select(col(idCol)).distinct()
+      .join(lab, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    e.unpersist()
+    out
+  }
+
+  /** Cluster-size histogram over near-duplicate cluster labels — the
+    * dedup AUDIT report (how much duplication does the corpus carry, and
+    * in what shape: many pairs vs a few giant boilerplate clusters —
+    * the two regimes need different operator choices upstream). One row
+    * per observed cluster size: how many clusters have that size, how
+    * many docs they hold, and the doc share that would be REMOVED by
+    * keep-one collapse at that size ((size-1)/size of the docs).
+    *
+    * Scale shape: two map-combined hash aggregates (labels → sizes →
+    * histogram) and a 1-row total attached by the same contractually
+    * bounded broadcast pattern as quality_lm_score; histogram cardinality
+    * is ≤ the largest cluster size, report-sized by construction.
+    */
+  def clusterSizeStats(clusters: DataFrame, idCol: String): DataFrame = {
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val tot = clusters.select(count(lit(1)).as("n_total"))
+    sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        round6((col("cluster_size") - 1).cast("double") * col("n_clusters")
+          / col("n_total").cast("double")).as("removable_frac"))
+      .orderBy(col("cluster_size"))
+  }
+
+  /** Embedding-table health audit — the QA gate BEFORE any ANN index
+    * build ([[kmeansCentroids]] divides by the norm; a NaN or zero vector
+    * poisons every centroid it touches): one row with vector count, dim
+    * range (min ≠ max = mixed-dim corruption), NaN-vector and zero-vector
+    * counts, and exact norm percentiles (p01/p50/p99 — a collapsed or
+    * exploding norm distribution is the standard embedding-job failure
+    * signature).
+    *
+    * Scale shape: ONE aggregate over the table; count/min/max/sum partials
+    * are map-combined. `percentile` is EXACT and buffers per-partition
+    * values — the [[profileTable]] trade: at 10¹² vectors swap it for
+    * `approx_percentile` (same call shape, no buffer). The norm is
+    * graft_dot — codegen'd, no UDF.
+    */
+  def embeddingHealth(emb: DataFrame, vecCol: String): DataFrame = {
+    val nrm = sqrt(expr(s"graft_dot($vecCol, $vecCol)"))
+    ensureFns(emb)
+      .select(
+        size(col(vecCol)).cast("bigint").as("dim"),
+        when(expr(s"exists($vecCol, x -> isnan(x))"), 1L).otherwise(0L).as("has_nan"),
+        nrm.as("nrm"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("dim_min"),
+        max(col("dim")).as("dim_max"),
+        sum(col("has_nan")).as("n_nan"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        round6(expr("percentile(nrm, 0.01)")).as("norm_p01"),
+        round6(expr("percentile(nrm, 0.5)")).as("norm_p50"),
+        round6(expr("percentile(nrm, 0.99)")).as("norm_p99"))
+  }
 }

@@ -498,6 +498,34 @@ object LlmQueries {
       clusters.orderBy(col("doc_id"))
     }),
 
+    // fully-distributed cluster labels: alternating large-star/small-star
+    // contraction (SoCC'14) — NO driver state, O(log² n) rounds on ANY
+    // topology (label propagation needs diameter rounds; a 10⁶-doc
+    // near-dup CHAIN is its worst case and this tier's design case).
+    // Same min-id labels as dedup_clusters — same oracle.
+    "dedup_clusters_dist" -> ((s, d) => {
+      val docs = docsWithDups(t(s, d, "documents"))
+      val sh = LlmOps.shingleTable(docs, "doc_id")
+      val pairs = LlmOps.minhashCandidatesFrom(sh, "doc_id").persist()
+      val clusters = LlmOps.distributedClustersStar(
+        docs.select(col("doc_id")), "doc_id", pairs)
+      pairs.unpersist()
+      clusters.orderBy(col("doc_id"))
+    }),
+
+    // the dedup AUDIT report: cluster-size histogram + the doc share a
+    // keep-one collapse would remove at each size — the number a curation
+    // owner reads before choosing hard drop / best-keeper / soft weights
+    "dedup_cluster_stats" -> ((s, d) => {
+      val docs = docsWithDups(t(s, d, "documents"))
+      val sh = LlmOps.shingleTable(docs, "doc_id")
+      val pairs = LlmOps.minhashCandidatesFrom(sh, "doc_id").persist()
+      val clusters =
+        LlmOps.duplicateClusters(docs.select(col("doc_id")), "doc_id", pairs)
+      pairs.unpersist()
+      LlmOps.clusterSizeStats(clusters, "doc_id")
+    }),
+
     // soft dedup: keep EVERY doc but weight it 1/cluster_size, so a
     // doc duplicated k× contributes one doc's worth of training loss in
     // expectation (the downweight-instead-of-drop recipe — sampling with
@@ -830,6 +858,11 @@ object LlmQueries {
     // output so CollapseProject keeps it an attribute (a computed column
     // referenced inside a lambda body would otherwise be re-inlined per
     // element).
+    // embedding-table QA gate (run BEFORE any index build): dim range,
+    // NaN/zero-vector counts, exact norm percentiles — one aggregate
+    "embedding_health" -> ((s, d) =>
+      LlmOps.embeddingHealth(t(s, d, "embeddings"), "embedding")),
+
     "embed_quantize" -> ((s, d) =>
       { graft.functions.GraftFunctions.ensure(s); t(s, d, "embeddings") }
         .withColumn("scale", expr(
@@ -883,6 +916,21 @@ object LlmQueries {
     "quality_lm_score" -> ((s, d) =>
       LlmOps.lmScore(t(s, d, "documents"), vocabK = 1024)
         .orderBy(col("doc_id"))),
+
+    // the score-DISTRIBUTION read that precedes sample_quality_weighted's
+    // temperature choice: fixed-width log10 buckets (floor of avg_logp) —
+    // a map-combined agg over report-sized output, never an ntile (a
+    // global sort for a histogram is the classic scale mistake). floor of
+    // the round6'd score is engine-stable: both sides floor the SAME
+    // rounded double.
+    "quality_histogram" -> ((s, d) =>
+      LlmOps.lmScore(t(s, d, "documents"), vocabK = 1024)
+        .select(floor(col("avg_logp")).cast("bigint").as("bucket"),
+          col("avg_logp"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          LlmOps.round6(avg(col("avg_logp"))).as("mean_logp"))
+        .orderBy(col("bucket"))),
 
     // incremental dedup: corpus signatures persisted ONCE to a parquet
     // signature store; the new batch (the injected twins) is the only side
@@ -1923,6 +1971,54 @@ object LlmQueries {
           FROM docs d LEFT JOIN reach r ON r.x = d.doc_id
           GROUP BY d.doc_id
           ORDER BY d.doc_id""",
+    // identical to dedup_clusters: star contraction produces the same
+    // min-id component labels as the union-find / reach-closure paths
+    "dedup_clusters_dist" ->
+      s"""WITH RECURSIVE docs AS ($docsDupSql),
+          $duckShingleCte,
+          $duckSigCte,
+          $duckBandCte,
+          cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                    FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+          undirected AS (SELECT a AS x, b AS y FROM cands
+                         UNION SELECT b AS x, a AS y FROM cands),
+          reach(x, y) AS (
+            SELECT x, y FROM undirected
+            UNION
+            SELECT r.x, u.y FROM reach r JOIN undirected u ON r.y = u.x)
+          SELECT d.doc_id,
+                 least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS cluster_id
+          FROM docs d LEFT JOIN reach r ON r.x = d.doc_id
+          GROUP BY d.doc_id
+          ORDER BY d.doc_id""",
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE docs AS ($docsDupSql),
+          $duckShingleCte,
+          $duckSigCte,
+          $duckBandCte,
+          cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                    FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+          undirected AS (SELECT a AS x, b AS y FROM cands
+                         UNION SELECT b AS x, a AS y FROM cands),
+          reach(x, y) AS (
+            SELECT x, y FROM undirected
+            UNION
+            SELECT r.x, u.y FROM reach r JOIN undirected u ON r.y = u.x),
+          clusters AS (
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS cluster_id
+            FROM docs d LEFT JOIN reach r ON r.x = d.doc_id
+            GROUP BY d.doc_id),
+          sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                    FROM clusters GROUP BY cluster_id),
+          tot AS (SELECT count(*) AS n_total FROM clusters)
+          SELECT cluster_size, count(*) AS n_clusters,
+                 cluster_size * count(*) AS n_docs,
+                 round((cluster_size - 1)::DOUBLE * count(*) / n_total, 6)
+                   AS removable_frac
+          FROM sizes CROSS JOIN tot
+          GROUP BY cluster_size, n_total
+          ORDER BY cluster_size""",
     "dedup_weights" ->
       s"""WITH RECURSIVE docs AS ($docsDupSql),
           $duckShingleCte,
@@ -2073,6 +2169,25 @@ object LlmQueries {
     "lang_dist" ->
       """SELECT lang, count(*) AS n, round(avg(n_chars), 4) AS avg_chars
          FROM documents GROUP BY 1 ORDER BY lang""",
+    // mirrors LlmOps.embeddingHealth: per-element double casts keep the
+    // dot product order- and precision-identical to graft_dot;
+    // quantile_cont is DuckDB's linear-interpolation percentile — the
+    // same estimator as Spark's exact `percentile` (round6 both sides)
+    "embedding_health" ->
+      """WITH v AS (
+           SELECT CAST(len(embedding) AS BIGINT) AS dim,
+                  CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0
+                       THEN 1 ELSE 0 END AS has_nan,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings)
+         SELECT count(*) AS n_vecs,
+                min(dim) AS dim_min, max(dim) AS dim_max,
+                CAST(sum(has_nan) AS BIGINT) AS n_nan,
+                CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+                round(quantile_cont(nrm, 0.01), 6) AS norm_p01,
+                round(quantile_cont(nrm, 0.5), 6) AS norm_p50,
+                round(quantile_cont(nrm, 0.99), 6) AS norm_p99
+         FROM v""",
     "embed_quantize" ->
       """WITH s AS (
            SELECT vec_id, embedding,
@@ -2210,6 +2325,26 @@ object LlmQueries {
                     FROM g LEFT JOIN vocab v USING (h) CROSS JOIN tot t)
          SELECT doc_id, count(*) AS n_grams, round(avg(logp), 6) AS avg_logp
          FROM scored GROUP BY 1 ORDER BY doc_id""",
+    // mirrors quality_histogram: the quality_lm_score chain rolled into
+    // fixed-width floor(avg_logp) buckets
+    "quality_histogram" ->
+      """WITH g AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, length(text) - 2),
+                        i -> ('0x' || substr(md5(substr(text, i, 3) || ':lm'), 1, 15))::BIGINT)) AS h
+                    FROM documents),
+         cnt AS (SELECT h, count(*) AS c FROM g GROUP BY 1),
+         tot AS (SELECT CAST(sum(greatest(length(text) - 2, 0)) AS DOUBLE) AS n
+                 FROM documents),
+         vocab AS (SELECT h, c FROM cnt ORDER BY c DESC, h LIMIT 1024),
+         scored AS (SELECT g.doc_id,
+                      coalesce(log10(v.c::DOUBLE / t.n), log10(0.5 / t.n)) AS logp
+                    FROM g LEFT JOIN vocab v USING (h) CROSS JOIN tot t),
+         s AS (SELECT doc_id, round(avg(logp), 6) AS avg_logp
+               FROM scored GROUP BY 1)
+         SELECT CAST(floor(avg_logp) AS BIGINT) AS bucket,
+                count(*) AS n_docs,
+                round(avg(avg_logp), 6) AS mean_logp
+         FROM s GROUP BY 1 ORDER BY bucket""",
     "dedup_incremental" ->
       s"""WITH all_docs AS ($docsDupSql),
           cd AS (SELECT * FROM all_docs WHERE doc_id < 100000),

@@ -474,17 +474,22 @@ object Stress {
     val hierCents = graft.ext.LlmOps.kmeansCentroids(
       spark.read.parquet(s"$base/emb_xl10.parquet")
         .filter(col("vec_id") < cAuto.toLong * 16), cAuto, iters = 2)
-    // flat baseline on a 1/10 slice only: at c=3162 the flat form costs
-    // c dots/vector (~25 min per full-corpus sample on this box — the
-    // N·√N wall itself), so the slice carries the per-vector rate and
-    // the FULL corpus runs the two-level form, the path that actually
-    // scales. ×10 the flat slice time ≈ the full flat cost.
+    // flat baseline on a 1/100 slice only: at c=3162 the flat form is not
+    // just slow, it does not FIT — the argmax rides a sort-aggregate over
+    // the (vector × centroid) pair stream, and a 1/10 slice is 3.2×10⁹
+    // pair rows ≈ 126 GB of sort spill, past this box's ~60 GB headroom
+    // (both r11 ENOSPC runs died exactly here; the bounce kept the disk
+    // clean and it STILL died — the row's own spill is the wall, which is
+    // precisely the point the row exists to make). 1/100 ≈ 12.6 GB fits;
+    // the slice carries the per-vector rate and the FULL corpus runs the
+    // two-level form, the path that actually scales. ×100 the slice time
+    // ≈ the full flat cost.
     val flatAssign = bench(
-        s"IVF flat assignment c=$cAuto ${nVecXl / 10 / 1000000}M vectors (1/10 slice)",
-        nVecXl / 10) {
+        s"IVF flat assignment c=$cAuto ${nVecXl / 100 / 1000}k vectors (1/100 slice)",
+        nVecXl / 100) {
       graft.ext.LlmOps.kmeansAssignTo(
           spark.read.parquet(s"$base/emb_xl10.parquet")
-            .filter(col("vec_id") % 10 === 0), hierCents)
+            .filter(col("vec_id") % 100 === 0), hierCents)
         .agg(count(lit(1)), avg(col("ccos"))).collect()
     }
     val hierAssign = bench(
@@ -495,9 +500,11 @@ object Stress {
     }
     notes ++= f"""
       |Two-level assignment at auto-c (c=$cAuto): the full ${nVecXl / 1000000}M-vector
-      |corpus assigns hierarchically in ${hierAssign}%.1f s, vs ~${10 * flatAssign}%.0f s
-      |projected for flat (measured ${flatAssign}%.1f s on a 1/10 slice — flat pays
-      |c dots/vector, the N·√N wall; two-level pays ~(1+probeG)√c).
+      |corpus assigns hierarchically in ${hierAssign}%.1f s, vs ~${100 * flatAssign}%.0f s
+      |projected for flat (measured ${flatAssign}%.1f s on a 1/100 slice — flat pays
+      |c dots/vector, the N·√N wall, and its pair-stream sort spill
+      |(~126 GB at a 1/10 slice) does not even fit this box's disk;
+      |two-level pays ~(1+probeG)√c).
       |HierProbe's two-regime table quantifies the hierarchical residual
       |miss (clustered: parity 1.0 at probeG=4; uniform noise: cell
       |identity is tie-arbitrary, cosine loss ~0.01).

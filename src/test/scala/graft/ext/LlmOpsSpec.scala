@@ -809,6 +809,71 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("distributedClustersStar matches duplicateClusters on the registry chain") {
+    // the star-contraction tier must produce the exact min-id labels the
+    // union-find path does — same contract, zero driver state
+    val a = graft.SparkEntry.queries("dedup_clusters")(spark, sf("sf0.001"))
+    val b = graft.SparkEntry.queries("dedup_clusters_dist")(spark, sf("sf0.001"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "star-contraction labels must equal union-find labels")
+  }
+
+  test("distributedClustersStar collapses a long CHAIN in O(log n) rounds") {
+    // a 2000-node path graph is label propagation's worst case (one round
+    // per diameter unit = 2000 rounds); star contraction must finish it
+    // inside the default 25-round budget and label everything 0
+    val n = 2000L
+    val ids = spark.range(n).select(col("id").as("doc_id"))
+    val chain = spark.range(n - 1)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val out = LlmOps.distributedClustersStar(ids, "doc_id", chain)
+    assert(out.filter(col("cluster_id") =!= 0L).count() == 0,
+      "every chain node must label to the minimum id 0")
+    assert(out.count() == n)
+  }
+
+  test("clusterSizeStats: histogram and removable mass on known clusters") {
+    // clusters: {1,2,3} (size 3), {4,5} (size 2), {6} and {7} (singletons)
+    val clusters = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L).toDF("doc_id", "cluster_id")
+    val out = LlmOps.clusterSizeStats(clusters, "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 2L, 0.0)), s"two singletons, nothing removable: $out")
+    assert(out(2L) == ((1L, 2L, 0.142857)), s"one pair: 1 of 7 docs removable (round6): $out")
+    assert(out(3L) == ((1L, 3L, 0.285714)), s"one triple: 2 of 7 docs removable (round6): $out")
+    // keep-one collapse removes sum(size-1) docs; the fracs must total that
+    assert(math.abs(out.values.map(_._3).sum - 3.0 / 7) < 1e-5)
+  }
+
+  test("embeddingHealth flags NaN vectors, zero vectors, and mixed dims") {
+    val rows = Seq(
+      (1L, Array(3.0f, 4.0f)),            // norm 5
+      (2L, Array(0.0f, 0.0f)),            // zero vector
+      (3L, Array(Float.NaN, 1.0f)),       // NaN poison
+      (4L, Array(1.0f, 0.0f, 0.0f)))      // mixed dim
+    val emb = rows.toDF("vec_id", "embedding")
+    val r = LlmOps.embeddingHealth(emb, "embedding").collect().head
+    assert(r.getLong(0) == 4)                       // n_vecs
+    assert(r.getLong(1) == 2 && r.getLong(2) == 3,  // dim_min != dim_max
+      s"mixed dims must surface: $r")
+    assert(r.getLong(3) == 1, s"one NaN vector: $r")
+    assert(r.getLong(4) == 1, s"one zero vector: $r")
+    assert(r.getDouble(6) > 0.0, s"median norm positive: $r")
+  }
+
+  test("quality_histogram partitions the corpus and brackets each bucket's mean") {
+    val hist = graft.SparkEntry.queries("quality_histogram")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nDocs = spark.read.parquet(sf("sf0.001") + "/documents.parquet").count()
+    assert(hist.map(_._2).sum == nDocs, "bucket counts must partition the corpus")
+    hist.foreach { case (b, _, mean) =>
+      assert(mean >= b && mean < b + 1, s"bucket $b mean $mean out of range")
+    }
+    // sf0.001's 500 docs are near-homogeneous (one log bucket); the
+    // invariants above are the contract — bucket spread is data-dependent
+    assert(hist.nonEmpty)
+  }
+
   test("dedup_weights: every cluster's weights sum to 1 (soft dedup mass)") {
     // the defining invariant of downweight-instead-of-drop: each
     // duplicate cluster contributes exactly one document's worth of

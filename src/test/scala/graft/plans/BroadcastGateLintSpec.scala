@@ -58,7 +58,7 @@ class BroadcastGateLintSpec extends AnyFunSuite {
     ("g.join(broadcast(vocab), Seq(\"h\"), \"left\")",
       "LlmOps.lmScore: the LM vocabulary — ≤ vocabK rows by .limit(vocabK)"),
     ("crossJoin(broadcast(tot))",
-      "LlmOps.lmScore: groupless global gram-count aggregate — exactly 1 row"),
+      "LlmOps.lmScore / clusterSizeStats: groupless global aggregate (gram count / label count) — exactly 1 row"),
     ("broadcast(cand.select(col(\"vec_id\")))",
       "LlmOps.quantizedSearchCodes: rescore candidate ids — ≤ k·overfetch rows by .limit(k * overfetch)"),
     ("pairs.crossJoin(broadcast(capped))",

@@ -389,7 +389,13 @@ class PlanAuditSpec extends SparkSpec {
       // codebook row (pqCbRow), the query vector, and the 1-row ADC LUT;
       // the codes/corpus sides are never nested-loop-joined against
       // anything data-sized
-      "sim_search_pq", "pq_train_codebooks", "sim_search_ivfpq")
+      "sim_search_pq", "pq_train_codebooks", "sim_search_ivfpq",
+      // 1-row total-label-count attach (LlmOps.clusterSizeStats:
+      // crossJoin(broadcast(tot)) — the lmScore pattern; histogram and
+      // total are both report-sized)
+      "dedup_cluster_stats",
+      // inherits quality_lm_score's 1-row total-gram aggregate attach
+      "quality_histogram")
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =
