@@ -2105,19 +2105,25 @@ object LlmOps {
     val coarse = kmeansCoarse(cents, iters)
     val groups = withCnorm(centroidGroups(cents, coarse))
     val emb = kmeansInput(emb0)
-    // stage 1: top-probeG coarse groups per vector. collect_list buffers
-    // only the √c coarse rows per vector, map-side (broadcast join keeps
-    // a vector's rows in one partition); ties break on the smaller gid
-    // via the (-gcos, gid) struct sort.
+    // stage 1: top-probeG coarse groups per vector. The scored stream is
+    // NARROW — (vec_id, gid, gcos) only, ~20 B/row. Carrying the
+    // embedding through this aggregate was the r11 ENOSPC: collect_list
+    // plans as ObjectHashAggregate, which falls back to SORT-based
+    // aggregation past spark.sql.objectHashAggregate.sortBased
+    // .fallbackThreshold (default 128 keys — every real partition), and
+    // sorting N·√c rows that each drag a 64-float array is a
+    // corpus×√c-sized spill (~170 GB at 10M vectors, c=3162; the narrow
+    // stream is ~17 GB). The embedding rejoins by vec_id afterwards —
+    // one corpus-sized equi-join instead of a corpus×√c-sized sort.
+    // Ties break on the smaller gid via the (-gcos, gid) struct sort.
     val scoredG = ensureFns(emb).crossJoin(broadcast(withCnorm(coarse)))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("cid").as("gid"),
+      .select(col("vec_id"), col("cid").as("gid"),
         round6(dot("embedding", "cvec") / (col("nrm") * col("cnrm"))).as("gcos"))
-    val topG = scoredG.groupBy(col("vec_id"))
+    val topGids = scoredG.groupBy(col("vec_id"))
       .agg(
         expr(s"transform(slice(array_sort(collect_list(struct(-gcos AS ng, gid))), 1, $probeG), x -> x.gid)")
-          .as("gids"),
-        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+          .as("gids"))
+    val topG = emb.join(topGids, "vec_id")
       .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(col("gids")).as("gid"))
     // stage 2: fine argmax within the probed groups (argmax dedups a

@@ -33,6 +33,23 @@ object AggQueries {
     "distinct_users" -> ((s, d) =>
       events(s, d).agg(countDistinct(col("user_id")).as("n_users"))),
 
+    // A8 scale path — PERSISTED sketch distinct counting: each day builds
+    // a ~KB HLL sketch once (the shard artifact a daily job would write),
+    // and any later reader merges years of sketches WITHOUT rescanning
+    // events — hll_union_agg is lossless at fixed lgK, so the merged
+    // estimate equals the single-pass sketch exactly (spec-pinned, along
+    // with <5% error vs the exact count). Engine-specific binary — no
+    // DuckDB mirror; the driver records the rows-only check and
+    // SketchSpec carries the correctness contract.
+    "distinct_users_sketch" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      daily.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk, 14))").as("approx_users"),
+        count(lit(1)).as("n_days"))
+    }),
+
     // A9 — min/max/sum rollup totals (report tables)
     "rollup_totals" -> ((s, d) =>
       t(s, d, "lineitem").agg(

@@ -47,7 +47,12 @@ object DumpPlans {
       "dedup_substring" -> "ExactSubstr (r11 skew-safe): gram explode is narrow codegen (graft_gram_hash, no gram strings materialized); the duplicate test is a TWO-LEVEL count — map-side partial combine collapses hot grams, the (h, sites) partials shuffle small, and ONE left-semi join streams the gram table against the dup-gram set (AQE may broadcast it or skew-split the probe — the r10 hot-gram window buffered a hot gram's whole position list in one unsplittable task); one exchange back on the doc id for the span-merge windows — no gram-hash window, no global suffix sort",
       "sim_search_pq" -> "PQ ADC (r11): the codes scan runs the codegen'd graft_pq_adc LUT kernel and carries only (vec_id, approx) into a TakeOrdered; the LUT, grouped codebook row, and query are 1-row broadcast attaches; rescore joins the 40-row candidate list broadcast — the codes table and the corpus are never hash- or range-exchanged",
       "sim_search_ivfpq" -> "IVFADC (r11): the coarse quantizer's nprobe probed-cell ids broadcast-semi-join the (vec_id, cid, codes) index (a cid-partitioned store partition-prunes instead — pqIvfServe), the ADC scan ranks only those cells' codes, rescore joins the candidate ids broadcast; the only data-sized exchange anywhere is the BUILD-time assignment argmax combine, paid once per corpus snapshot",
-      "training_manifest" -> "end-to-end composition (r11): every stage keeps its standalone plan shape — the LSH keeper election's cached signature/cluster passes, the decontaminate broadcast-gated benchmark grams, the byte-gated purge anti-join, then the token gate and shard assignment as narrow per-row maps over the survivor stream; composing adds NO new shuffle beyond the stages' own")
+      "training_manifest" -> "end-to-end composition (r11): every stage keeps its standalone plan shape — the LSH keeper election's cached signature/cluster passes, the decontaminate broadcast-gated benchmark grams, the byte-gated purge anti-join, then the token gate and shard assignment as narrow per-row maps over the survivor stream; composing adds NO new shuffle beyond the stages' own",
+      "dedup_paragraph" -> "CCNet paragraph dedup (r11): segment explode is a narrow generator; the corpus-wide frequency pass is a map-combined hash agg on the segment hash (a 10⁹×-duplicated boilerplate paragraph collapses to one row per map task BEFORE the shuffle) and the count attach is an AQE-splittable equi-join — the two shapes the gram-hash window could never use; reassembly groups on the doc id, bounded by doc length",
+      "dedup_clusters_dist" -> "star-contraction CC (r11): the dumped plan is the final label extraction — per-round plans are localCheckpoint-truncated (each round references its input several times; without truncation the logical plan doubles per round), so the printed tree stays round-count-independent; every round is two edge-set-sized equi-join/agg shuffles, no driver state, no window",
+      "dedup_edit_distance" -> "Levenshtein verify tier (r11): candidates come from the SAME banded LSH equi-join minhash uses; the O(len²) distance evaluates inline (codegen'd levenshtein) on candidate pairs only — the corpus text joins to the pair list by id, never self-joins",
+      "quality_histogram" -> "score histogram (r11): inherits lmScore's plan (narrow gram explode, charset-bounded count agg, 1-row total attach); the histogram itself is one map-combined agg on floor(score) — fixed-width buckets, never an ntile (no global sort)",
+      "distinct_users_sketch" -> "persisted-sketch distinct (r11): per-day HLL sketches build in one hash agg (datasketches buffers combine map-side), the union agg merges |days| KB-sized sketches — the events table is scanned once and never re-shuffled; at 100 TB the daily sketches persist and the merge reads NO events at all")
 
     val out = new StringBuilder
     out ++= "# Physical plan audit (generated by graft.tools.DumpPlans at sf0.01)\n\n"

@@ -81,6 +81,23 @@ class OpsSpec extends SparkSpec {
       s.getString(4) == "a" && s.getString(5) == "c")
   }
 
+  test("distinct_users_sketch: daily-sketch union is lossless and tracks exact") {
+    val res = graft.SparkEntry.queries("distinct_users_sketch")(spark, sf())
+      .collect().head
+    val approx = res.getLong(0)
+    val exact = graft.queries.Common.events(spark, sf())
+      .agg(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"sketch estimate $approx must track exact $exact within 5%")
+    assert(res.getLong(1) >= 1, "at least one daily sketch")
+    // the serving contract: merging per-day sketches must equal the
+    // single-pass whole-corpus sketch — HLL union is lossless at fixed lgK
+    val direct = graft.queries.Common.events(spark, sf())
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))"))
+      .collect().head.getLong(0)
+    assert(approx == direct, s"daily union $approx != single-pass $direct")
+  }
+
   test("approximate sketch swap-ins track exact results (A8/A7 scale path)") {
     val events = graft.queries.Common.events(spark, sf())
     val exact = events.agg(countDistinct(col("user_id"))).collect().head.getLong(0)
