@@ -172,24 +172,45 @@ object Ops {
       .repartitionByRange(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("ord"))
 
+  /** Above this row estimate (or byte estimate when rows are unknown)
+    * [[profileTable]] switches its distinct counts from exact
+    * `count(DISTINCT)` to `approx_count_distinct` (HLL++): the exact form
+    * plans an Expand that multiplies map output by (profiled columns + 1)
+    * — splittable but ×k scan volume, report-prohibitive at 100 TB.
+    */
+  val ProfileExactDistinctCrossoverRows = 500L * 1000 * 1000
+  val ProfileExactDistinctCrossoverBytes = 32L * 1024 * 1024 * 1024
+
   /** Per-column table profile (the pre-migration data audit next to
     * [[hotPartitionReport]]; the reference's validation posture —
     * docs/06-validation-monitoring.md — checks counts and value ranges
     * before/after a move): one output row per profiled column with
-    * row/non-null/exact-distinct counts and min/max rendered as strings.
-    * Plan shape: ONE aggregate over the table — Spark plans the k exact
-    * `count(DISTINCT)`s via Expand (k+1 rows per input row into one
-    * shuffle of the distinct values), then a 1-row→k-row `stack`
-    * unpivot. At 100 TB the Expand multiplies map output by the number
-    * of profiled columns — that is the price of EXACT distinct counts;
-    * profile few columns at a time, or swap `countDistinct` for
-    * `approx_count_distinct` (HLL++, no Expand) when ±2% is acceptable.
-    * min/max/count stay single-pass partials either way.
+    * row/non-null/distinct counts and min/max rendered as strings.
+    * Plan shape: ONE aggregate over the table, then a 1-row→k-row
+    * `stack` unpivot. The distinct form is picked from PLAN STATISTICS
+    * (the lmScore/embeddingHealth selector): exact `count(DISTINCT)` —
+    * which Spark plans via Expand, (k+1) rows per input row into one
+    * distinct-value shuffle — only BELOW
+    * [[ProfileExactDistinctCrossoverRows]]; above it (and whenever size
+    * is unknown) the default is `approx_count_distinct` (HLL++ at rsd
+    * 0.01 — ±1% typical, single-pass partials, no Expand). Force either
+    * regime with
+    * `exactDistincts`. min/max/count stay single-pass partials either
+    * way.
     */
-  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profileTable(df: DataFrame, cols: Seq[String],
+                   exactDistincts: Option[Boolean] = None): DataFrame = {
+    val exact = exactDistincts.getOrElse(
+      graft.ext.LlmOps.statsSaySmall(df, ProfileExactDistinctCrossoverRows,
+        ProfileExactDistinctCrossoverBytes).getOrElse(false))
+    // rsd 0.01 (HLL++ precision ~14, a ~16 KB merge-able buffer per
+    // column): ±1% typical error on a PROFILE is free accuracy relative
+    // to the default 5% rsd, and the buffer is still bounded
+    def nd(c: String): Column =
+      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c), 0.01)
     val aggs = Seq(count(lit(1)).as("__n_rows")) ++ cols.flatMap { c =>
       Seq(count(col(c)).as(s"__${c}__nn"),
-          countDistinct(col(c)).as(s"__${c}__nd"),
+          nd(c).as(s"__${c}__nd"),
           min(col(c)).cast("string").as(s"__${c}__min"),
           max(col(c)).cast("string").as(s"__${c}__max"))
     }

@@ -1812,7 +1812,13 @@ object LlmOps {
       // the context cleaner acts on GC'd shuffle dependencies
       System.gc()
     }
-    mergeSpans(spark.read.parquet(s"$workDir/pass_*"), idCol, k)
+    // read the EXACT pass set, not a workDir glob: a prior run into the
+    // same workDir with MORE passes leaves pass_i directories this run
+    // never overwrote, and a glob would silently union their stale
+    // positions into the merge (r11 ADVICE)
+    mergeSpans(
+      spark.read.parquet((0 until passes).map(i => s"$workDir/pass_$i"): _*),
+      idCol, k)
   }
 
   /** Substring-level decontamination: the maximal character spans of each
@@ -1952,6 +1958,33 @@ object LlmOps {
   def kmeansAssignTo(emb0: DataFrame, cents: DataFrame): DataFrame =
     assignCells(kmeansInput(emb0), cents)
 
+  /** Centroid-count threshold above which [[kmeansAssignAuto]] serves
+    * assignment through the two-level hierarchical path: at c = 1024 the
+    * flat path pays c dots per vector while hier at probeG = 4 pays
+    * ~(1 + probeG)·√c ≈ 160 — the compute gap that funds hier's one
+    * extra corpus exchange (HierProbe measured 3.5× end-to-end at
+    * c = 3162). Below it flat's single-stage argmax wins.
+    */
+  val HierAssignCrossoverC: Long = 1024L
+
+  private[graft] def hierAutoPick(c: Long): Boolean = c >= HierAssignCrossoverC
+
+  /** Assignment with the path picked by centroid count (r11 verdict item
+    * 6): flat [[kmeansAssignTo]] — exact argmax over all c centroids —
+    * below [[HierAssignCrossoverC]]; above it [[kmeansAssignToHier]] at
+    * probeG = 4, which HierProbe's parity table shows reproduces flat
+    * EXACTLY on clustered corpora (the regime a trained index exists
+    * for) while cutting per-vector work from c to ~5·√c dots. Identical
+    * output schema either way; the c count is one action over the
+    * bounded centroid table. Oracle-pinned registry keys stay below the
+    * crossover at sf tiers, so this auto-path engages only at the scale
+    * it exists for.
+    */
+  def kmeansAssignAuto(emb0: DataFrame, cents: DataFrame,
+                       probeG: Int = 4): DataFrame =
+    if (hierAutoPick(cents.count())) kmeansAssignToHier(emb0, cents, probeG = probeG)
+    else kmeansAssignTo(emb0, cents)
+
   /** Normed, zero-norm-free corpus view (cosine is undefined on zero
     * vectors — excluded up front, same contract as [[knnJoin]]).
     */
@@ -2089,19 +2122,24 @@ object LlmOps {
     * ties dominate and cell identity is arbitrary — parity is low but
     * the winning-cosine loss on disagreements stays small (the metric
     * the index ranks by; HierProbe's two-regime table in NOTES.md).
-    * Flat assignment stays the exactness path (and the oracle path);
-    * this is the explicit scale dial, named — never auto-swapped under
-    * an oracle-pinned operator.
+    * Flat assignment stays the exactness path (and the oracle path).
+    * Maintenance paths ([[annIndexHealth]]/[[writeAnnAssignments]]) pick
+    * this path automatically above [[HierAssignCrossoverC]] via
+    * [[kmeansAssignAuto]] — oracle-pinned keys stay below the crossover
+    * at sf tiers, so the swap engages only at the scale it exists for.
     *
     * The fine-table broadcast is still c rows — the two-level split cuts
     * COMPUTE, not broadcast bytes; the byte wall is gated at
-    * [[CentroidBudgetBytes]] (readAnnIndex and this path both check), so
-    * an over-budget index fails loudly instead of silently shipping a
+    * [[CentroidBudgetBytes]] IN THIS PATH via [[centroidGate]] (and
+    * independently at [[readAnnIndex]] for persisted indexes — r11
+    * ADVICE: a cents frame passed directly must not broadcast ungated),
+    * so an over-budget index fails loudly instead of silently shipping a
     * multi-GB broadcast to every executor.
     */
   def kmeansAssignToHier(emb0: DataFrame, cents: DataFrame,
                          iters: Int = 2, probeG: Int = 4): DataFrame = {
     require(probeG >= 1, s"probeG must be >= 1, got $probeG")
+    centroidGate(cents)
     val coarse = kmeansCoarse(cents, iters)
     val groups = withCnorm(centroidGroups(cents, coarse))
     val emb = kmeansInput(emb0)
@@ -2142,6 +2180,22 @@ object LlmOps {
     * site carries.
     */
   val CentroidBudgetBytes: Long = 256L * 1024 * 1024
+
+  /** Enforce the [[CentroidBudgetBytes]] contract on an IN-PLAN centroid
+    * table before it is broadcast (the [[readAnnIndex]] gate covers only
+    * persisted indexes — r11 ADVICE): c × dim × 8 B doubles × 2
+    * in-memory inflation must fit the budget, failing loudly otherwise.
+    * One tiny action over the bounded c-row table.
+    */
+  private[graft] def centroidGate(cents: DataFrame): Unit = {
+    val row = cents.agg(count(lit(1)), max(size(col("cvec")))).head
+    val c = row.getLong(0)
+    val dim = if (row.isNullAt(1)) 0L else row.getInt(1).toLong
+    val est = c * dim * 8 * 2
+    require(est <= CentroidBudgetBytes,
+      s"centroid table over CentroidBudgetBytes: c=$c dim=$dim est=$est B " +
+        s"> $CentroidBudgetBytes B — shard the index or raise the budget")
+  }
 
   /** [[ivfSearchKmeans]] with c chosen by [[kmeansAutoC]]. `corpusSizeHint`
     * skips the count pass when N is already known (catalog stats, a
@@ -2334,8 +2388,8 @@ object LlmOps {
     * layout: one hive partition per cid, each cell's rows in one file
     * (`repartition(col("cid"))` groups a cell into one task before
     * `partitionBy`). Computed once per corpus snapshot (one assignment
-    * scan — use [[kmeansAssignToHier]] upstream at auto-c scale and
-    * write ITS output via the overload); after that EVERY query reads
+    * scan — [[kmeansAssignAuto]] picks the two-level path above
+    * [[HierAssignCrossoverC]]); after that EVERY query reads
     * only its probed cells through partition pruning
     * ([[annAssignedSearch]]) — per-query bytes are nprobe/c of the
     * corpus instead of a full scan. At c = √N this is the difference
@@ -2345,7 +2399,7 @@ object LlmOps {
     */
   def writeAnnAssignments(emb0: DataFrame, cents: DataFrame,
                           path: String): Unit =
-    writeAssignedCells(kmeansAssignTo(emb0, cents), path)
+    writeAssignedCells(kmeansAssignAuto(emb0, cents), path)
 
   /** Write an already-computed assignment (e.g. [[kmeansAssignToHier]]'s)
     * in the cell-partitioned serving layout.
@@ -2388,8 +2442,8 @@ object LlmOps {
     * from the trained cells. round6 at both levels so the value is
     * engine-portable and partitioning-independent.
     */
-  private def meanAssignCos(emb0: DataFrame, cents: DataFrame): Double =
-    kmeansAssignTo(emb0, cents)
+  private[graft] def meanAssignCos(emb0: DataFrame, cents: DataFrame): Double =
+    kmeansAssignAuto(emb0, cents)
       .agg(round6(avg(col("ccos"))).as("m")).head().getDouble(0)
 
   /** Health of the stored index against the CURRENT corpus. Two staleness
@@ -2625,8 +2679,22 @@ object LlmOps {
     * and densified to slot s·ks + code (training-dead codes leave 0-filled
     * holes no vector can reference — codes never renumber), the layout
     * the codegen'd graft_pq_adc kernel indexes.
+    *
+    * (m, ks) are VALIDATED against the codebook first (one tiny action
+    * over the bounded m·ks-row table): graft_pq_adc surfaces a codes/ks
+    * contract violation as NULL, and under `orderBy(approx desc)` NULLs
+    * sort last — a caller passing the wrong ks would get a silently
+    * garbage candidate pool instead of an error (r11 ADVICE), so the
+    * mismatch must fail HERE, loudly.
     */
-  private def pqLut(cbs: DataFrame, q: DataFrame, m: Int, ks: Int): DataFrame =
+  private def pqLut(cbs: DataFrame, q: DataFrame, m: Int, ks: Int): DataFrame = {
+    val chk = cbs.agg(max(col("code")), countDistinct(col("sub"))).head
+    val maxCode = if (chk.isNullAt(0)) -1 else chk.getAs[Number](0).intValue
+    val nSub = chk.getLong(1)
+    require(maxCode < ks && nSub <= m,
+      s"codebook/param mismatch: max code=$maxCode vs ks=$ks, " +
+        s"subspaces=$nSub vs m=$m — graft_pq_adc would NULL every score; " +
+        "pass the (m, ks) the codebook was trained with")
     ensureFns(cbs).crossJoin(q)
       .select(col("sub"), col("code"), expr(
         s"""graft_dot(slice(qm, sub * (size(qm) div $m) + 1,
@@ -2640,6 +2708,7 @@ object LlmOps {
               transform(sequence(0, $ks - 1), c ->
                 aggregate(x.entries, cast(0.0 as double),
                   (acc, e) -> if(e.code = c, e.pdot, acc)))))""").as("lutflat"))
+  }
 
   /** Exact-cosine rescore of the ADC survivors: the k·overfetch id list
     * broadcasts back onto the float corpus — the corpus itself is never
@@ -2847,22 +2916,23 @@ object LlmOps {
     * hint the selector reads the optimized plan's STATISTICS (rowCount
     * when known, else sizeInBytes against [[LmCacheCrossoverBytes]]) —
     * never an extra count() action over a possibly expensive derived
-    * lineage. Both branches are value-identical (parity spec-pinned);
-    * only the physical shape differs.
+    * lineage. A lineage whose leaves carry NO stats (sizeInBytes is the
+    * defaultSizeInBytes fallback) is UNKNOWN, which resolves to the
+    * two-explode form — it may be tiny, and materializing a gram cache
+    * for it inverts the measured crossover (r11 ADVICE); callers that
+    * know better pass corpusSizeHint. Both branches are value-identical
+    * (parity spec-pinned); only the physical shape differs.
     */
   def lmScore(docs: DataFrame, vocabK: Int = 4096,
               corpusSizeHint: Option[Long] = None): DataFrame = {
-    val useCached = corpusSizeHint match {
-      case Some(n) => n >= LmCacheCrossoverDocs
+    val small = corpusSizeHint match {
+      case Some(n) => n < LmCacheCrossoverDocs
       case None =>
-        val stats = docs.queryExecution.optimizedPlan.stats
-        stats.rowCount match {
-          case Some(rc) => rc >= BigInt(LmCacheCrossoverDocs)
-          case None     => stats.sizeInBytes >= BigInt(LmCacheCrossoverBytes)
-        }
+        statsSaySmall(docs, LmCacheCrossoverDocs, LmCacheCrossoverBytes)
+          .getOrElse(true) // unknown → no materialization
     }
-    if (useCached) lmScoreCached(docs, vocabK)
-    else lmScoreTwoExplode(docs, vocabK)
+    if (small) lmScoreTwoExplode(docs, vocabK)
+    else lmScoreCached(docs, vocabK)
   }
 
   /** The uncached form: the gram stream is exploded twice. Wins below the
@@ -3318,9 +3388,20 @@ object LlmOps {
         .filter(col("u") =!= col("v"))
         .distinct()
     }
+    // fail LOUDLY on a non-numeric (or null) id: the long cast yields
+    // null and the downstream null-dropping filters would silently
+    // discard every such edge, self-labelling all docs — the driver
+    // union-find path fails loudly on the same input, and the two
+    // operators share a contract (r11 ADVICE)
+    def asLongId(c: Column): Column =
+      when(c.cast("long").isNull,
+        raise_error(concat(
+          lit("distributedClustersStar: id is not numeric: "),
+          coalesce(c.cast("string"), lit("null")))))
+        .otherwise(c.cast("long"))
     var e = pairs
-      .select(greatest(col("a"), col("b")).cast("long").as("u"),
-        least(col("a"), col("b")).cast("long").as("v"))
+      .select(asLongId(greatest(col("a"), col("b"))).as("u"),
+        asLongId(least(col("a"), col("b"))).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
     var iters = 0
@@ -3374,23 +3455,67 @@ object LlmOps {
       .orderBy(col("cluster_size"))
   }
 
+  /** Above this row estimate (or, when only bytes are known, above
+    * [[ExactPercentileCrossoverBytes]]) the exact `percentile`'s value
+    * buffer — the whole numeric column concentrated into ONE
+    * final-aggregation task — stops being report-sized, and
+    * [[embeddingHealth]] switches to the merge-able `approx_percentile`
+    * sketch (bounded buffer, map-combined).
+    */
+  val ExactPercentileCrossoverRows = 50L * 1000 * 1000
+  val ExactPercentileCrossoverBytes = 4L * 1024 * 1024 * 1024
+
+  /** Shared size-regime selector (the [[lmScore]] pattern): Some(true) =
+    * small, Some(false) = big, None = UNKNOWN. rowCount when the
+    * optimizer knows it; else sizeInBytes — and an implausibly large
+    * sizeInBytes (>= Long.MaxValue/2, i.e. the
+    * `spark.sql.defaultSizeInBytes` no-stats fallback that stats-less
+    * derived lineages inherit) is UNKNOWN, not big (r11 ADVICE: a
+    * stats-less lineage must not silently select a size-keyed branch).
+    * Each caller resolves None to ITS safe branch: [[embeddingHealth]] →
+    * approx (bounded buffer), [[lmScore]] → two-explode (no
+    * materialization for a corpus that may be tiny).
+    */
+  private[graft] def statsSaySmall(df: DataFrame,
+                                   maxRows: Long, maxBytes: Long): Option[Boolean] = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount match {
+      case Some(rc) => Some(rc < BigInt(maxRows))
+      case None if stats.sizeInBytes >= BigInt(Long.MaxValue) / 2 => None
+      case None => Some(stats.sizeInBytes < BigInt(maxBytes))
+    }
+  }
+
   /** Embedding-table health audit — the QA gate BEFORE any ANN index
     * build ([[kmeansCentroids]] divides by the norm; a NaN or zero vector
     * poisons every centroid it touches): one row with vector count, dim
     * range (min ≠ max = mixed-dim corruption), NaN-vector and zero-vector
-    * counts, and exact norm percentiles (p01/p50/p99 — a collapsed or
-    * exploding norm distribution is the standard embedding-job failure
-    * signature).
+    * counts, and norm percentiles (p01/p50/p99 — a collapsed or exploding
+    * norm distribution is the standard embedding-job failure signature).
     *
     * Scale shape: ONE aggregate over the table; count/min/max/sum partials
-    * are map-combined. `percentile` is EXACT and buffers per-partition
-    * values — the [[profileTable]] trade: at 10¹² vectors swap it for
-    * `approx_percentile` (same call shape, no buffer). The norm is
-    * graft_dot — codegen'd, no UDF.
+    * are map-combined. The percentile form is picked from PLAN STATISTICS
+    * by [[statsSaySmall]]: the DEFAULT above the crossover (and whenever
+    * size is unknown) is `approx_percentile` — a merge-able sketch with a
+    * bounded buffer — because exact `percentile` is an
+    * ImperativeAggregate that buffers the whole norm multiset into ONE
+    * final task (terabytes at 10¹² vectors). Exact is the small-table
+    * regime (report-sized inputs, bit-exact oracle), force-able either
+    * way via `exactPercentiles`. Approx-vs-exact parity is spec-pinned
+    * (≤2% relative at sf tiers). The norm is graft_dot — codegen'd, no
+    * UDF.
     */
-  def embeddingHealth(emb: DataFrame, vecCol: String): DataFrame = {
+  def embeddingHealth(emb: DataFrame, vecCol: String,
+                      exactPercentiles: Option[Boolean] = None): DataFrame = {
+    val fns = ensureFns(emb)
+    val exact = exactPercentiles.getOrElse(
+      statsSaySmall(fns, ExactPercentileCrossoverRows,
+        ExactPercentileCrossoverBytes).getOrElse(false))
+    def pct(q: Double): Column =
+      if (exact) expr(s"percentile(nrm, $q)")
+      else expr(s"approx_percentile(nrm, $q, 10000)")
     val nrm = sqrt(expr(s"graft_dot($vecCol, $vecCol)"))
-    ensureFns(emb)
+    fns
       .select(
         size(col(vecCol)).cast("bigint").as("dim"),
         when(expr(s"exists($vecCol, x -> isnan(x))"), 1L).otherwise(0L).as("has_nan"),
@@ -3401,8 +3526,8 @@ object LlmOps {
         max(col("dim")).as("dim_max"),
         sum(col("has_nan")).as("n_nan"),
         sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
-        round6(expr("percentile(nrm, 0.01)")).as("norm_p01"),
-        round6(expr("percentile(nrm, 0.5)")).as("norm_p50"),
-        round6(expr("percentile(nrm, 0.99)")).as("norm_p99"))
+        round6(pct(0.01)).as("norm_p01"),
+        round6(pct(0.5)).as("norm_p50"),
+        round6(pct(0.99)).as("norm_p99"))
   }
 }

@@ -37,17 +37,26 @@ object AggQueries {
     // a ~KB HLL sketch once (the shard artifact a daily job would write),
     // and any later reader merges years of sketches WITHOUT rescanning
     // events — hll_union_agg is lossless at fixed lgK, so the merged
-    // estimate equals the single-pass sketch exactly (spec-pinned, along
-    // with <5% error vs the exact count). Engine-specific binary — no
-    // DuckDB mirror; the driver records the rows-only check and
-    // SketchSpec carries the correctness contract.
+    // estimate equals the single-pass sketch exactly (spec-pinned). The
+    // sketch estimate itself is engine-specific, so the DRIVER-VISIBLE
+    // output is the checkable envelope: n_days, the exact distinct, and a
+    // sketch_ok tolerance flag (HLL at lgK=14 has ~0.8% stderr; 5% is a
+    // deterministic bound — HLL is a deterministic hash sketch). The exact
+    // count here is the verification harness, not the scale path; at
+    // 100 TB only the daily sketch build + union runs (SketchSpec pins
+    // losslessness and the error bound on the raw estimate).
     "distinct_users_sketch" -> ((s, d) => {
       val daily = events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
-      daily.agg(
-        expr("hll_sketch_estimate(hll_union_agg(sk, 14))").as("approx_users"),
+      val merged = daily.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
         count(lit(1)).as("n_days"))
+      val exact = events(s, d).agg(countDistinct(col("user_id")).as("exact_users"))
+      merged.crossJoin(broadcast(exact)).select(
+        col("n_days"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("sketch_ok"))
     }),
 
     // A9 — min/max/sum rollup totals (report tables)
@@ -125,6 +134,11 @@ object AggQueries {
          FROM events""",
     "distinct_users" ->
       "SELECT count(DISTINCT user_id) AS n_users FROM events",
+    "distinct_users_sketch" ->
+      """SELECT count(DISTINCT ts::DATE) AS n_days,
+                count(DISTINCT user_id) AS exact_users,
+                TRUE AS sketch_ok
+         FROM events""",
     "rollup_totals" ->
       """SELECT count(*) AS n,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -859,9 +859,32 @@ object LlmQueries {
     // referenced inside a lambda body would otherwise be re-inlined per
     // element).
     // embedding-table QA gate (run BEFORE any index build): dim range,
-    // NaN/zero-vector counts, exact norm percentiles — one aggregate
+    // NaN/zero-vector counts, norm percentiles — one aggregate; the
+    // percentile form auto-selects by plan stats (exact here at sf scale)
     "embedding_health" -> ((s, d) =>
       LlmOps.embeddingHealth(t(s, d, "embeddings"), "embedding")),
+
+    // the 100 TB regime of embedding_health, FORCED at sf scale so the
+    // gate sees it: approx_percentile (merge-able sketch, bounded buffer
+    // — no single-task value multiset) with an in-query exact harness;
+    // norms_ok pins each approx percentile within 5% of exact, the
+    // structural counts stay hash-exact against DuckDB
+    "embedding_health_approx" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val ap = LlmOps.embeddingHealth(emb, "embedding",
+        exactPercentiles = Some(false))
+      val ex = LlmOps.embeddingHealth(emb, "embedding",
+          exactPercentiles = Some(true))
+        .select(col("norm_p01").as("e01"), col("norm_p50").as("e50"),
+          col("norm_p99").as("e99"))
+      def ok(a: String, e: String) =
+        abs(col(a) - col(e)) <= abs(col(e)) * lit(0.05)
+      ap.crossJoin(broadcast(ex)).select(
+        col("n_vecs"), col("dim_min"), col("dim_max"),
+        col("n_nan"), col("n_zero"),
+        (ok("norm_p01", "e01") && ok("norm_p50", "e50") &&
+          ok("norm_p99", "e99")).as("norms_ok"))
+    }),
 
     "embed_quantize" -> ((s, d) =>
       { graft.functions.GraftFunctions.ensure(s); t(s, d, "embeddings") }
@@ -2187,6 +2210,22 @@ object LlmQueries {
                 round(quantile_cont(nrm, 0.01), 6) AS norm_p01,
                 round(quantile_cont(nrm, 0.5), 6) AS norm_p50,
                 round(quantile_cont(nrm, 0.99), 6) AS norm_p99
+         FROM v""",
+    // approx regime: percentiles are sketch estimates (engine-specific),
+    // so the oracle checks the structural counts exactly and the
+    // tolerance flag the Spark side computed against its own exact pass
+    "embedding_health_approx" ->
+      """WITH v AS (
+           SELECT CAST(len(embedding) AS BIGINT) AS dim,
+                  CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0
+                       THEN 1 ELSE 0 END AS has_nan,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings)
+         SELECT count(*) AS n_vecs,
+                min(dim) AS dim_min, max(dim) AS dim_max,
+                CAST(sum(has_nan) AS BIGINT) AS n_nan,
+                CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+                TRUE AS norms_ok
          FROM v""",
     "embed_quantize" ->
       """WITH s AS (

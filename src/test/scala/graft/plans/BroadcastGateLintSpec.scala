@@ -57,6 +57,10 @@ class BroadcastGateLintSpec extends AnyFunSuite {
       "LlmOps.ivfSearchKmeans: probed trained-cell ids — ≤ nprobe rows by .limit(nprobe)"),
     ("g.join(broadcast(vocab), Seq(\"h\"), \"left\")",
       "LlmOps.lmScore: the LM vocabulary — ≤ vocabK rows by .limit(vocabK)"),
+    ("merged.crossJoin(broadcast(exact))",
+      "AggQueries.distinct_users_sketch: groupless global exact-count aggregate — exactly 1 row"),
+    ("ap.crossJoin(broadcast(ex))",
+      "LlmQueries.embedding_health_approx: groupless exact-percentile harness aggregate — exactly 1 row"),
     ("crossJoin(broadcast(tot))",
       "LlmOps.lmScore / clusterSizeStats: groupless global aggregate (gram count / label count) — exactly 1 row"),
     ("broadcast(cand.select(col(\"vec_id\")))",

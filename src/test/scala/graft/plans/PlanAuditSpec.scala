@@ -390,6 +390,13 @@ class PlanAuditSpec extends SparkSpec {
       // the codes/corpus sides are never nested-loop-joined against
       // anything data-sized
       "sim_search_pq", "pq_train_codebooks", "sim_search_ivfpq",
+      // 1-row sketch summary × 1-row exact-count verification harness
+      // (AggQueries: merged.crossJoin(broadcast(exact)) — both sides are
+      // groupless global aggregates, exactly 1 row each)
+      "distinct_users_sketch",
+      // 1-row approx-health summary × 1-row exact-percentile harness
+      // (LlmQueries: ap.crossJoin(broadcast(ex)) — both groupless)
+      "embedding_health_approx",
       // 1-row total-label-count attach (LlmOps.clusterSizeStats:
       // crossJoin(broadcast(tot)) — the lmScore pattern; histogram and
       // total are both report-sized)
