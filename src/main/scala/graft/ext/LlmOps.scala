@@ -2188,7 +2188,7 @@ object LlmOps {
     * One tiny action over the bounded c-row table.
     */
   private[graft] def centroidGate(cents: DataFrame): Unit = {
-    val row = cents.agg(count(lit(1)), max(size(col("cvec")))).head
+    val row = cents.agg(count(lit(1)), max(size(col("cvec")))).head()
     val c = row.getLong(0)
     val dim = if (row.isNullAt(1)) 0L else row.getInt(1).toLong
     val est = c * dim * 8 * 2
@@ -2240,6 +2240,70 @@ object LlmOps {
       .select(col("vec_id"), col("cid"),
         round6(dot("embedding", "qv") / (col("nrm") * sqrt(dot("qv", "qv")))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
+  }
+
+  /** Bound on the query-batch side of [[ivfSearchBatch]]: the batch (and
+    * its Q×nprobe probe list) broadcasts, so it must stay
+    * executor-memory-sized. 4096 queries × 64 dims × 8 B ≈ 2 MB — far
+    * inside any broadcast budget; a bigger stream should be windowed into
+    * batches upstream.
+    */
+  val QueryBatchMaxRows = 4096
+
+  /** BATCHED trained-IVF search — the query-THROUGHPUT serving shape.
+    * [[ivfSearchKmeansWith]] (and the per-query store path
+    * [[annAssignedSearch]]) answer ONE query per corpus pass; a real
+    * serving job holds a batch of Q queries, and running Q independent
+    * jobs pays Q corpus touches. Here the corpus is touched ONCE for the
+    * whole batch:
+    *
+    *   1. every query ranks the bounded c-row centroid table (a Q×c
+    *      nested-loop over two broadcast-sized sides) and keeps its
+    *      top-`nprobe` cells — Q·nprobe (qid, cid) probe rows;
+    *   2. the probe list EQUI-joins the corpus assignment on `cid` — no
+    *      per-query scan: each vector fans out only to the queries that
+    *      probed its cell (expected Q·nprobe/c replicas per vector);
+    *   3. per-(query, vector) cosine, then per-query top-k via the
+    *      `graft_topk` bounded-heap aggregate — map-side eviction, the
+    *      final exchange carries Q·k rows, never a global sort.
+    *
+    * Per-query semantics are IDENTICAL to [[ivfSearchKmeansWith]] at the
+    * same (cents, nprobe, k) — round6 cosine, cell ties to the smaller
+    * cid, rank ties to the smaller vec_id (spec-pinned). The batch is
+    * gated at [[QueryBatchMaxRows]] (the broadcast contract); compose
+    * with a cid-partitioned assignment store for the no-reassign form —
+    * the probe join prunes the same way.
+    * Output: (qid, vec_id, cos), k rows per query.
+    */
+  def ivfSearchBatch(emb0: DataFrame, queries: DataFrame, cents: DataFrame,
+                     nprobe: Int, k: Int): DataFrame = {
+    val q = ensureFns(queries)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qnrm", sqrt(expr("graft_dot(qv, qv)")))
+      .filter(col("qnrm") > 0)
+    val qn = q.count()
+    require(qn <= QueryBatchMaxRows,
+      s"query batch $qn exceeds QueryBatchMaxRows=$QueryBatchMaxRows — " +
+        "window the query stream into bounded batches upstream")
+    val probed = q.crossJoin(broadcast(withCnorm(cents)))
+      .select(col("qid"), col("cid"),
+        round6(expr("graft_dot(qv, cvec)") /
+          (col("qnrm") * col("cnrm"))).as("ccos"))
+      .groupBy(col("qid"))
+      .agg(expr(s"transform(slice(array_sort(collect_list(struct(-ccos AS nc, cid))), 1, $nprobe), x -> x.cid)")
+        .as("cids"))
+      .select(col("qid"), explode(col("cids")).as("cid"))
+    kmeansAssignTo(emb0, cents)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+      .join(broadcast(probed), "cid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"),
+        round6(dot("embedding", "qv") / (col("nrm") * col("qnrm"))).as("cos"))
+      .groupBy(col("qid"))
+      .agg(expr(s"graft_topk(cos, vec_id, $k)").as("nn"))
+      .select(col("qid"), explode(col("nn")).as("x"))
+      .select(col("qid"), col("x.id").as("vec_id"), col("x.score").as("cos"))
   }
 
   /** SemDeDup-style semantic dedup over TRAINED cells (Abbas et al. 2023,
@@ -2688,7 +2752,7 @@ object LlmOps {
     * mismatch must fail HERE, loudly.
     */
   private def pqLut(cbs: DataFrame, q: DataFrame, m: Int, ks: Int): DataFrame = {
-    val chk = cbs.agg(max(col("code")), countDistinct(col("sub"))).head
+    val chk = cbs.agg(max(col("code")), countDistinct(col("sub"))).head()
     val maxCode = if (chk.isNullAt(0)) -1 else chk.getAs[Number](0).intValue
     val nSub = chk.getLong(1)
     require(maxCode < ks && nSub <= m,

@@ -105,6 +105,43 @@ object IoQueries {
           max(col("doc_id")).as("max_id"))
     }),
 
+    // small-files / layout report (r12 — the 100 TB ops gate before a
+    // table is declared servable: a corpus written with too many tiny
+    // files pays per-file open/list/footer costs on EVERY downstream
+    // scan, and the fix — compaction — is a plan you want sized before
+    // running it). The write half produces a CONTROLLED layout: one
+    // task per lang (hash repartition on the partition column — a lang
+    // never splits across tasks) with maxRecordsPerFile=100, so files
+    // roll deterministically at 100 rows. The report half reads the
+    // REAL resulting layout back via input_file_name() — per-file row
+    // counts, never trusting the write plan — and prices a compaction
+    // to a 1000-row/file target. Scale shape: two map-combined hash
+    // aggregates over the re-read; file identity never leaves the map
+    // side as more than one row per (lang, file).
+    "small_files_report" -> ((s, d) => {
+      val path = scratch("small_files_report", d)
+      t(s, d, "documents")
+        .repartition(col("lang"))
+        .write.mode("overwrite").option("maxRecordsPerFile", 100)
+        .partitionBy("lang").parquet(path)
+      val perFile = s.read.parquet(path)
+        .groupBy(col("lang"), input_file_name().as("f"))
+        .agg(count(lit(1)).as("rows_in_file"))
+      perFile.groupBy(col("lang"))
+        .agg(count(lit(1)).cast("bigint").as("n_files"),
+          sum(col("rows_in_file")).as("n_rows"),
+          max(col("rows_in_file")).as("max_file_rows"),
+          min(col("rows_in_file")).as("min_file_rows"))
+        .withColumn("target_files",
+          ceil(col("n_rows").cast("double") / 1000).cast("bigint"))
+        .withColumn("files_saved",
+          (col("n_files") - col("target_files")).cast("bigint"))
+        .select(col("lang"), col("n_files"), col("n_rows"),
+          col("max_file_rows"), col("min_file_rows"),
+          col("target_files"), col("files_saved"))
+        .orderBy(col("lang"))
+    }),
+
     // S4 — JSON lines export/import (dsbulk --connector.name json)
     "export_json" -> ((s, d) => {
       val path = scratch("export_json", d)
@@ -130,6 +167,19 @@ object IoQueries {
     "export_partitioned" ->
       """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 min(doc_id) AS min_id, max(doc_id) AS max_id
-         FROM documents WHERE lang = 'en'"""
+         FROM documents WHERE lang = 'en'""",
+    // the controlled write rolls files at exactly 100 rows per lang (one
+    // task per lang), so the REAL layout the Spark side reads back with
+    // input_file_name() must equal these closed forms
+    "small_files_report" ->
+      """SELECT lang,
+                CAST(ceil(count(*) / 100.0) AS BIGINT) AS n_files,
+                count(*) AS n_rows,
+                CAST(LEAST(count(*), 100) AS BIGINT) AS max_file_rows,
+                CAST(CASE WHEN count(*) % 100 = 0 THEN LEAST(count(*), 100)
+                          ELSE count(*) % 100 END AS BIGINT) AS min_file_rows,
+                CAST(ceil(count(*) / 1000.0) AS BIGINT) AS target_files,
+                CAST(ceil(count(*) / 100.0) - ceil(count(*) / 1000.0) AS BIGINT) AS files_saved
+         FROM documents GROUP BY lang ORDER BY lang"""
   )
 }

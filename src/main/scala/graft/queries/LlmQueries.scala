@@ -1064,6 +1064,21 @@ object LlmQueries {
       LlmOps.writeAnnAssignments(corpus, cents, store)
       LlmOps.annAssignedSearch(s, store, cents,
         e.filter(col("vec_id") === 0), nprobe = 2, k = 10)
+    }),
+
+    // BATCHED trained-IVF serving (r12): Q=4 queries answered in ONE
+    // corpus pass — per-query cell probing over the bounded centroid
+    // table, an equi-join fan-out of the assignment to probing queries,
+    // and per-query top-k via the graft_topk map-side heap. Same corpus
+    // and trained centroids as sim_search_ivf_kmeans, so the oracle
+    // reuses the kmeans chain with a 4-row query CTE.
+    "sim_search_batch" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val cents = LlmOps.kmeansCentroids(corpus, c = 4, iters = 2)
+      LlmOps.ivfSearchBatch(corpus, e.filter(col("vec_id") < 4), cents,
+          nprobe = 2, k = 10)
+        .orderBy(col("qid"), col("cos").desc, col("vec_id"))
     })
   )
 
@@ -2299,6 +2314,36 @@ object LlmQueries {
     // re-assigning trained-IVF search at the same (c, iters, nprobe, k)
     // — the shared mirror asserts exactly that
     "sim_search_served" -> simSearchKmeansSql,
+    // batched serving: the same trained chain, per-query probe + top-k
+    // via row_number windows (the oracle-side analog of graft_topk's
+    // (score desc, id asc) heap and the (ccos desc, cid asc) cell rank)
+    "sim_search_batch" ->
+      s"""WITH $duckKmeansChain,
+          q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+                       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qnrm
+                FROM embeddings
+                WHERE vec_id < 4
+                  AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0),
+          pc AS (SELECT q.qid, c2.cid,
+                        round(list_dot_product(c2.cvec, q.qv) /
+                              (sqrt(list_dot_product(c2.cvec, c2.cvec)) * q.qnrm), 6) AS ccos
+                 FROM cent2 c2 CROSS JOIN q
+                 WHERE sqrt(list_dot_product(c2.cvec, c2.cvec)) > 0),
+          probed AS (SELECT qid, cid FROM (
+                       SELECT qid, cid,
+                              row_number() OVER (PARTITION BY qid
+                                                 ORDER BY ccos DESC, cid) AS rn
+                       FROM pc) WHERE rn <= 2),
+          scored AS (SELECT p.qid, m.vec_id,
+                            round(list_dot_product(m.e, q.qv) / (m.nrm * q.qnrm), 6) AS cos
+                     FROM a3 JOIN probed p USING (cid)
+                             JOIN emb m USING (vec_id)
+                             JOIN q ON q.qid = p.qid)
+          SELECT qid, vec_id, cos FROM (
+            SELECT qid, vec_id, cos,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+            FROM scored) WHERE rn <= 10
+          ORDER BY qid, cos DESC, vec_id""",
     "dedup_corpus_best" ->
       s"""WITH RECURSIVE docs AS ($docsDupSql),
           $duckShingleCte,

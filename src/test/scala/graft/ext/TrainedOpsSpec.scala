@@ -302,4 +302,38 @@ class TrainedOpsSpec extends SparkSpec {
     assert(got.filter(_._2).keySet == Set(107L, 207L), s"got $got")
     assert(!got(7L), "the smallest id of the group survives")
   }
+
+  test("ivfSearchBatch: each query's rows equal the single-query trained-IVF " +
+       "search at the same (cents, nprobe, k) — one corpus pass, Q answers") {
+    val corpus = planted
+    val cents = LlmOps.kmeansCentroids(corpus, c = 2, iters = 2)
+    val queries = Seq(
+      (101L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (102L, Seq(0.1f, 0.9f, 0f, 0f)),
+      (103L, Seq(0.7f, 0.7f, 0f, 0f))).toDF("vec_id", "embedding")
+    val batch = LlmOps.ivfSearchBatch(corpus, queries, cents, nprobe = 1, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(x => (-x._2, x._1)).toSeq).toMap
+    assert(batch.keySet == Set(101L, 102L, 103L))
+    for (qid <- Seq(101L, 102L, 103L)) {
+      val single = LlmOps.ivfSearchKmeansWith(corpus, cents,
+          queries.filter(col("vec_id") === qid).select(col("embedding")),
+          nprobe = 1, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(batch(qid) == single,
+        s"qid=$qid batch ${batch(qid)} != single $single")
+    }
+  }
+
+  test("ivfSearchBatch: an over-budget query batch fails loudly at the gate") {
+    val corpus = planted
+    val cents = LlmOps.kmeansCentroids(corpus, c = 2, iters = 2)
+    val big = spark.range(LlmOps.QueryBatchMaxRows + 1)
+      .select(col("id").as("vec_id"),
+        org.apache.spark.sql.functions.array(lit(1f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      LlmOps.ivfSearchBatch(corpus, big, cents, nprobe = 1, k = 5)
+    }
+    assert(e.getMessage.contains("QueryBatchMaxRows"))
+  }
 }

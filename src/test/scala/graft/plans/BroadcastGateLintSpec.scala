@@ -61,6 +61,12 @@ class BroadcastGateLintSpec extends AnyFunSuite {
       "AggQueries.distinct_users_sketch: groupless global exact-count aggregate — exactly 1 row"),
     ("ap.crossJoin(broadcast(ex))",
       "LlmQueries.embedding_health_approx: groupless exact-percentile harness aggregate — exactly 1 row"),
+    ("q.crossJoin(broadcast(withCnorm(cents)))",
+      "LlmOps.ivfSearchBatch: the c-row centroid table (CentroidBudgetBytes contract); probe side gated at QueryBatchMaxRows"),
+    (".join(broadcast(probed), \"cid\")",
+      "LlmOps.ivfSearchBatch: the Q·nprobe probe list — bounded by the QueryBatchMaxRows gate × the nprobe literal"),
+    (".join(broadcast(q), \"qid\")",
+      "LlmOps.ivfSearchBatch: the query batch — gated at QueryBatchMaxRows (require before any broadcast)"),
     ("crossJoin(broadcast(tot))",
       "LlmOps.lmScore / clusterSizeStats: groupless global aggregate (gram count / label count) — exactly 1 row"),
     ("broadcast(cand.select(col(\"vec_id\")))",

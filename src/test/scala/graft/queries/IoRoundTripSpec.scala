@@ -55,4 +55,26 @@ class IoRoundTripSpec extends SparkSpec {
     val back = spark.read.schema(schema).json(dir)
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
+
+  test("small_files_report: the measured layout equals the closed form — " +
+       "ceil(rows/100) files per lang, 100-row rolls, remainder last") {
+    val rep = graft.SparkEntry.queries("small_files_report")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val src = spark.read.parquet(s"${sf()}/documents.parquet")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep.keySet == src.keySet, "every lang must be reported")
+    for ((lang, n) <- src) {
+      val (nFiles, nRows, maxR, minR, target, saved) = rep(lang)
+      assert(nRows == n, s"$lang rows")
+      assert(nFiles == (n + 99) / 100,
+        s"$lang: measured $nFiles files, expected ceil($n/100)")
+      assert(maxR == math.min(n, 100L), s"$lang max file rows")
+      assert(minR == (if (n % 100 == 0) math.min(n, 100L) else n % 100),
+        s"$lang min file rows")
+      assert(target == (n + 999) / 1000 && saved == nFiles - target)
+    }
+  }
 }
