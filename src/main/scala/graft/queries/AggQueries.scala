@@ -59,6 +59,54 @@ object AggQueries {
           col("exact_users") * lit(0.05)).as("sketch_ok"))
     }),
 
+    // ordered funnel view→click→purchase (r12 — the product-analytics
+    // report the reference's monitoring aggregates stop short of): a
+    // user completes step i when the step's event occurs STRICTLY after
+    // their step-(i−1) completion time (first-occurrence ordering).
+    // Scale shape: a chain of three conditional-MIN aggregates, each
+    // map-side-combined, stitched by user_id equi-joins — deliberately
+    // NOT a per-user collect_list + sequence scan: min partials collapse
+    // a bot user's 10⁹ events map-side, where an event-list would
+    // materialize them in one task. Three event scans is the price; each
+    // is narrow (user_id, ts, event_type) and filter-pushed.
+    "funnel_steps" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      def c(df: org.apache.spark.sql.DataFrame, step: Int, name: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(step).as("step"), lit(name).as("step_name"),
+            col("n_users"))
+      c(t1, 1, "view").unionByName(c(t2, 2, "click"))
+        .unionByName(c(t3, 3, "purchase"))
+        .orderBy(col("step"))
+    }),
+
+    // cohort retention matrix (r12): users cohorted by first-seen day,
+    // counted once per (cohort, day_offset) they were active — the
+    // engagement report behind every "day-N retention" curve. Scale
+    // shape: first-seen is a map-combined MIN agg; the join back is a
+    // user_id equi-join; the matrix agg distincts (user, cohort, offset)
+    // then counts — both hash aggregates partial-combine, and the output
+    // is cohorts × horizon, report-sized by construction.
+    "retention_cohorts" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      ev.join(first, "user_id")
+        .select(col("user_id"), col("cohort"),
+          datediff(col("day"), col("cohort")).as("day_offset"))
+        .distinct()
+        .groupBy(col("cohort"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort"), col("day_offset"))
+    }),
+
     // A9 — min/max/sum rollup totals (report tables)
     "rollup_totals" -> ((s, d) =>
       t(s, d, "lineitem").agg(
@@ -139,6 +187,33 @@ object AggQueries {
                 count(DISTINCT user_id) AS exact_users,
                 TRUE AS sketch_ok
          FROM events""",
+    "funnel_steps" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+          t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                 JOIN t1 USING (user_id)
+                 WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+          t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                 JOIN t2 USING (user_id)
+                 WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+         SELECT step, step_name, n_users FROM (
+           SELECT 1 AS step, 'view' AS step_name,
+                  (SELECT count(*) FROM t1) AS n_users
+           UNION ALL
+           SELECT 2, 'click', (SELECT count(*) FROM t2)
+           UNION ALL
+           SELECT 3, 'purchase', (SELECT count(*) FROM t3))
+         ORDER BY step""",
+    "retention_cohorts" ->
+      """WITH f AS (SELECT user_id, min(ts::DATE) AS cohort
+                    FROM events GROUP BY 1),
+          act AS (SELECT DISTINCT e.user_id, f.cohort,
+                         date_diff('day', f.cohort, e.ts::DATE) AS day_offset
+                  FROM events e JOIN f USING (user_id))
+         SELECT cohort, CAST(day_offset AS INTEGER) AS day_offset,
+                count(*) AS n_users
+         FROM act GROUP BY cohort, day_offset
+         ORDER BY cohort, day_offset""",
     "rollup_totals" ->
       """SELECT count(*) AS n,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -97,6 +97,23 @@ object CoreQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)),
 
+    // grouped top-k via the graft_topk bounded-heap AGGREGATE (r12) — the
+    // scale-safe alternative to `row_number() OVER (PARTITION BY …) <= k`:
+    // the window form shuffles and SORTS every row of every group; the
+    // heap evicts to k entries inside each map task, so the exchange
+    // carries #groups × k rows no matter how hot a group is. Ties break
+    // (price desc, orderkey asc), same as the window mirror.
+    "topk_per_group" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensure(s)
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("graft_topk(o_totalprice, o_orderkey, 3)").as("nn"))
+        .select(col("o_orderpriority"), posexplode(col("nn")).as(Seq("rk", "x")))
+        .select(col("o_orderpriority"), (col("rk") + 1).as("rk"),
+          col("x.id").as("o_orderkey"), col("x.score").as("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rk"))
+    }),
+
     // U1 — EXCEPT: origin rows whose (pk, totalprice) got lost or mutated
     "set_except_schema" -> ((s, d) => {
       val ord = t(s, d, "orders")
@@ -151,6 +168,15 @@ object CoreQueries {
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 1000",
     "topk_orders" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    // window mirror of the graft_topk heap: rank = position in the
+    // (price desc, orderkey asc) order, k = 3 per priority
+    "topk_per_group" ->
+      """SELECT o_orderpriority, CAST(rk AS INTEGER) AS rk, o_orderkey, o_totalprice
+         FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY o_totalprice DESC, o_orderkey) AS rk
+               FROM orders)
+         WHERE rk <= 3 ORDER BY o_orderpriority, rk""",
     "set_except_schema" ->
       s"""WITH twin AS ($twinSql)
           SELECT o_orderkey, o_totalprice FROM orders

@@ -52,7 +52,14 @@ object DumpPlans {
       "dedup_clusters_dist" -> "star-contraction CC (r11): the dumped plan is the final label extraction — per-round plans are localCheckpoint-truncated (each round references its input several times; without truncation the logical plan doubles per round), so the printed tree stays round-count-independent; every round is two edge-set-sized equi-join/agg shuffles, no driver state, no window",
       "dedup_edit_distance" -> "Levenshtein verify tier (r11): candidates come from the SAME banded LSH equi-join minhash uses; the O(len²) distance evaluates inline (codegen'd levenshtein) on candidate pairs only — the corpus text joins to the pair list by id, never self-joins",
       "quality_histogram" -> "score histogram (r11): inherits lmScore's plan (narrow gram explode, charset-bounded count agg, 1-row total attach); the histogram itself is one map-combined agg on floor(score) — fixed-width buckets, never an ntile (no global sort)",
-      "distinct_users_sketch" -> "persisted-sketch distinct (r11): per-day HLL sketches build in one hash agg (datasketches buffers combine map-side), the union agg merges |days| KB-sized sketches — the events table is scanned once and never re-shuffled; at 100 TB the daily sketches persist and the merge reads NO events at all")
+      "distinct_users_sketch" -> "persisted-sketch distinct (r11, envelope r12): per-day HLL sketches build in one hash agg (datasketches buffers combine map-side), the union agg merges |days| KB-sized sketches — the events table is never re-shuffled; at 100 TB the daily sketches persist and the merge reads NO events. The registry output adds an exact countDistinct harness pass (1-row × 1-row BNLJ attach) so the driver gate sees a three-axis row — verification cost, not the scale path",
+      "embedding_health_approx" -> "the 100 TB embedding-QA regime FORCED at sf scale (r12): approx_percentile sketch aggregates — merge-able, bounded buffer, no single-task value multiset — plus a 1-row exact-percentile harness attach (norms_ok ≤5%); both sides are groupless global aggregates, ONE corpus scan each",
+      "profile_table_approx" -> "the 100 TB profile regime FORCED at sf scale (r12): approx_count_distinct at rsd 0.01 — single-pass partials, NO Expand (the exact form multiplies map output ×(cols+1)) — joined to the exact-distinct harness on the 4-row col_name table (nd_ok ≤5%)",
+      "sim_search_batch" -> "batched trained-IVF serving (r12): the Q-query batch ranks the c-row broadcast centroid table (Q×c bounded nested loop), the Q·nprobe probe list equi-joins the corpus assignment on cid — ONE corpus pass for the whole batch, each vector fans out only to the queries probing its cell — and per-query top-k runs on the graft_topk bounded heap (map-side eviction, Q·k exchange rows); the batch side is gated at QueryBatchMaxRows",
+      "small_files_report" -> "storage-layout audit (r12): a controlled partitioned write (hash repartition on the partition column — one task per lang — with deterministic 100-row file rolls) re-read through input_file_name(); two map-combined hash aggregates — per-file counts leave the map side as one row per (lang, file), the report is langs-sized",
+      "topk_per_group" -> "grouped top-k (r12): the graft_topk TypedImperativeAggregate evicts to k entries INSIDE each map task, so the exchange carries #groups×k rows — the row_number window form this replaces shuffles and sorts every row of every group; no Window node anywhere in the plan (PlanSpec-pinned)",
+      "funnel_steps" -> "ordered funnel (r12): three conditional-MIN aggregates chained by user_id equi-joins — every stage partial-combines map-side, so a bot user's 10⁹ events collapse before any exchange; deliberately not a per-user collect_list + sequence scan (the unsplittable-hot-user shape); three narrow filter-pushed event scans is the price",
+      "retention_cohorts" -> "cohort retention matrix (r12): first-seen MIN agg → user_id equi-join → (user, cohort, offset) distinct → matrix count; all hash aggregates partial-combine and the output is cohorts × horizon, report-sized")
 
     val out = new StringBuilder
     out ++= "# Physical plan audit (generated by graft.tools.DumpPlans at sf0.01)\n\n"

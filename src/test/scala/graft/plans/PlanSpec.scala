@@ -93,6 +93,15 @@ class PlanSpec extends SparkSpec {
     assert(physical(df).contains("TakeOrderedAndProject"))
   }
 
+  test("topk_per_group plans as the graft_topk heap aggregate — no Window, " +
+       "no per-group sort of the full input") {
+    val plan = physical(
+      graft.SparkEntry.queries("topk_per_group")(spark, sf()))
+    assert(plan.contains("graft_topk"), plan)
+    assert(!plan.contains("Window"),
+      s"grouped top-k must not fall back to the window sort:\n$plan")
+  }
+
   test("pkGroupedLayout = one hash exchange + partition-local sort, no global sort") {
     val orders = spark.read.parquet(s"${sf()}/orders.parquet")
     val out = graft.core.Ops.pkGroupedLayout(orders, Seq("o_orderkey"), 4)
