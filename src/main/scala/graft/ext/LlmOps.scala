@@ -3594,4 +3594,38 @@ object LlmOps {
         round6(pct(0.5)).as("norm_p50"),
         round6(pct(0.99)).as("norm_p99"))
   }
+
+  /** Takedown / right-to-be-forgotten purge: drop from `corpus` every row
+    * whose `idCol` appears in `requests` (the deletion-request table —
+    * DMCA takedowns, GDPR erasure, opt-outs). The complement of
+    * [[decontaminatePurge]]'s content-keyed removal: here the KEYS are
+    * given, so no text ever needs to be read.
+    *
+    * Scale shape, two regimes (the [[minhashProbe]] pushdown pattern):
+    * a real deletion batch is tiny relative to the corpus, so when the
+    * request set is ≤ [[CandidateInFilterMaxIds]] distinct ids (probed
+    * with a bounded `limit(max+1).collect()` — never an unbounded
+    * driver read) the purge compiles to a PLAIN SCAN FILTER
+    * `NOT id IN (…)`: no join, no exchange, and on a
+    * [[writeLandedCorpus]]-style id-sorted layout the predicate prunes
+    * at the row-group level. Above the gate it falls back to a
+    * LEFT ANTI equi-join on the id — AQE broadcasts the request side
+    * when it fits, and the join shuffles only otherwise. Exactness
+    * never depends on the regime (spec-pinned equal outputs).
+    *
+    * `idCol` is a PK per the diff family's contract (non-null, unique);
+    * like [[duplicateClusters]], a null id fails loudly in the small
+    * regime rather than silently diverging between regimes.
+    */
+  def purgeByIds(corpus: DataFrame, requests: DataFrame, idCol: String): DataFrame = {
+    val idRows = requests.select(col(idCol)).distinct()
+      .limit(CandidateInFilterMaxIds + 1).collect()
+    require(idRows.forall(_.get(0) != null),
+      s"purgeByIds: null $idCol in the request table — the id is a PK " +
+        "(diff-family contract); a null request row cannot name a document")
+    if (idRows.length <= CandidateInFilterMaxIds)
+      corpus.filter(!col(idCol).isin(idRows.map(_.get(0)): _*))
+    else
+      corpus.join(requests.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
 }

@@ -149,3 +149,180 @@ case class TopKPairs(
       newChildren: IndexedSeq[Expression]): TopKPairs =
     copy(score = newChildren(0), id = newChildren(1), kExpr = newChildren(2))
 }
+
+/** Misra–Gries frequent-items summary, bounded at k counters.
+  *
+  * Update is the classic MG step (present → +1; room → insert 1; full →
+  * decrement every counter by 1, dropping zeros — amortized O(1): each
+  * decrement-all retires k+1 count units, so over n updates at most
+  * n/(k+1) such sweeps run). Merge follows Agarwal et al., "Mergeable
+  * Summaries" (PODS 2012, §3): sum the two counter sets (≤2k entries),
+  * then if more than k remain subtract the (k+1)-th largest count from
+  * all and drop the non-positive — the result is again an MG summary
+  * with the additive error bounds intact. Net guarantee after any
+  * merge tree: `true − n/(k+1) ≤ est ≤ true`, so every item with true
+  * frequency > n/(k+1) is PRESENT in the summary (the guarantee
+  * `heavy_hitters`' envelope oracle checks at n/k, a strictly looser
+  * bound).
+  */
+final class FreqBuffer(val k: Int) {
+  val counts = new java.util.HashMap[Any, java.lang.Long](2 * k)
+
+  def update1(item: Any): Unit = {
+    val c = counts.get(item)
+    if (c != null) counts.put(item, c + 1L)
+    else if (counts.size < k) counts.put(item, 1L)
+    else {
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+      }
+    }
+  }
+
+  def add(item: Any, w: Long): Unit = {
+    val c = counts.get(item)
+    counts.put(item, if (c == null) w else c + w)
+  }
+
+  def mergeFrom(o: FreqBuffer): Unit = {
+    val it = o.counts.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); add(e.getKey, e.getValue) }
+    if (counts.size > k) {
+      // subtract the (k+1)-th largest count, drop what hits zero
+      val vals = new Array[Long](counts.size)
+      val vi = counts.values.iterator(); var i = 0
+      while (vi.hasNext) { vals(i) = vi.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      val m = vals(vals.length - (k + 1)) // (k+1)-th largest
+      val it2 = counts.entrySet().iterator()
+      while (it2.hasNext) {
+        val e = it2.next()
+        if (e.getValue <= m) it2.remove() else e.setValue(e.getValue - m)
+      }
+    }
+  }
+}
+
+/** `graft_freq(item, k)` → `array<struct<item, est:bigint>>`, the
+  * Misra–Gries frequent-items summary of the group, sorted (est desc,
+  * item asc).
+  *
+  * Why it exists: the exact form of "which keys dominate this column"
+  * is a full `groupBy(item).count()` — one shuffle row per DISTINCT key.
+  * At 100 TB a high-cardinality column (user ids, URLs, shingles) makes
+  * that exchange itself the bottleneck even though only the handful of
+  * heavy keys matter. [[FreqBuffer]] is a MERGEABLE bounded sketch: each
+  * map task keeps ≤k counters, the exchange carries ≤k rows per task,
+  * and the merged summary still guarantees every item with frequency
+  * > n/(k+1) is present with `est` within n/(k+1) of exact (Agarwal
+  * et al., PODS 2012). The exact pass in `heavy_hitters`' registry
+  * envelope is the verification harness, not the scale path.
+  *
+  * Items may be string or bigint (the buffer is type-stable per the
+  * child's type; output item field matches it). Nulls are skipped. `k`
+  * must be a foldable int in [1, 65536].
+  */
+case class FreqItems(
+    item: Expression, kExpr: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[FreqBuffer] {
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Int]
+  private def isStr: Boolean = item.dataType == StringType
+
+  override def children: Seq[Expression] = Seq(item, kExpr)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (item.dataType, kExpr.dataType) match {
+      case (StringType | LongType, IntegerType) if kExpr.foldable =>
+        val kv = kExpr.eval()
+        if (kv == null || kv.asInstanceOf[Int] < 1 || kv.asInstanceOf[Int] > 65536)
+          TypeCheckResult.TypeCheckFailure(
+            s"graft_freq k must be in [1, 65536], got $kv")
+        else TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_freq requires (string|bigint, foldable int), got $other")
+    }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("item", item.dataType, nullable = false),
+      StructField("est", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_freq"
+
+  override def createAggregationBuffer(): FreqBuffer = new FreqBuffer(k)
+
+  override def update(b: FreqBuffer, input: InternalRow): FreqBuffer = {
+    val v = item.eval(input)
+    // UTF8String from eval may be a buffer-backed view; copy before it
+    // outlives the current row (the buffer holds it across rows)
+    if (v != null) b.update1(v match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+      case other => other
+    })
+    b
+  }
+
+  override def merge(b: FreqBuffer, o: FreqBuffer): FreqBuffer = {
+    b.mergeFrom(o); b
+  }
+
+  override def eval(b: FreqBuffer): Any = {
+    val entries = new Array[(Any, Long)](b.counts.size)
+    val it = b.counts.entrySet().iterator(); var i = 0
+    while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue.longValue); i += 1 }
+    // est desc, item asc — deterministic output order
+    val sorted = entries.sortWith { case ((i1, c1), (i2, c2)) =>
+      if (c1 != c2) c1 > c2
+      else i1.asInstanceOf[Comparable[Any]].compareTo(i2) < 0
+    }
+    new GenericArrayData(sorted.map { case (it0, c) => InternalRow(it0, c) })
+  }
+
+  override def serialize(b: FreqBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(16 * (b.counts.size + 1))
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.counts.size)
+    val it = b.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (isStr) {
+        val bytes = e.getKey.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+        out.writeInt(bytes.length); out.write(bytes)
+      } else out.writeLong(e.getKey.asInstanceOf[java.lang.Long].longValue)
+      out.writeLong(e.getValue.longValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): FreqBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val b = new FreqBuffer(k)
+    var i = 0
+    while (i < n) {
+      val key: Any =
+        if (isStr) {
+          val len = in.readInt(); val buf = new Array[Byte](len)
+          in.readFully(buf)
+          org.apache.spark.unsafe.types.UTF8String.fromBytes(buf)
+        } else java.lang.Long.valueOf(in.readLong())
+      b.add(key, in.readLong())
+      i += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqItems =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqItems =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FreqItems =
+    copy(item = newChildren(0), kExpr = newChildren(1))
+}

@@ -91,6 +91,12 @@ object GraftFunctions {
         require(args.length == 3, "graft_topk takes (score double, id bigint, k)")
         TopKPairs(args(0), args(1), args(2))
       }),
+    (FunctionIdentifier("graft_freq"),
+      new ExpressionInfo(classOf[FreqItems].getName, "graft_freq"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_freq takes (item string|bigint, k)")
+        FreqItems(args(0), args(1))
+      }),
     (FunctionIdentifier("graft_lsh_sig"),
       new ExpressionInfo(classOf[LshSig].getName, "graft_lsh_sig"),
       (args: Seq[Expression]) => {

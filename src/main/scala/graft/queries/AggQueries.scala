@@ -107,6 +107,33 @@ object AggQueries {
         .orderBy(col("cohort"), col("day_offset"))
     }),
 
+    // heavy hitters via the mergeable Misra–Gries sketch (r12): which keys
+    // dominate a column WITHOUT an exchange row per distinct key — each map
+    // task keeps ≤k counters and the shuffle carries ≤k rows per task,
+    // where the exact groupBy(item).count() form pays one shuffle row per
+    // DISTINCT key (the 100 TB wall on user ids / URLs / shingles). The
+    // sketch guarantees every item with frequency > n/(k+1) survives with
+    // est within n/(k+1) of exact, so the driver-visible output is the
+    // envelope: items whose EXACT count clears n/k, their exact counts,
+    // and hh_ok (est within n/k). The inner join to the exact pass IS the
+    // presence check — a missing guaranteed item shows as a missing row
+    // vs the oracle. The exact pass is the verification harness, not the
+    // scale path; FreqSketchSpec pins saturation + merge on planted skew.
+    "heavy_hitters" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensure(s)
+      val ev = events(s, d).select(col("event_type"))
+      val sk = ev.agg(expr("graft_freq(event_type, 16)").as("hh"),
+        count(lit(1)).as("n"))
+      val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+      sk.select(explode(col("hh")).as("e"), col("n"))
+        .select(col("e.item").as("event_type"), col("e.est").as("est"), col("n"))
+        .join(exact, "event_type")
+        .filter(col("exact_n") > col("n") / lit(16))
+        .select(col("event_type"), col("exact_n"),
+          (abs(col("est") - col("exact_n")) <= col("n") / lit(16)).as("hh_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     // A9 — min/max/sum rollup totals (report tables)
     "rollup_totals" -> ((s, d) =>
       t(s, d, "lineitem").agg(
@@ -214,6 +241,13 @@ object AggQueries {
                 count(*) AS n_users
          FROM act GROUP BY cohort, day_offset
          ORDER BY cohort, day_offset""",
+    "heavy_hitters" ->
+      """WITH tot AS (SELECT count(*) AS n FROM events)
+         SELECT event_type, count(*) AS exact_n, TRUE AS hh_ok
+         FROM events, tot
+         GROUP BY event_type, tot.n
+         HAVING count(*) > tot.n / 16
+         ORDER BY event_type""",
     "rollup_totals" ->
       """SELECT count(*) AS n,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

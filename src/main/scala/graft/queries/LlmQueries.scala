@@ -283,6 +283,19 @@ object LlmQueries {
         .filter(col("n") > 1)
         .orderBy(col("content_md5"))),
 
+    // takedown / right-to-be-forgotten purge (r12): the deletion-request
+    // table here is every doc_id % 97 == 0 — 6 ids at sf0.01 (the
+    // ≤256-id regime: a plain NOT-IN scan filter, no join), ~515 at sf1
+    // (the anti-join regime) — so the two gate tiers exercise BOTH
+    // purgeByIds regimes against the same oracle.
+    "purge_by_ids" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val requests = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+      LlmOps.purgeByIds(docs, requests, "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash+LSH banded near-dup candidates (shuffle on band hash)
     "dedup_minhash" -> ((s, d) =>
       LlmOps.minhashCandidates(docsWithDups(t(s, d, "documents")), "doc_id")
@@ -1333,6 +1346,10 @@ object LlmQueries {
       s"""WITH docs AS ($docsDupSql)
           SELECT md5(text) AS content_md5, count(*) AS n, min(doc_id) AS keep_id
           FROM docs GROUP BY 1 HAVING count(*) > 1 ORDER BY content_md5""",
+    "purge_by_ids" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 97 = 0)
+         ORDER BY doc_id""",
     "dedup_minhash" ->
       s"""WITH docs AS ($docsDupSql),
           $duckShingleCte,

@@ -59,7 +59,9 @@ object DumpPlans {
       "small_files_report" -> "storage-layout audit (r12): a controlled partitioned write (hash repartition on the partition column — one task per lang — with deterministic 100-row file rolls) re-read through input_file_name(); two map-combined hash aggregates — per-file counts leave the map side as one row per (lang, file), the report is langs-sized",
       "topk_per_group" -> "grouped top-k (r12): the graft_topk TypedImperativeAggregate evicts to k entries INSIDE each map task, so the exchange carries #groups×k rows — the row_number window form this replaces shuffles and sorts every row of every group; no Window node anywhere in the plan (PlanSpec-pinned)",
       "funnel_steps" -> "ordered funnel (r12): three conditional-MIN aggregates chained by user_id equi-joins — every stage partial-combines map-side, so a bot user's 10⁹ events collapse before any exchange; deliberately not a per-user collect_list + sequence scan (the unsplittable-hot-user shape); three narrow filter-pushed event scans is the price",
-      "retention_cohorts" -> "cohort retention matrix (r12): first-seen MIN agg → user_id equi-join → (user, cohort, offset) distinct → matrix count; all hash aggregates partial-combine and the output is cohorts × horizon, report-sized")
+      "retention_cohorts" -> "cohort retention matrix (r12): first-seen MIN agg → user_id equi-join → (user, cohort, offset) distinct → matrix count; all hash aggregates partial-combine and the output is cohorts × horizon, report-sized",
+      "heavy_hitters" -> "Misra–Gries heavy hitters (r12): the graft_freq TypedImperativeAggregate keeps ≤k counters per map task, so the exchange carries ≤k rows per task where the exact groupBy pays one per DISTINCT key; the exact pass + inner join here is the driver-visible verification envelope (presence = the join, accuracy = hh_ok), not the scale path",
+      "purge_by_ids" -> "takedown purge (r12): at sf tiers the ≤256-id regime compiles to a PLAIN SCAN FILTER (NOT-IN over the bounded-collected request ids — no join node at all; row-group prunable on an id-sorted layout); above the gate it is one left-anti equi-join AQE can broadcast — spec pins both regimes output-identical")
 
     val out = new StringBuilder
     out ++= "# Physical plan audit (generated by graft.tools.DumpPlans at sf0.01)\n\n"

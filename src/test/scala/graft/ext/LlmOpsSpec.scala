@@ -874,6 +874,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(hist.nonEmpty)
   }
 
+  // --- purgeByIds (takedown / right-to-be-forgotten) ---------------------
+
+  test("purgeByIds small regime: plain scan filter (no join), ids removed") {
+    val corpus = (1L to 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val requests = Seq(3L, 500L, 999L, 4242L).toDF("doc_id") // 4242 absent: no-op
+    val out = LlmOps.purgeByIds(corpus, requests, "doc_id")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"small purge regime must compile to a scan filter, not a join:\n$plan")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.size == 997)
+    assert(Seq(3L, 500L, 999L).forall(!ids.contains(_)))
+    assert(ids.contains(4L) && ids.contains(1000L))
+  }
+
+  test("purgeByIds large regime (> CandidateInFilterMaxIds): left-anti join, " +
+       "same result as the small-regime semantics") {
+    val corpus = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // 400 distinct request ids — above the 256-id pushdown gate
+    val requests = (1L to 400L).map(_ * 5).toDF("doc_id")
+    val out = LlmOps.purgeByIds(corpus, requests, "doc_id")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"large purge regime must be a left-anti join:\n$plan")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == (1L to 2000L).filterNot(i => i % 5 == 0).toSet,
+      "anti-join regime diverged from NOT-IN semantics")
+  }
+
+  test("purgeByIds fails loudly on a null request id (PK contract)") {
+    val corpus = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val requests = Seq(Some(1L), None).toDF("doc_id")
+    val e = intercept[IllegalArgumentException] {
+      LlmOps.purgeByIds(corpus, requests, "doc_id")
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
   test("dedup_weights: every cluster's weights sum to 1 (soft dedup mass)") {
     // the defining invariant of downweight-instead-of-drop: each
     // duplicate cluster contributes exactly one document's worth of

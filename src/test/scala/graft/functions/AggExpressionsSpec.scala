@@ -56,4 +56,72 @@ class AggExpressionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(agg == win)
   }
+
+  // --- graft_freq (Misra–Gries heavy hitters) ---------------------------
+
+  /** Planted-skew corpus: 3 hitters at ~heavyEach rows each over a sea of
+    * distinct noise keys — distinct count ≫ k, so the MG decrement path
+    * and the merge-time (k+1)-th-largest prune both actually run.
+    */
+  private def skewed(noise: Int, heavyEach: Int) = {
+    val rows =
+      (1 to noise).map(i => s"noise-$i") ++
+      Seq("alpha", "beta", "gamma").flatMap(h => Seq.fill(heavyEach)(h))
+    rows.toDF("item").repartition(8) // spread hitters: merge + serde run
+  }
+
+  test("graft_freq surfaces planted hitters within the n/(k+1) bound " +
+       "under saturation (distinct >> k) and partial merge") {
+    val n = 5000 + 3 * 1000
+    val out = skewed(5000, 1000)
+      .agg(expr("graft_freq(item, 16)").as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size <= 16, s"summary exceeded k: ${out.size}")
+    for (h <- Seq("alpha", "beta", "gamma")) {
+      assert(out.contains(h), s"hitter $h missing from $out")
+      val est = out(h)
+      assert(est <= 1000 && est >= 1000 - n / 17.0,
+        s"$h est $est outside [n - n/(k+1), n] bound")
+    }
+  }
+
+  test("graft_freq with no saturation is exact, sorted est desc / item asc") {
+    val out = Seq("b", "a", "b", "c", "b", "a")
+      .toDF("item").repartition(3)
+      .agg(expr("graft_freq(item, 16)").as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("b", 3L), ("a", 2L), ("c", 1L)))
+  }
+
+  test("graft_freq on bigint items; nulls skipped; deterministic re-run") {
+    // single partition: update order is row order, so the full sequence is
+    // deterministic (multi-partition est values depend on merge ARRIVAL
+    // order — only the presence/error BOUNDS are stable there, which is
+    // why heavy_hitters' registry envelope reports exact counts + hh_ok,
+    // never raw ests)
+    val df = (Seq.fill(50)(Some(7L)) ++ (1L to 40L).map(Some(_)) ++
+      Seq(None, None))
+      .toDF("item").coalesce(1)
+    def run() = df.agg(expr("graft_freq(item, 8)").as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val a = run()
+    assert(a.head._1 == 7L, s"dominant key not ranked first: $a")
+    assert(a == run(), "graft_freq output not deterministic across runs")
+  }
+
+  test("graft_freq rejects bad k and types at analysis") {
+    val df = Seq(("x", 1.0)).toDF("item", "d")
+    intercept[Exception] {
+      df.agg(expr("graft_freq(item, 0)")).collect()
+    }
+    intercept[Exception] {
+      df.agg(expr("graft_freq(d, 8)")).collect() // double items unsupported
+    }
+  }
 }
