@@ -2012,32 +2012,62 @@ object LlmOps {
       .filter(col("cnrm") > 0)
 
   /** Hard assignment: argmax cosine over the broadcast centroid table, tie
-    * broken on the smallest cid via a single max(struct) aggregate — the
-    * struct compares (ccos, -cid) first, so the embedding payload rides
-    * along without ever being compared (cids are distinct). Partial-agg
-    * friendly: the per-vector argmax combines map-side.
+    * broken on the smallest cid; the embedding/nrm payload rejoins by
+    * vec_id AFTER the argmax (see [[argmaxCell]] for why it must not ride
+    * through the aggregate).
     */
   private[graft] def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
-    argmaxCell(ensureFns(emb).crossJoin(broadcast(withCnorm(cents))))
+    argmaxCell(emb,
+      ensureFns(emb).crossJoin(broadcast(withCnorm(cents)))
+        .select(col("vec_id"), col("cid"),
+          (dot("embedding", "cvec") / (col("nrm") * col("cnrm"))).as("ccos_raw")))
 
-  /** The argmax tail shared by flat and hierarchical assignment: per-vector
-    * max over the scored (vec_id, embedding, nrm, cid, cnrm/cvec) rows.
-    * Partial-agg friendly — each vector's candidate rows live in one
-    * partition (broadcast join), so the map-side combine collapses them
-    * to one row per vector before the vec_id exchange.
+  /** The argmax tail shared by flat and hierarchical assignment.
+    *
+    * Two rules make this the shape that survives N×c candidate streams
+    * (both learned from ENOSPC runs on this exact operator):
+    *
+    *  1. The scored stream must be NARROW — (vec_id, cid, ccos_raw),
+    *     ~20 B/row, never the embedding. An array-bearing agg buffer
+    *     cannot hash-aggregate, and at 100k vectors × c=3162 the sorted
+    *     candidate stream dragging 64-float payloads is ~160 GB of spill
+    *     (the r12 Stress ENOSPC). The embedding rejoins by vec_id AFTER
+    *     the argmax — one corpus-sized narrow equi-join, bytes linear in
+    *     N, never N×c.
+    *  2. The argmax itself must be a FIXED-WIDTH PRIMITIVE aggregate.
+    *     `max(struct(...))` — even all-primitive — is not a mutable agg
+    *     buffer, so Spark plans SortAggregate and SORTS the candidate
+    *     stream anyway. Instead (round6(ccos), tie-on-smallest-cid) is
+    *     encoded into ONE bigint: `m·2³² + (2³¹−1 − cid)` where
+    *     m = round-half-away(ccos_raw·10⁶) ∈ [−10⁶, 10⁶] (exactly
+    *     round6's integer numerator) and cid ∈ [0, 2³¹) — the cid term
+    *     never crosses a 2³² step, so bigint order ≡ (ccos, −cid)
+    *     lexicographic order. `max(bigint)` is whole-stage-codegen
+    *     HashAggregate: map-side partials collapse each vector's
+    *     candidates to 8 bytes before the vec_id exchange, nothing
+    *     sorts, nothing spills.
+    *
+    * Decoding divides the recovered integer by 10⁶ — bit-identical to
+    * [[round6]]'s `m/1e6` (same integer, same double division), so
+    * oracle hashes are unchanged. The winning cosine rides along in the
+    * output — the index-health drift signal ([[annIndexHealth]]) reads
+    * it; other consumers ignore it.
     */
-  private def argmaxCell(candidates: DataFrame): DataFrame = {
-    val scored = candidates
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
-        round6(dot("embedding", "cvec") / (col("nrm") * col("cnrm"))).as("ccos"))
-    scored.groupBy(col("vec_id"))
-      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"),
-        col("nrm").as("n0"), col("embedding").as("e"))).as("m"))
-      .select(col("vec_id"), (-col("m.ncid")).as("cid"),
-        col("m.e").as("embedding"), col("m.n0").as("nrm"),
-        // winning cosine rides along — the index-health drift signal
-        // ([[annIndexHealth]]) reads it; other consumers ignore it
-        col("m.ccos").as("ccos"))
+  private def argmaxCell(emb: DataFrame, scored: DataFrame): DataFrame = {
+    val cidT = scored.schema("cid").dataType
+    val y = col("ccos_raw") * lit(1e6)
+    val win = scored
+      .withColumn("akey",
+        (floor(abs(y) + lit(0.5)) * signum(y)).cast("long") * lit(4294967296L)
+          + (lit(2147483647L) - col("cid").cast("long")))
+      .groupBy(col("vec_id"))
+      .agg(max(col("akey")).as("akey"))
+      .select(col("vec_id"),
+        (lit(2147483647L) - pmod(col("akey"), lit(4294967296L))).cast(cidT).as("cid"),
+        (expr("(akey - pmod(akey, 4294967296L)) div 4294967296L").cast("double")
+          / lit(1e6)).as("ccos"))
+    win.join(emb.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+      .select(col("vec_id"), col("cid"), col("embedding"), col("nrm"), col("ccos"))
   }
 
   /** One Lloyd update: per-cell element-wise mean through DECIMAL partial
@@ -2165,8 +2195,14 @@ object LlmOps {
       .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(col("gids")).as("gid"))
     // stage 2: fine argmax within the probed groups (argmax dedups a
-    // vector's candidates across groups)
-    argmaxCell(topG.join(broadcast(groups), "gid"))
+    // vector's candidates across groups). Same narrow-stream rule as
+    // stage 1: ccos computes while the embedding is still attached (one
+    // row per probed fine centroid), but only (vec_id, cid, ccos) enters
+    // the aggregate — argmaxCell rejoins the payload from `emb`.
+    argmaxCell(emb,
+      topG.join(broadcast(groups), "gid")
+        .select(col("vec_id"), col("cid"),
+          (dot("embedding", "cvec") / (col("nrm") * col("cnrm"))).as("ccos_raw")))
   }
 
   /** Byte budget for the centroid-table local-relation/broadcast contract:

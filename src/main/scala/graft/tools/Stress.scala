@@ -474,16 +474,17 @@ object Stress {
     val hierCents = graft.ext.LlmOps.kmeansCentroids(
       spark.read.parquet(s"$base/emb_xl10.parquet")
         .filter(col("vec_id") < cAuto.toLong * 16), cAuto, iters = 2)
-    // flat baseline on a 1/100 slice only: at c=3162 the flat form is not
-    // just slow, it does not FIT — the argmax rides a sort-aggregate over
-    // the (vector × centroid) pair stream, and a 1/10 slice is 3.2×10⁹
-    // pair rows ≈ 126 GB of sort spill, past this box's ~60 GB headroom
-    // (both r11 ENOSPC runs died exactly here; the bounce kept the disk
-    // clean and it STILL died — the row's own spill is the wall, which is
-    // precisely the point the row exists to make). 1/100 ≈ 12.6 GB fits;
-    // the slice carries the per-vector rate and the FULL corpus runs the
-    // two-level form, the path that actually scales. ×100 the slice time
-    // ≈ the full flat cost.
+    // flat baseline on a 1/100 slice only, for TIME: flat pays c dots per
+    // vector (the N·√c flop wall the two-level form exists to cut), so the
+    // full corpus at c=3162 is ~100× this row's work — the slice carries
+    // the per-vector rate and ×100 projects the full flat cost. Disk is no
+    // longer the binding constraint here: the r11/r12 ENOSPC runs died in
+    // this row back when argmaxCell's max(struct) carried the embedding
+    // array — an array-bearing agg buffer falls back to SORT-based
+    // aggregation, spilling the whole (vector × centroid) pair stream
+    // (~126 GB at a 1/10 slice) — but the narrow fixed-width argmax
+    // introduced after r12's ENOSPC hash-aggregates with map-side combine
+    // and materializes no pair stream at all.
     val flatAssign = bench(
         s"IVF flat assignment c=$cAuto ${nVecXl / 100 / 1000}k vectors (1/100 slice)",
         nVecXl / 100) {
@@ -502,9 +503,11 @@ object Stress {
       |Two-level assignment at auto-c (c=$cAuto): the full ${nVecXl / 1000000}M-vector
       |corpus assigns hierarchically in ${hierAssign}%.1f s, vs ~${100 * flatAssign}%.0f s
       |projected for flat (measured ${flatAssign}%.1f s on a 1/100 slice — flat pays
-      |c dots/vector, the N·√N wall, and its pair-stream sort spill
-      |(~126 GB at a 1/10 slice) does not even fit this box's disk;
-      |two-level pays ~(1+probeG)√c).
+      |c dots/vector, the N·√N flop wall; two-level pays ~(1+probeG)√c).
+      |Both paths run the narrow fixed-width argmax (hash aggregate,
+      |map-side combine, embedding rejoined by vec_id) — the r12 fix after
+      |the array-bearing max(struct) form sort-spilled the vector×centroid
+      |pair stream to ENOSPC on this row.
       |HierProbe's two-regime table quantifies the hierarchical residual
       |miss (clustered: parity 1.0 at probeG=4; uniform noise: cell
       |identity is tie-arbitrary, cosine loss ~0.01).

@@ -212,4 +212,18 @@ class AnnIndexSpec extends SparkSpec {
     val hierDrift = h.meanCosBuild - h.meanCosNow > 0.05
     assert(flatDrift == hierDrift, "staleness decision must not depend on the path")
   }
+
+  test("assignment argmax plans as a fixed-width HashAggregate — never a " +
+       "sort-based aggregate over the vectors×centroids stream (r12 ENOSPC fix)") {
+    val emb = baseCorpus(200)
+    val cents = LlmOps.kmeansCentroids(emb, 4, 1)
+    for (df <- Seq(LlmOps.kmeansAssignTo(emb, cents),
+                   LlmOps.kmeansAssignToHier(emb, cents))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("HashAggregate"), plan)
+      assert(!plan.contains("SortAggregate"),
+        s"argmax fell back to sort-based aggregation — the N×c candidate " +
+          s"stream would sort/spill again:\n$plan")
+    }
+  }
 }

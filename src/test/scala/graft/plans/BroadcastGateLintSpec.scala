@@ -73,8 +73,8 @@ class BroadcastGateLintSpec extends AnyFunSuite {
       "LlmOps.quantizedSearchCodes: rescore candidate ids — ≤ k·overfetch rows by .limit(k * overfetch)"),
     ("pairs.crossJoin(broadcast(capped))",
       "LlmOps hammingPairsByBlock/videoFrameNearDups: groupless global capped-bucket count — exactly 1 row"),
-    ("argmaxCell(topG.join(broadcast(groups), \"gid\"))",
-      "LlmOps.kmeansAssignToHier: the fine centroid table — c rows, CentroidBudgetBytes-gated at readAnnIndex"),
+    ("topG.join(broadcast(groups), \"gid\")",
+      "LlmOps.kmeansAssignToHier stage 2: the fine centroid table — c rows, CentroidBudgetBytes-gated via centroidGate in kmeansAssignToHier (and at readAnnIndex for persisted indexes)"),
     ("crossJoin(broadcast(withCnorm(coarse)))",
       "LlmOps.kmeansAssignToHier stage 1: the coarse quantizer — ≤ √c rows by kmeansCoarse construction"),
     ("subs.join(broadcast(cbs), Seq(\"sub\"))",
