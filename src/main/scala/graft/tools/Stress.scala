@@ -404,7 +404,7 @@ object Stress {
       |hashes barely combine map-side), so the single-job capacity
       |requirement is up to ~2× gram-table bytes of shuffle disk (the
       |public suffix-array tooling carries a comparable ~9× working-set
-      |multiple). The 10M-doc row therefore runs staged-TO-DISK (per-pass
+      |multiple). The ${nDocs / 1000000}M-doc row therefore runs staged-TO-DISK (per-pass
       |actions, shuffle reclaimed between passes — peak ≈ 1/passes), and
       |the HOT-GRAM row proves the r11 two-level duplicate test holds
       |throughput when every document shares a boilerplate block — the
