@@ -2055,7 +2055,20 @@ object LlmOps {
     */
   private def argmaxCell(emb: DataFrame, scored: DataFrame): DataFrame = {
     val cidT = scored.schema("cid").dataType
-    val y = col("ccos_raw") * lit(1e6)
+    // NaN guard (r12 ADVICE): the bigint encoding would cast a NaN cosine
+    // to m=0 — a NaN-poisoned vector would silently assign with a
+    // clean-looking ccos=0.0 and stop perturbing the annIndexHealth drift
+    // signal (the old max(struct) ranked NaN greatest, so poison was
+    // visible). Fail loudly instead: [[kmeansInput]] already excludes
+    // zero-norm vectors, so a NaN here means NaN ELEMENTS in a vector or
+    // a corrupt centroid — data that must be purged (embeddingHealth
+    // finds it), never assigned. One isnan branch per candidate, codegen.
+    val guarded = when(isnan(col("ccos_raw")),
+      raise_error(concat(lit("argmaxCell: NaN assignment cosine for vec_id="),
+        col("vec_id").cast("string"),
+        lit(" — NaN-poisoned vector or centroid; run embeddingHealth and purge"))))
+      .otherwise(col("ccos_raw"))
+    val y = guarded * lit(1e6)
     val win = scored
       .withColumn("akey",
         (floor(abs(y) + lit(0.5)) * signum(y)).cast("long") * lit(4294967296L)
@@ -2304,8 +2317,13 @@ object LlmOps {
     *      final exchange carries Q·k rows, never a global sort.
     *
     * Per-query semantics are IDENTICAL to [[ivfSearchKmeansWith]] at the
-    * same (cents, nprobe, k) — round6 cosine, cell ties to the smaller
-    * cid, rank ties to the smaller vec_id (spec-pinned). The batch is
+    * same (cents, nprobe, k) BELOW [[HierAssignCrossoverC]] — round6
+    * cosine, cell ties to the smaller cid, rank ties to the smaller
+    * vec_id (spec-pinned). At c >= the crossover the corpus assignment is
+    * [[kmeansAssignAuto]]'s two-level path — the same rule every other
+    * serving/maintenance path uses (and exact on clustered corpora, the
+    * regime a trained index exists for), instead of paying the flat
+    * c-dots-per-vector wall the crossover exists to avoid. The batch is
     * gated at [[QueryBatchMaxRows]] (the broadcast contract); compose
     * with a cid-partitioned assignment store for the no-reassign form —
     * the probe join prunes the same way.
@@ -2330,7 +2348,7 @@ object LlmOps {
       .agg(expr(s"transform(slice(array_sort(collect_list(struct(-ccos AS nc, cid))), 1, $nprobe), x -> x.cid)")
         .as("cids"))
       .select(col("qid"), explode(col("cids")).as("cid"))
-    kmeansAssignTo(emb0, cents)
+    kmeansAssignAuto(emb0, cents)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
       .join(broadcast(probed), "cid")
       .join(broadcast(q), "qid")
@@ -2496,10 +2514,19 @@ object LlmOps {
     * between per-query O(N) and per-query O(√N·nprobe): the other half
     * of the r10 √N-wall fix (the two-level assignment bounds the BUILD;
     * this bounds the SERVE).
+    *
+    * `exact = true` forces the FLAT assignment regardless of c — the
+    * store is then row-identical to [[kmeansAssignTo]] unconditionally
+    * (so [[annAssignedSearch]]'s spec-pinned parity with
+    * [[ivfSearchKmeansWith]] holds at ANY c), at the flat path's
+    * c-dots-per-vector build cost. The default (auto) matches flat below
+    * [[HierAssignCrossoverC]] and on clustered corpora above it.
     */
   def writeAnnAssignments(emb0: DataFrame, cents: DataFrame,
-                          path: String): Unit =
-    writeAssignedCells(kmeansAssignAuto(emb0, cents), path)
+                          path: String, exact: Boolean = false): Unit =
+    writeAssignedCells(
+      if (exact) kmeansAssignTo(emb0, cents) else kmeansAssignAuto(emb0, cents),
+      path)
 
   /** Write an already-computed assignment (e.g. [[kmeansAssignToHier]]'s)
     * in the cell-partitioned serving layout.
@@ -2517,7 +2544,12 @@ object LlmOps {
     * lists, opens, or materializes any other cell (partition pruning
     * asserted from task input metrics in AnnIndexSpec). Output is
     * row-identical to [[ivfSearchKmeansWith]] at the same
-    * (cents, nprobe, k) — spec-pinned.
+    * (cents, nprobe, k) — spec-pinned — when the store holds the FLAT
+    * assignment: always below [[HierAssignCrossoverC]], at any c with
+    * `writeAnnAssignments(…, exact = true)`, and on clustered corpora
+    * either way. A default (auto) store above the crossover holds the
+    * two-level assignment, and results follow THAT assignment — the
+    * documented approximation every auto-path consumer shares.
     */
   def annAssignedSearch(spark: org.apache.spark.sql.SparkSession,
                         assignPath: String, cents: DataFrame,
@@ -2535,6 +2567,58 @@ object LlmOps {
       .select(col("vec_id"), col("cid").cast("int").as("cid"),
         round6(dot("embedding", "qv") / (col("nrm") * sqrt(dot("qv", "qv")))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
+  }
+
+  /** Batched serving from the cell-partitioned assignment store — the
+    * micro-batch consumer's shape (a streaming `foreachBatch` of query
+    * requests lands here; StreamingAnnServeSpec drives it): the whole
+    * batch's probes resolve in ONE pruned store pass instead of Q
+    * single-query reads. Like [[ivfSearchBatch]] but against the STORE —
+    * the corpus is never re-assigned, and the scan's `cid IN (…)` union
+    * of all probed cells hits the hive partition filter, so per-batch
+    * bytes are (distinct probed cells)/c of the corpus (task input
+    * metrics pinned in the spec).
+    *
+    * Per-query semantics are IDENTICAL to [[annAssignedSearch]] at the
+    * same (store, cents, nprobe, k) — spec-pinned. Bounded at
+    * [[QueryBatchMaxRows]]; the probed-cid collect is ≤ Q·nprobe ints.
+    * Output: (qid, vec_id, cos), k rows per query.
+    */
+  def annAssignedSearchBatch(spark: org.apache.spark.sql.SparkSession,
+                             assignPath: String, cents: DataFrame,
+                             queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val q = ensureFns(queries)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qnrm", sqrt(expr("graft_dot(qv, qv)")))
+      .filter(col("qnrm") > 0)
+    val qn = q.count()
+    require(qn <= QueryBatchMaxRows,
+      s"query batch $qn exceeds QueryBatchMaxRows=$QueryBatchMaxRows — " +
+        "window the query stream into bounded batches upstream")
+    val probed = q.crossJoin(broadcast(withCnorm(cents)))
+      .select(col("qid"), col("cid"),
+        round6(expr("graft_dot(qv, cvec)") /
+          (col("qnrm") * col("cnrm"))).as("ccos"))
+      .groupBy(col("qid"))
+      .agg(expr(s"transform(slice(array_sort(collect_list(struct(-ccos AS nc, cid))), 1, $nprobe), x -> x.cid)")
+        .as("cids"))
+      .select(col("qid"), explode(col("cids")).as("cid"))
+    // bounded: ≤ Q·nprobe ints — the partition-pruning literal set
+    val cids = probed.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(assignPath)
+      .filter(col("cid").isin(cids.map(c => c: Any): _*))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cid").cast("int").as("cid"))
+      .join(broadcast(probed), "cid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"),
+        round6(dot("embedding", "qv") / (col("nrm") * col("qnrm"))).as("cos"))
+      .groupBy(col("qid"))
+      .agg(expr(s"graft_topk(cos, vec_id, $k)").as("nn"))
+      .select(col("qid"), explode(col("nn")).as("x"))
+      .select(col("qid"), col("x.id").as("vec_id"), col("x.score").as("cos"))
   }
 
   /** Mean assignment cosine of `emb0` against a centroid table — the
@@ -3578,10 +3662,23 @@ object LlmOps {
     */
   private[graft] def statsSaySmall(df: DataFrame,
                                    maxRows: Long, maxBytes: Long): Option[Boolean] = {
-    val stats = df.queryExecution.optimizedPlan.stats
+    val plan = df.queryExecution.optimizedPlan
+    val stats = plan.stats
+    // Structural no-stats detection (r12 ADVICE): the >= MaxValue/2
+    // sentinel only catches the RAW defaultSizeInBytes leaf — a
+    // Project/Filter over a stats-less leaf SCALES sizeInBytes below the
+    // sentinel, reading as known-big. Walk the leaves instead: any leaf
+    // whose stats carry no rowCount and whose sizeInBytes is at least the
+    // session's no-stats fallback means the whole lineage's size is
+    // fabricated → UNKNOWN, and the caller picks its safe branch.
+    val defaultSize = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    val statsless = plan.collectLeaves().exists { l =>
+      val s = l.stats
+      s.rowCount.isEmpty && s.sizeInBytes >= defaultSize
+    }
     stats.rowCount match {
       case Some(rc) => Some(rc < BigInt(maxRows))
-      case None if stats.sizeInBytes >= BigInt(Long.MaxValue) / 2 => None
+      case None if statsless || stats.sizeInBytes >= BigInt(Long.MaxValue) / 2 => None
       case None => Some(stats.sizeInBytes < BigInt(maxBytes))
     }
   }
@@ -3660,7 +3757,12 @@ object LlmOps {
       s"purgeByIds: null $idCol in the request table — the id is a PK " +
         "(diff-family contract); a null request row cannot name a document")
     if (idRows.length <= CandidateInFilterMaxIds)
-      corpus.filter(!col(idCol).isin(idRows.map(_.get(0)): _*))
+      // null-safe (r12 ADVICE): a null CORPUS id makes `id IN (…)` NULL,
+      // which a plain NOT would drop while the anti-join regime keeps the
+      // row (null never equals a join key) — the regimes would diverge on
+      // exactly the rows that violate the PK contract. coalesce(…, false)
+      // makes "not in the request set" hold for null ids in both regimes.
+      corpus.filter(!coalesce(col(idCol).isin(idRows.map(_.get(0)): _*), lit(false)))
     else
       corpus.join(requests.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
   }

@@ -266,6 +266,127 @@ object MigrateJob {
   def completedBuckets(ledgerPath: String): Set[Int] =
     bucketStatus(ledgerPath).collect { case (b, "done") => b }.toSet
 
+  /** Whole-ledger totals, latest entry per bucket winning (like
+    * [[bucketStatus]]): migrated/skipped sums over done buckets plus the
+    * done count. `countsComplete` is false when any done bucket's row
+    * carries no counts (waves above [[PerBucketCounterCap]] drop them) —
+    * the sums are then a floor, not the total. This is what a RESUMED
+    * table reports: the ledger spans every run, where a single
+    * [[Result]] only spans its own.
+    */
+  final case class LedgerTotals(rows: Long, skipped: Long, bucketsDone: Int,
+                                countsComplete: Boolean)
+
+  def ledgerTotals(ledgerPath: String): LedgerTotals =
+    if (!Files.exists(Paths.get(ledgerPath)))
+      LedgerTotals(0L, 0L, 0, countsComplete = true)
+    else {
+      import scala.jdk.CollectionConverters._
+      val bucketRe = "\"bucket\":(\\d+)".r
+      val statusRe = "\"status\":\"(\\w+)\"".r
+      val rowsRe = "\"rows\":(\\d+)".r
+      val skipRe = "\"skipped\":(\\d+)".r
+      // latest entry per bucket: (status, rows, skipped)
+      val latest = Files.readAllLines(Paths.get(ledgerPath)).asScala.iterator
+        .flatMap { l =>
+          for (b <- bucketRe.findFirstMatchIn(l); s <- statusRe.findFirstMatchIn(l))
+            yield b.group(1).toInt ->
+              (s.group(1),
+                rowsRe.findFirstMatchIn(l).map(_.group(1).toLong),
+                skipRe.findFirstMatchIn(l).map(_.group(1).toLong))
+        }
+        .toMap
+      val done = latest.values.collect { case ("done", r, k) => (r, k) }.toSeq
+      LedgerTotals(
+        done.flatMap(_._1).sum, done.flatMap(_._2).sum, done.size,
+        countsComplete = done.forall(d => d._1.isDefined && d._2.isDefined))
+    }
+
+  /** One table of a multi-table migration (docs/04-cdm-approach.md:770-822
+    * loops CDM over tables with per-table configs — `migrate_table.sh`'s
+    * `for TABLE in "${TABLES[@]}"` with one properties file each).
+    */
+  final case class TableMigration(name: String, source: MigrateSource,
+                                  sink: MigrateSink, cfg: Config)
+
+  /** Per-table outcome of [[migrateAll]] — one row of the consolidated
+    * report. Counts are LEDGER totals (all runs, not just this one), so a
+    * resumed run reports the table's full migrated state.
+    */
+  final case class TableOutcome(table_name: String, status: String,
+                                migrated: Long, skipped: Long,
+                                buckets_done: Int, buckets_total: Int,
+                                counts_complete: Boolean, error: Option[String])
+
+  /** Drive the single-table pipeline over `tables` in order with a
+    * CONSOLIDATED error budget — the reference's production recipe
+    * (docs/04-cdm-approach.md:770-822: loop CDM per table, collect each
+    * exit code, report at the end), minus the shell.
+    *
+    * Semantics:
+    *   - each table runs [[run]] with `errorLimit` tightened to
+    *     min(its own, global remaining) — the global budget binds
+    *     MID-WAVE through the same watcher the per-table budget uses;
+    *   - a failed table is ledgered `failed` by [[run]] and reported
+    *     here; with `continueOnError` (the recipe's default — one bad
+    *     table must not strand the other N) the loop proceeds, otherwise
+    *     the rest report `aborted`;
+    *   - once cumulative skips exhaust the global budget, remaining
+    *     tables report `aborted` without running;
+    *   - re-running the same seq is the multi-table RESUME: done buckets
+    *     are skipped per table (ledger), so only incomplete tables do
+    *     work, and the report still carries full ledger totals.
+    */
+  def migrateAll(spark: SparkSession, tables: Seq[TableMigration],
+                 globalErrorLimit: Long = Long.MaxValue,
+                 continueOnError: Boolean = true): Seq[TableOutcome] = {
+    require(tables.map(_.name).distinct.size == tables.size,
+      "duplicate table names in migrateAll")
+    var skippedSoFar = 0L
+    var abort: Option[String] = None
+    tables.map { tm =>
+      def outcome(status: String, err: Option[String]) = {
+        val lt = ledgerTotals(tm.sink.ledgerPath)
+        TableOutcome(tm.name, status, lt.rows, lt.skipped, lt.bucketsDone,
+          tm.cfg.tokenBuckets, lt.countsComplete, err)
+      }
+      abort match {
+        case Some(why) => outcome("aborted", Some(why))
+        case None =>
+          val remaining = globalErrorLimit - skippedSoFar
+          if (remaining < 0) { // defensive; set with the abort below
+            outcome("aborted", Some("global error budget exhausted"))
+          } else
+            try {
+              val eff = tm.cfg.copy(errorLimit = math.min(tm.cfg.errorLimit, remaining))
+              val r = run(spark, tm.source, tm.sink, eff)
+              skippedSoFar += r.skippedOversize
+              if (skippedSoFar > globalErrorLimit)
+                abort = Some(s"global error budget exceeded: $skippedSoFar > $globalErrorLimit")
+              outcome("done", None)
+            } catch {
+              case e: Throwable =>
+                val msg = String.valueOf(e.getMessage)
+                // a budget abort while the GLOBAL remainder was the binding
+                // limit means the consolidated budget is spent — later
+                // tables must not run even under continueOnError
+                if (msg.contains("error budget exceeded") && remaining < tm.cfg.errorLimit)
+                  abort = Some(
+                    s"global error budget exhausted at table ${tm.name}")
+                else if (!continueOnError)
+                  abort = Some(s"table ${tm.name} failed and continueOnError=false")
+                outcome("failed", Some(msg.take(500)))
+            }
+      }
+    }
+  }
+
+  /** The consolidated report as a DataFrame — one row per table, the
+    * shape the recipe's "final report" step prints.
+    */
+  def report(spark: SparkSession, outcomes: Seq[TableOutcome]): DataFrame =
+    spark.createDataFrame(outcomes)
+
   /** JSON string literal with ALL control characters (< 0x20) \u-escaped —
     * an exception message containing e.g. \b or \f must still yield a valid
     * JSONL ledger line for external consumers (the in-repo regex readers

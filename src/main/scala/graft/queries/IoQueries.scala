@@ -19,6 +19,29 @@ import org.apache.spark.sql.types._
 object IoQueries {
   import Common._
 
+  /** Salt-bucket count for `small_files_report`'s controlled fixture
+    * write (and the before-layout of `compact_files`): write parallelism
+    * per lang. 16 here keeps every closed-form oracle cheap at sf tiers;
+    * a 100 TB corpus raises it (tasks scale as lang × buckets).
+    */
+  val SmallFilesWriteBuckets = 16
+
+  /** `compact_files`' coarse re-bucket count: the rewrite's parallelism
+    * per lang at the 1000-row target.
+    */
+  val CompactWriteBuckets = 4
+
+  /** Explicit shuffle-partition count for the two controlled writes: an
+    * explicit `repartition(n, cols…)` is exempt from AQE partition
+    * coalescing, which at sf tiers would merge the salted groups back
+    * into one task and silently restore the one-task-per-lang shape the
+    * salt exists to break. Each (lang, b) group still lands wholly in
+    * one task (hash on the full key), so the closed-form file rolls are
+    * unchanged; at 100 TB this is the knob you raise with the bucket
+    * count.
+    */
+  val SmallFilesWriteTasks = 32
+
   private val ordersCsvSchema = StructType(Seq(
     StructField("o_orderkey", LongType),
     StructField("o_custkey", LongType),
@@ -105,25 +128,33 @@ object IoQueries {
           max(col("doc_id")).as("max_id"))
     }),
 
-    // small-files / layout report (r12 — the 100 TB ops gate before a
-    // table is declared servable: a corpus written with too many tiny
-    // files pays per-file open/list/footer costs on EVERY downstream
-    // scan, and the fix — compaction — is a plan you want sized before
-    // running it). The write half produces a CONTROLLED layout: one
-    // task per lang (hash repartition on the partition column — a lang
-    // never splits across tasks) with maxRecordsPerFile=100, so files
-    // roll deterministically at 100 rows. The report half reads the
-    // REAL resulting layout back via input_file_name() — per-file row
-    // counts, never trusting the write plan — and prices a compaction
-    // to a 1000-row/file target. Scale shape: two map-combined hash
-    // aggregates over the re-read; file identity never leaves the map
-    // side as more than one row per (lang, file).
+    // small-files / layout report (r12; write shape fixed r13 — the
+    // 100 TB ops gate before a table is declared servable: a corpus
+    // written with too many tiny files pays per-file open/list/footer
+    // costs on EVERY downstream scan, and the fix — compaction — is a
+    // plan you want sized before running it). The write half produces a
+    // CONTROLLED layout whose file rolls are deterministic WITHOUT
+    // funneling a partition through one task (the r12 weak): the write
+    // is salted by b = doc_id % SmallFilesWriteBuckets and partitioned
+    // by (lang, b), so each (lang, b) group — hash-repartitioned wholly
+    // into one task — rolls its OWN directory's files at
+    // maxRecordsPerFile=100: exactly ceil(cnt/100) files per group, and
+    // write tasks scale with lang×buckets (80 groups here; raise the
+    // bucket count with data), never with the 5-value lang column alone.
+    // IoLayoutSpec pins >1 distinct writer task per lang on disk. The
+    // report half reads the REAL resulting layout back via
+    // input_file_name() — per-file row counts, never trusting the write
+    // plan — and prices a compaction to a 1000-row/file target. Scale
+    // shape: two map-combined hash aggregates over the re-read; file
+    // identity never leaves the map side as more than one row per
+    // (lang, file).
     "small_files_report" -> ((s, d) => {
       val path = scratch("small_files_report", d)
       t(s, d, "documents")
-        .repartition(col("lang"))
+        .withColumn("b", pmod(col("doc_id"), lit(SmallFilesWriteBuckets)).cast("int"))
+        .repartition(SmallFilesWriteTasks, col("lang"), col("b"))
         .write.mode("overwrite").option("maxRecordsPerFile", 100)
-        .partitionBy("lang").parquet(path)
+        .partitionBy("lang", "b").parquet(path)
       val perFile = s.read.parquet(path)
         .groupBy(col("lang"), input_file_name().as("f"))
         .agg(count(lit(1)).as("rows_in_file"))
@@ -139,6 +170,47 @@ object IoQueries {
         .select(col("lang"), col("n_files"), col("n_rows"),
           col("max_file_rows"), col("min_file_rows"),
           col("target_files"), col("files_saved"))
+        .orderBy(col("lang"))
+    }),
+
+    // compaction (r13 — the rewrite `small_files_report` prices; the ops
+    // loop the reference's troubleshooting doc gestures at needs the FIX,
+    // not just the diagnosis, docs/08-troubleshooting.md). Lands the same
+    // controlled small-file layout (16 salt buckets × 100-row rolls),
+    // then REWRITES it to the 1000-row target through a coarser salt
+    // (4 buckets — task count still scales with lang × buckets, never one
+    // task per lang) and re-audits BOTH layouts from disk via
+    // input_file_name(). Output: per lang, files before/after, the saved
+    // count, and a rows_ok parity bit proving the rewrite lost nothing.
+    // Scale shape: the rewrite is scan → narrow salt column → one
+    // exchange on (lang, b) → write; audits are map-combined aggregates.
+    "compact_files" -> ((s, d) => {
+      val smallPath = scratch("compact_files_small", d)
+      val outPath = scratch("compact_files_out", d)
+      t(s, d, "documents")
+        .withColumn("b", pmod(col("doc_id"), lit(SmallFilesWriteBuckets)).cast("int"))
+        .repartition(SmallFilesWriteTasks, col("lang"), col("b"))
+        .write.mode("overwrite").option("maxRecordsPerFile", 100)
+        .partitionBy("lang", "b").parquet(smallPath)
+      def audit(path: String, filesCol: String, rowsCol: String) =
+        s.read.parquet(path)
+          .groupBy(col("lang"), input_file_name().as("f"))
+          .agg(count(lit(1)).as("rif"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).cast("bigint").as(filesCol),
+            sum(col("rif")).as(rowsCol))
+      val before = audit(smallPath, "files_before", "n_rows")
+      s.read.parquet(smallPath).drop("b")
+        .withColumn("b", pmod(col("doc_id"), lit(CompactWriteBuckets)).cast("int"))
+        .repartition(SmallFilesWriteTasks, col("lang"), col("b"))
+        .write.mode("overwrite").option("maxRecordsPerFile", 1000)
+        .partitionBy("lang", "b").parquet(outPath)
+      val after = audit(outPath, "files_after", "rows_after")
+      before.join(after, "lang")
+        .select(col("lang"), col("files_before"), col("n_rows"),
+          col("files_after"),
+          (col("files_before") - col("files_after")).as("files_saved"),
+          (col("n_rows") === col("rows_after")).as("rows_ok"))
         .orderBy(col("lang"))
     }),
 
@@ -168,18 +240,39 @@ object IoQueries {
       """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM documents WHERE lang = 'en'""",
-    // the controlled write rolls files at exactly 100 rows per lang (one
-    // task per lang), so the REAL layout the Spark side reads back with
-    // input_file_name() must equal these closed forms
+    // the controlled write rolls files at exactly 100 rows per
+    // (lang, doc_id % 16) salt group — each group lands wholly in one
+    // writer task and owns its output directory — so the REAL layout the
+    // Spark side reads back with input_file_name() must equal these
+    // per-group closed forms
     "small_files_report" ->
-      """SELECT lang,
-                CAST(ceil(count(*) / 100.0) AS BIGINT) AS n_files,
-                count(*) AS n_rows,
-                CAST(LEAST(count(*), 100) AS BIGINT) AS max_file_rows,
-                CAST(CASE WHEN count(*) % 100 = 0 THEN LEAST(count(*), 100)
-                          ELSE count(*) % 100 END AS BIGINT) AS min_file_rows,
-                CAST(ceil(count(*) / 1000.0) AS BIGINT) AS target_files,
-                CAST(ceil(count(*) / 100.0) - ceil(count(*) / 1000.0) AS BIGINT) AS files_saved
-         FROM documents GROUP BY lang ORDER BY lang"""
+      """WITH g AS (SELECT lang, doc_id % 16 AS b, count(*) AS cnt
+                    FROM documents GROUP BY lang, doc_id % 16)
+         SELECT lang,
+                CAST(sum(ceil(cnt / 100.0)) AS BIGINT) AS n_files,
+                CAST(sum(cnt) AS BIGINT) AS n_rows,
+                CAST(max(LEAST(cnt, 100)) AS BIGINT) AS max_file_rows,
+                CAST(min(CASE WHEN cnt % 100 = 0 THEN LEAST(cnt, 100)
+                              ELSE cnt % 100 END) AS BIGINT) AS min_file_rows,
+                CAST(ceil(sum(cnt) / 1000.0) AS BIGINT) AS target_files,
+                CAST(sum(ceil(cnt / 100.0)) - ceil(sum(cnt) / 1000.0) AS BIGINT) AS files_saved
+         FROM g GROUP BY lang ORDER BY lang""",
+    // both layouts roll deterministically per salt group (100-row rolls
+    // over doc_id % 16 before; 1000-row rolls over doc_id % 4 after), so
+    // the on-disk audit equals these closed forms; rows_ok is TRUE by the
+    // rewrite's content preservation
+    "compact_files" ->
+      """WITH b16 AS (SELECT lang, doc_id % 16 AS b, count(*) AS cnt
+                      FROM documents GROUP BY lang, doc_id % 16),
+              b4 AS (SELECT lang, doc_id % 4 AS b, count(*) AS cnt
+                     FROM documents GROUP BY lang, doc_id % 4),
+              bef AS (SELECT lang, CAST(sum(ceil(cnt / 100.0)) AS BIGINT) AS files_before,
+                             CAST(sum(cnt) AS BIGINT) AS n_rows
+                      FROM b16 GROUP BY lang),
+              aft AS (SELECT lang, CAST(sum(ceil(cnt / 1000.0)) AS BIGINT) AS files_after
+                      FROM b4 GROUP BY lang)
+         SELECT bef.lang AS lang, files_before, n_rows, files_after,
+                files_before - files_after AS files_saved, TRUE AS rows_ok
+         FROM bef JOIN aft ON bef.lang = aft.lang ORDER BY lang"""
   )
 }

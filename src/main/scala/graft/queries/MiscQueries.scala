@@ -149,6 +149,39 @@ object MiscQueries {
         max(col("o_orderkey")).as("max_key"))
     }),
 
+    // multi-table migration orchestration (r13 — the reference's
+    // production recipe loops CDM over tables with per-table configs and
+    // one consolidated report, docs/04-cdm-approach.md:770-822):
+    // MigrateJob.migrateAll drives the single-table pipeline over four
+    // tables, each with its own pk/config and ledgered resume, under one
+    // consolidated error budget; the report row per table carries
+    // ledger-derived totals, so the oracle checks the full orchestration
+    // end-to-end (every row of every table migrated, zero skips, all
+    // buckets done). Partial-failure resume is behavior-pinned in
+    // MigrateAllSpec.
+    "migrate_report" -> ((s, d) => {
+      import graft.migrate._
+      val base = scratch("migrate_report", d)
+      // fresh ledgers each run: the registry query measures the full
+      // 4-table migrate, not a resume no-op against a stale scratch dir
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(base), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val tables = Seq("customer" -> "c_custkey", "nation" -> "n_nationkey",
+        "orders" -> "o_orderkey", "region" -> "r_regionkey")
+      val specs = tables.map { case (name, pk) =>
+        MigrateJob.TableMigration(name,
+          DataFrameSource(t(s, d, name)),
+          ParquetBucketSink(s"$base/$name"),
+          MigrateJob.Config(pkCols = Seq(pk), tokenBuckets = 8))
+      }
+      val outcomes = MigrateJob.migrateAll(s, specs)
+      MigrateJob.report(s, outcomes)
+        .select(col("table_name"), col("status"), col("migrated"),
+          col("skipped"), col("buckets_done").cast("bigint").as("buckets_done"))
+        .orderBy(col("table_name"))
+    }),
+
     // counter-table semantics (docs/04-cdm-approach.md:401-411): counters
     // merge by ADDITION of per-side deltas, never LWW — the documented
     // carve-out for non-idempotent increments (SURVEY §7.4 risk 2).
@@ -321,6 +354,23 @@ object MiscQueries {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM orders""",
+    // every table migrates completely (all 8 buckets, zero oversize
+    // skips), so the ledger-derived report equals the source row counts
+    "migrate_report" ->
+      """SELECT * FROM (
+           SELECT 'customer' AS table_name, 'done' AS status,
+                  count(*) AS migrated, CAST(0 AS BIGINT) AS skipped,
+                  CAST(8 AS BIGINT) AS buckets_done FROM customer
+           UNION ALL
+           SELECT 'nation', 'done', count(*), CAST(0 AS BIGINT),
+                  CAST(8 AS BIGINT) FROM nation
+           UNION ALL
+           SELECT 'orders', 'done', count(*), CAST(0 AS BIGINT),
+                  CAST(8 AS BIGINT) FROM orders
+           UNION ALL
+           SELECT 'region', 'done', count(*), CAST(0 AS BIGINT),
+                  CAST(8 AS BIGINT) FROM region)
+         ORDER BY table_name""",
     "counter_merge" ->
       """WITH origin AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
           delta AS (SELECT user_id, count(*) AS cnt FROM events
