@@ -2063,16 +2063,17 @@ object LlmOps {
     // zero-norm vectors, so a NaN here means NaN ELEMENTS in a vector or
     // a corrupt centroid — data that must be purged (embeddingHealth
     // finds it), never assigned. One isnan branch per candidate, codegen.
-    val guarded = when(isnan(col("ccos_raw")),
-      raise_error(concat(lit("argmaxCell: NaN assignment cosine for vec_id="),
-        col("vec_id").cast("string"),
-        lit(" — NaN-poisoned vector or centroid; run embeddingHealth and purge"))))
-      .otherwise(col("ccos_raw"))
-    val y = guarded * lit(1e6)
+    val y = col("ccos_raw") * lit(1e6)
+    val akeyRaw = (floor(abs(y) + lit(0.5)) * signum(y)).cast("long") * lit(4294967296L) +
+      (lit(2147483647L) - col("cid").cast("long"))
     val win = scored
       .withColumn("akey",
-        (floor(abs(y) + lit(0.5)) * signum(y)).cast("long") * lit(4294967296L)
-          + (lit(2147483647L) - col("cid").cast("long")))
+        when(isnan(col("ccos_raw")),
+          raise_error(concat(lit("argmaxCell: NaN assignment cosine for vec_id="),
+            col("vec_id").cast("string"),
+            lit(" — NaN-poisoned vector or centroid; run embeddingHealth and purge")))
+            .cast("long"))
+          .otherwise(akeyRaw))
       .groupBy(col("vec_id"))
       .agg(max(col("akey")).as("akey"))
       .select(col("vec_id"),

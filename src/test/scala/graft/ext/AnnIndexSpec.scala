@@ -34,6 +34,27 @@ class AnnIndexSpec extends SparkSpec {
       (idOffset + i, Seq(0f, 0f, 1f, (i % 10) * 0.01f))
     }.toDF("vec_id", "embedding")
 
+  test("a NaN assignment cosine FAILS LOUDLY instead of silently assigning " +
+       "(r12 ADVICE — the bigint argmax encoding would map NaN to a " +
+       "clean-looking ccos=0.0 and mute the drift signal)") {
+    val cents = LlmOps.kmeansCentroids(baseCorpus(40), c = 2, iters = 2)
+    // an Inf-poisoned vector passes the nrm > 0 gate (Inf > 0) but its
+    // cosine is Inf/Inf = NaN — exactly the poison the guard exists for
+    val poisoned = baseCorpus(40).unionByName(
+      Seq((999L, Seq(Float.PositiveInfinity, 0f, 0f, 0f)))
+        .toDF("vec_id", "embedding"))
+    val e = intercept[Exception] {
+      LlmOps.kmeansAssignTo(poisoned, cents).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => String.valueOf(x.getMessage)).toSeq
+    assert(messages(e).exists(m => m.contains("NaN assignment cosine")),
+      s"expected the argmax NaN guard, got: ${messages(e).mkString(" | ")}")
+    // the clean corpus still assigns fine through the guarded path
+    assert(LlmOps.kmeansAssignTo(baseCorpus(40), cents).count() == 40)
+  }
+
   test("store serves searches identically to in-memory centroids") {
     val path = dir("serve")
     val corpus = baseCorpus(40)

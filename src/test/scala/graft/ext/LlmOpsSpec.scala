@@ -889,6 +889,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(ids.contains(4L) && ids.contains(1000L))
   }
 
+  test("purgeByIds: a NULL corpus id is kept by BOTH regimes (r12 ADVICE — " +
+       "the small regime's plain NOT-IN would have dropped it)") {
+    val corpus = ((1L to 300L).map(i => (java.lang.Long.valueOf(i), s"doc $i")) :+
+      ((null: java.lang.Long), "orphan")).toDF("doc_id", "text")
+    // small regime (3 ids) and large regime (400 ids) on the same corpus
+    val small = LlmOps.purgeByIds(corpus, Seq(3L, 5L, 7L).toDF("doc_id"), "doc_id")
+    val large = LlmOps.purgeByIds(corpus,
+      (1L to 400L).map(_ * 2).toDF("doc_id"), "doc_id")
+    assert(small.filter(col("doc_id").isNull).count() == 1,
+      "small regime dropped the null-id corpus row")
+    assert(large.filter(col("doc_id").isNull).count() == 1,
+      "anti-join regime dropped the null-id corpus row")
+    assert(small.count() == 300 - 3 + 1)
+    assert(large.count() == 300 - 150 + 1)
+  }
+
   test("purgeByIds large regime (> CandidateInFilterMaxIds): left-anti join, " +
        "same result as the small-regime semantics") {
     val corpus = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

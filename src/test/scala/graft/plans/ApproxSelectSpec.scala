@@ -116,4 +116,31 @@ class ApproxSelectSpec extends SparkSpec {
     if (s.rowCount.isEmpty && s.sizeInBytes >= BigInt(Long.MaxValue) / 2)
       assert(LlmOps.statsSaySmall(rdd, 1000000L, 1L << 30).isEmpty)
   }
+
+  test("statsSaySmall: a Project/Filter OVER a stats-less leaf still reads " +
+       "UNKNOWN (r12 ADVICE — the scaled sizeInBytes slipped under the " +
+       "old sentinel and misread as known-big)") {
+    // LogicalRDD leaf: no rowCount, sizeInBytes = defaultSizeInBytes
+    val rdd = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L,
+        "payload-payload-payload"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType))))
+    val leafStats = rdd.queryExecution.optimizedPlan.stats
+    assume(leafStats.rowCount.isEmpty &&
+      leafStats.sizeInBytes >= BigInt(Long.MaxValue) / 2,
+      "precondition: the raw leaf carries the no-stats fallback size")
+    // a narrow projection scales sizeInBytes DOWN (row-width ratio) —
+    // below the old >= MaxValue/2 sentinel, but the leaf is still
+    // stats-less: the structural walk must answer None, never Some(false)
+    val projected = rdd.select(col("x")).filter(col("x") > 0)
+    val scaled = projected.queryExecution.optimizedPlan.stats
+    assume(scaled.sizeInBytes < BigInt(Long.MaxValue) / 2,
+      "precondition: projection scaled the fabricated size under the sentinel")
+    assert(LlmOps.statsSaySmall(projected, 1000000L, 1L << 30).isEmpty,
+      s"stats-less lineage (scaled size ${scaled.sizeInBytes}) must be UNKNOWN")
+  }
 }
