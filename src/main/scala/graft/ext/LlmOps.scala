@@ -3767,4 +3767,270 @@ object LlmOps {
     else
       corpus.join(requests.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
   }
+
+  // ---------------------------------------------------------------------
+  // Corpus text-relevance analytics (r13): TF-IDF head terms + BM25 search
+  // ---------------------------------------------------------------------
+
+  /** Per-`lang` top-`k` terms by TF-IDF — the "what characterizes each
+    * sub-corpus" read a curation owner does before building domain mixes.
+    *
+    * idf is the log-free rational form `n_docs / df`: ranking-equivalent to
+    * the classic `ln(N/df)` (ln is monotone), while staying inside the
+    * IEEE-exact `{+,-,*,/}` op set so the DuckDB oracle reproduces every
+    * score bit-for-bit (libm `ln` is not correctly-rounded and differs
+    * across engines; `/` is).
+    *
+    * Scale shape: tokenize→explode is narrow; the tf aggregate is
+    * map-combined on (lang, token); df is a two-level distinct-then-count
+    * (both hash aggregates with partial pushdown); the per-lang top-k runs
+    * as [[graft.functions.TopKStrPairs]] — a map-side-evicting heap, so the
+    * final exchange carries #langs × k rows, never the per-lang distinct
+    * token set one window partition would sort (the `row_number()` form
+    * funnels ~10^8 distinct tokens per lang through ONE task at 100 TB).
+    * Tie-break (score desc, token asc) is the heap's contract — the same
+    * total order the oracle's `ORDER BY score DESC, token` expresses.
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 10): DataFrame = {
+    val w = withWords(docs)
+      .select(col("doc_id"), col("lang"), explode(col("words")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = w.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfT = w.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // (tf * n) stays exact in int64 (tf, n ≤ 2^31 here; the product is the
+    // only integer-overflow candidate and 100 TB corpora keep tf·n < 2^62
+    // per lang); ONE double division at the end — deterministic IEEE
+    val scored = tf.join(dfT, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round6((col("tf") * col("n_docs")).cast("double") / col("df").cast("double")))
+    scored
+      .groupBy(col("lang"))
+      .agg(expr(s"graft_topk_str(score, token, $k)").as("nn"))
+      .select(col("lang"), posexplode(col("nn")).as(Seq("rk0", "x")))
+      .select(col("lang"), (col("rk0") + 1).cast("int").as("rk"),
+        col("x.id").as("token"), col("x.score").as("score"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** BM25 top-`kTop` document search for a bag of query `terms` — the
+    * lexical-relevance retrieval that complements the vector `sim_search_*`
+    * family (production retrieval serves the union of both).
+    *
+    * The idf is BM25's log-free core ratio `(N - df + ½)/(df + ½)`
+    * (ranking-equivalent to the usual `ln(1 + ·)` wrapper — ln is monotone
+    * — and, unlike ln, reproducible bit-for-bit on any IEEE engine, so the
+    * oracle can verify scores exactly, not just orderings). Per-term
+    * contributions are round6'd then summed as DECIMAL — decimal addition
+    * is associative, so the 3-term sum is order-independent across engines
+    * (the repo-wide convention from Common's scaladoc).
+    *
+    * Scale shape: per-doc term freqs explode ONLY the query-term hits
+    * (`filter(words, w -> w in terms)` runs before the explode — the doc's
+    * other tokens never leave the row); tf is map-combined on
+    * (doc_id, term); df/avgdl/N are term-count-sized aggregates broadcast
+    * back; the final top-k is a TakeOrderedAndProject. Nothing shuffles at
+    * corpus row width.
+    */
+  def bm25Search(docs: DataFrame, terms: Seq[String], kTop: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
+      "bm25Search terms must be non-empty lowercase word tokens")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val base = withWords(docs)
+      .select(col("doc_id"),
+        expr("filter(words, w -> w != '')").as("words"))
+      .withColumn("dl", size(col("words")))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"),
+        explode(expr(s"filter(words, w -> w in ($termList))")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // every double op below mirrors the oracle's parenthesization exactly:
+    // {+,-,*,/} over identical inputs are exactly-rounded per IEEE-754, so
+    // both engines produce the same bits and round6 agrees
+    val contrib = tf.join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("contrib", round6(
+        (col("idf") * (col("tf").cast("double") * lit(k1 + 1.0))) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              (lit(b) * col("dl").cast("double")) / col("avgdl")))))
+    contrib
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib").cast("decimal(20,6)")).as("score_dec"),
+        count(lit(1)).as("n_terms"))
+      .select(col("doc_id"), col("score_dec").cast("double").as("score"),
+        col("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(kTop)
+  }
+
+  /** Fitted top principal component of an embedding corpus.
+    * All driver-side state is O(d²) (gated at d ≤ 256 — ≤ 512 KB).
+    */
+  final case class PcaFit(
+      nVecs: Long, dim: Int, mean: Array[Double],
+      eigenvalue: Double, eigenvector: Array[Double],
+      trace: Double, resid: Double)
+
+  /** Distributed PCA fit: ONE map-combined aggregate pass accumulates the
+    * first moment (d doubles) and the raw second moment (d² doubles, the
+    * per-row outer product summed by [[graft.functions.VecSum]]); the
+    * covariance eigenproblem then solves on the driver at d×d — 64×64 here,
+    * microseconds, byte-gated at d ≤ 256.
+    *
+    * This is the textbook scale split for 100 TB feature pipelines: the
+    * data-sized work is a single narrow agg whose exchange carries
+    * #tasks × d² doubles (map-side partials — never row-count-sized), and
+    * the driver holds only the d² summary. The explode-based alternative
+    * would exchange d² rows PER VECTOR. Top eigenpair via deterministic
+    * power iteration (start axis = max-variance diagonal, fixed `iters` —
+    * no RNG, so the fit is run-stable given Spark's deterministic
+    * partitioning).
+    */
+  def embeddingPcaFit(emb: DataFrame, vecCol: String = "embedding",
+                      iters: Int = 200): PcaFit = {
+    val row = ensureFns(emb)
+      .select(expr(s"transform($vecCol, v -> cast(v as double))").as("x"))
+      .select(col("x"),
+        expr("flatten(transform(x, a -> transform(x, b -> a * b)))").as("xx"))
+      .agg(count(lit(1)).as("n"),
+        expr("graft_vec_sum(x)").as("sx"),
+        expr("graft_vec_sum(xx)").as("sxx"))
+      .collect()(0) // 1 row, 1 + d + d² doubles — byte-gated below
+    val n = row.getLong(0)
+    require(n >= 2, s"embeddingPca: need >= 2 vectors, got $n")
+    val sx = row.getSeq[Double](1).toArray
+    val d = sx.length
+    require(d >= 1 && d <= 256,
+      s"embeddingPca: dim $d outside the driver Gramian gate [1, 256]")
+    val sxx = row.getSeq[Double](2).toArray
+    val mu = sx.map(_ / n)
+    // C = (Sxx - n·mu·muᵀ) / (n-1)
+    val cov = new Array[Double](d * d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) {
+        cov(i * d + j) = (sxx(i * d + j) - n * mu(i) * mu(j)) / (n - 1)
+        j += 1
+      }
+      i += 1
+    }
+    var trace = 0.0
+    i = 0; while (i < d) { trace += cov(i * d + i); i += 1 }
+    // deterministic start: the max-variance axis
+    var start = 0
+    i = 1; while (i < d) { if (cov(i * d + i) > cov(start * d + start)) start = i; i += 1 }
+    var v = Array.tabulate(d)(k => if (k == start) 1.0 else 0.0)
+    def matVec(x: Array[Double]): Array[Double] = {
+      val y = new Array[Double](d)
+      var r = 0
+      while (r < d) {
+        var acc = 0.0; var c = 0
+        while (c < d) { acc += cov(r * d + c) * x(c); c += 1 }
+        y(r) = acc; r += 1
+      }
+      y
+    }
+    var it = 0
+    while (it < iters) {
+      val y = matVec(v)
+      val nrm = math.sqrt(y.map(a => a * a).sum)
+      require(nrm > 0.0, "embeddingPca: degenerate covariance (zero image)")
+      v = y.map(_ / nrm)
+      it += 1
+    }
+    val cv = matVec(v)
+    val lambda = v.indices.map(k => v(k) * cv(k)).sum // Rayleigh quotient
+    val resid = math.sqrt(v.indices.map { k =>
+      val e = cv(k) - lambda * v(k); e * e
+    }.sum)
+    PcaFit(n, d, mu, lambda, v, trace, resid)
+  }
+
+  /** Registry report over [[embeddingPcaFit]]: structural facts hash-exact
+    * against the oracle; the eigenpair quality surfaces as `pca_ok` — the
+    * in-query harness (residual within 5% of λ₁, λ₁ within [trace/d, trace])
+    * — since no SQL oracle can solve the eigenproblem. The spec tier does
+    * the strong check against an independently-computed dense reference.
+    */
+  def embeddingPca(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val f = embeddingPcaFit(emb, vecCol)
+    val ok = f.resid <= 0.05 * f.eigenvalue &&
+      f.eigenvalue >= f.trace / f.dim - 1e-9 * f.trace &&
+      f.eigenvalue <= f.trace * (1.0 + 1e-9)
+    import spark.implicits._
+    Seq((f.nVecs, f.dim, 1, ok))
+      .toDF("n_vecs", "dim", "n_components", "pca_ok")
+  }
+
+  /** Snapshot-to-snapshot corpus overlap: the exact word-3gram shingle-set
+    * Jaccard between two crawls (the "how much is new this month" read that
+    * sizes incremental dedup/training work), plus the k-perm MinHash
+    * ESTIMATE of the same quantity with an in-query tolerance check —
+    * the estimate is the only form computable at 100 TB without holding
+    * both snapshots' full shingle sets, so the exact pass doubles as its
+    * verification harness at gate scale (the same exact-vs-sketch pattern
+    * as `profile_table_approx` / `embedding_health_approx`).
+    *
+    * Exact tier: distinct shingles per side, unioned with side flags, ONE
+    * map-combined aggregate per shingle then one corpus-level fold —
+    * shuffles carry distinct-shingle rows, no joins. Estimate tier: per-doc
+    * k-perm signatures ([[withMinhashSig]]'s md5+affine universal hashing),
+    * folded to a per-SNAPSHOT signature by an elementwise-min aggregate
+    * (min is associative+commutative → map-combined; k rows total), then
+    * matched positionally. Both snapshot sigs are k-row frames — the final
+    * join is trivially broadcast.
+    *
+    * The 1-row report is collected to release the two shingle caches
+    * deterministically (bounded by construction — the same byte-gate
+    * rationale as the c-row centroid reads).
+    */
+  def corpusOverlap(a: DataFrame, b: DataFrame, idCol: String,
+                    kSig: Int = 64, tol: Double = 0.2): DataFrame = {
+    val spark = a.sparkSession
+    val shA = shingleTable(a, idCol)
+    val shB = shingleTable(b, idCol)
+    try {
+      val gA = shA.select(explode(col("shingles")).as("g")).distinct()
+        .select(col("g"), lit(1L).as("in_a"), lit(0L).as("in_b"))
+      val gB = shB.select(explode(col("shingles")).as("g")).distinct()
+        .select(col("g"), lit(0L).as("in_a"), lit(1L).as("in_b"))
+      val exact = gA.unionByName(gB)
+        .groupBy(col("g"))
+        .agg(max(col("in_a")).as("a"), max(col("in_b")).as("b"))
+        .agg(sum(col("a")).as("n_shingles_a"), sum(col("b")).as("n_shingles_b"),
+          sum(col("a") * col("b")).as("n_inter"), count(lit(1)).as("n_union"))
+      def snapSig(sh: DataFrame): DataFrame =
+        withMinhashSig(sh, kSig)
+          .select(posexplode(col("sig")).as(Seq("pos", "h")))
+          .groupBy(col("pos")).agg(min(col("h")).as("h"))
+      val est = snapSig(shA).alias("x")
+        .join(broadcast(snapSig(shB).alias("y")), Seq("pos"))
+        .agg((sum(when(col("x.h") === col("y.h"), 1L).otherwise(0L))
+          .cast("double") / lit(kSig.toDouble)).as("jaccard_est"))
+      val report = exact.crossJoin(broadcast(est)).select(
+        col("n_shingles_a"), col("n_shingles_b"), col("n_inter"), col("n_union"),
+        round6(col("n_inter").cast("double") / col("n_union").cast("double"))
+          .as("jaccard"),
+        (abs(col("jaccard_est") -
+          (col("n_inter").cast("double") / col("n_union").cast("double")))
+          <= lit(tol)).as("est_ok"))
+      val rows = report.collect() // 1 row by construction (two corpus folds)
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), report.schema)
+    } finally { shA.unpersist(); shB.unpersist(); () }
+  }
 }

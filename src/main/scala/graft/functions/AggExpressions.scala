@@ -150,6 +150,251 @@ case class TopKPairs(
     copy(score = newChildren(0), id = newChildren(1), kExpr = newChildren(2))
 }
 
+/** `graft_vec_sum(array<double>)` → `array<double>`: the elementwise sum
+  * of the group's vectors — the fixed-width building block for distributed
+  * second-moment/Gramian accumulation (PCA, covariance, centroid sums).
+  *
+  * Why it exists: the explode-based alternative (`posexplode` →
+  * `groupBy(pos)`) multiplies the exchanged row count by the array length —
+  * fine at d=64, fatal at the d² = 4096-entry outer products a covariance
+  * pass accumulates over 10^10 rows. This aggregate keeps ONE d-width
+  * buffer per map task (partial aggregation), so the exchange carries
+  * #groups × d doubles total. Sum order is partition-dependent (double
+  * addition is not associative) — consumers that surface the values verify
+  * through a tolerance harness, the same contract as every FP aggregate.
+  *
+  * Nulls are skipped; all non-null inputs must share one length (mixed
+  * lengths fail loudly — a silent truncation would corrupt every entry).
+  * Empty groups evaluate to null.
+  */
+case class VecSum(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] {
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_vec_sum requires array<double> (cast floats first), got $other")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_vec_sum"
+
+  // empty marker: zero-length array (a real zero-length input is rejected)
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  override def update(b: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return b
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    require(n > 0, "graft_vec_sum: zero-length vector")
+    if (b.length == 0) {
+      val fresh = new Array[Double](n)
+      var i = 0
+      while (i < n) { fresh(i) = arr.getDouble(i); i += 1 }
+      fresh
+    } else {
+      require(b.length == n,
+        s"graft_vec_sum: mixed vector lengths (${b.length} vs $n)")
+      var i = 0
+      while (i < n) { b(i) += arr.getDouble(i); i += 1 }
+      b
+    }
+  }
+
+  override def merge(b: Array[Double], o: Array[Double]): Array[Double] = {
+    if (o.length == 0) b
+    else if (b.length == 0) o
+    else {
+      require(b.length == o.length,
+        s"graft_vec_sum: mixed vector lengths (${b.length} vs ${o.length})")
+      var i = 0
+      while (i < b.length) { b(i) += o(i); i += 1 }
+      b
+    }
+  }
+
+  override def eval(b: Array[Double]): Any =
+    if (b.length == 0) null
+    else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b)
+
+  override def serialize(b: Array[Double]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(4 + 8 * b.length)
+    out.putInt(b.length)
+    var i = 0
+    while (i < b.length) { out.putDouble(b(i)); i += 1 }
+    out.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val in = java.nio.ByteBuffer.wrap(bytes)
+    val n = in.getInt()
+    val b = new Array[Double](n)
+    var i = 0
+    while (i < n) { b(i) = in.getDouble(); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VecSum =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VecSum =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VecSum =
+    copy(child = newChildren(0))
+}
+
+/** Bounded top-k buffer over STRING ids: keeps the k best
+  * (score desc, id asc — binary UTF-8 order, matching both Spark's and
+  * DuckDB's default string collation) pairs seen. Same linear-insertion
+  * rationale as [[TopKBuffer]]; ids are [[org.apache.spark.unsafe.types.UTF8String]]
+  * (callers must pass OWNED copies — see [[TopKStrPairs.update]]).
+  */
+final class TopKStrBuffer(val k: Int) {
+  val scores = new Array[Double](k)
+  val ids = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+  var size = 0
+
+  private def better(s: Double, id: org.apache.spark.unsafe.types.UTF8String,
+                     i: Int): Boolean = {
+    val c = java.lang.Double.compare(s, scores(i))
+    c > 0 || (c == 0 && id.compareTo(ids(i)) < 0)
+  }
+
+  def insert(s0: Double, id: org.apache.spark.unsafe.types.UTF8String): Unit = {
+    val s = if (s0 == 0.0) 0.0 else s0 // normalize -0.0 (see TopKBuffer)
+    if (size == k && !better(s, id, k - 1)) return
+    var i = math.min(size, k - 1)
+    while (i > 0 && better(s, id, i - 1)) {
+      scores(i) = scores(i - 1); ids(i) = ids(i - 1); i -= 1
+    }
+    scores(i) = s; ids(i) = id
+    if (size < k) size += 1
+  }
+
+  def mergeFrom(o: TopKStrBuffer): Unit = {
+    var i = 0
+    while (i < o.size) { insert(o.scores(i), o.ids(i)); i += 1 }
+  }
+}
+
+/** `graft_topk_str(score, id, k)` → `array<struct<id:string, score:double>>`
+  * — [[TopKPairs]] for STRING-keyed rankings (tokens, URLs, shingles),
+  * where hashing the id to a bigint would break the deterministic
+  * tie-break the DuckDB oracle can express (`ORDER BY score DESC, id`).
+  *
+  * Same scale posture as graft_topk: the window form shuffles EVERY
+  * candidate row to one partition per group and sorts it (per-lang
+  * distinct tokens ≈ 10^8 at 100 TB — one task); this evicts to k entries
+  * inside the map task, so the exchange carries #groups × k rows. Ties
+  * break (score desc, id asc) in binary UTF-8 order — identical to both
+  * engines' default collation for the ASCII tokens this serves.
+  */
+case class TopKStrPairs(
+    score: Expression, id: Expression, kExpr: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKStrBuffer] {
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Int]
+
+  override def children: Seq[Expression] = Seq(score, id, kExpr)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (score.dataType, id.dataType, kExpr.dataType) match {
+      case (DoubleType, StringType, IntegerType) if kExpr.foldable =>
+        val kv = kExpr.eval()
+        if (kv == null || kv.asInstanceOf[Int] < 1 || kv.asInstanceOf[Int] > 10000)
+          TypeCheckResult.TypeCheckFailure(
+            s"graft_topk_str k must be in [1, 10000], got $kv")
+        else TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_topk_str requires (double, string, foldable int), got $other")
+    }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_topk_str"
+
+  override def createAggregationBuffer(): TopKStrBuffer = new TopKStrBuffer(k)
+
+  override def update(b: TopKStrBuffer, input: InternalRow): TopKStrBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      // clone: eval may return a buffer-backed view that the buffer would
+      // hold across rows (same hazard graft_freq documents)
+      val u = i.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      // cheap pre-check against the current cutoff before paying the copy
+      if (b.size < b.k || java.lang.Double.compare(
+            if (s.asInstanceOf[Double] == 0.0) 0.0 else s.asInstanceOf[Double],
+            b.scores(b.k - 1)) >= 0)
+        b.insert(s.asInstanceOf[Double], u.clone())
+    }
+    b
+  }
+
+  override def merge(b: TopKStrBuffer, o: TopKStrBuffer): TopKStrBuffer = {
+    b.mergeFrom(o); b
+  }
+
+  override def eval(b: TopKStrBuffer): Any = {
+    val out = new Array[Any](b.size)
+    var i = 0
+    while (i < b.size) {
+      out(i) = InternalRow(b.ids(i), b.scores(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(b: TopKStrBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(16 * (b.size + 1))
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.size)
+    var i = 0
+    while (i < b.size) {
+      out.writeDouble(b.scores(i))
+      val bytes = b.ids(i).getBytes
+      out.writeInt(bytes.length); out.write(bytes)
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKStrBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val b = new TopKStrBuffer(k)
+    var i = 0
+    while (i < n) {
+      val s = in.readDouble()
+      val len = in.readInt(); val buf = new Array[Byte](len)
+      in.readFully(buf)
+      b.insert(s, org.apache.spark.unsafe.types.UTF8String.fromBytes(buf))
+      i += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKStrPairs =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKStrPairs =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKStrPairs =
+    copy(score = newChildren(0), id = newChildren(1), kExpr = newChildren(2))
+}
+
 /** Misra–Gries frequent-items summary, bounded at k counters.
   *
   * Update is the classic MG step (present → +1; room → insert 1; full →

@@ -91,6 +91,18 @@ object GraftFunctions {
         require(args.length == 3, "graft_topk takes (score double, id bigint, k)")
         TopKPairs(args(0), args(1), args(2))
       }),
+    (FunctionIdentifier("graft_vec_sum"),
+      new ExpressionInfo(classOf[VecSum].getName, "graft_vec_sum"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_vec_sum takes (array<double>)")
+        VecSum(args.head)
+      }),
+    (FunctionIdentifier("graft_topk_str"),
+      new ExpressionInfo(classOf[TopKStrPairs].getName, "graft_topk_str"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_topk_str takes (score double, id string, k)")
+        TopKStrPairs(args(0), args(1), args(2))
+      }),
     (FunctionIdentifier("graft_freq"),
       new ExpressionInfo(classOf[FreqItems].getName, "graft_freq"),
       (args: Seq[Expression]) => {

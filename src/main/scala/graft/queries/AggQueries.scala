@@ -186,7 +186,29 @@ object AggQueries {
         .agg(min(col("_ts_us")).as("session_start"),
           max(col("_ts_us")).as("session_end"),
           count(lit(1)).as("n_events"))
-        .orderBy(col("user_id"), col("session_id")))
+        .orderBy(col("user_id"), col("session_id"))),
+
+    // z-score outlier detection per event_type (r13): the monitoring read
+    // that flags anomalous metric values against their group's own
+    // distribution. Group stats are a map-combined aggregate over a
+    // handful of groups, BROADCAST back onto the stream — the corpus
+    // never shuffles (a window form would exchange every event on
+    // event_type; with few types that is a one-task-per-type funnel).
+    // The |z|>3 cutoff sits ≥2e-4 from every data z (measured per SF),
+    // 8 orders above cross-engine stddev summation skew.
+    "anomaly_zscore" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("mu"),
+          stddev_samp(col("value")).as("sd"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", (col("value") - col("mu")) / col("sd"))
+        .filter(abs(col("z")) > lit(3.0))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 4).as("z"))
+        .orderBy(col("event_id"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -297,6 +319,15 @@ object AggQueries {
          SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                 min(ts_us) AS session_start,
                 max(ts_us) AS session_end, count(*) AS n_events
-         FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_id"""
+         FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_id""",
+    "anomaly_zscore" ->
+      """WITH stats AS (SELECT event_type, avg(value) AS mu,
+                               stddev_samp(value) AS sd
+                        FROM events GROUP BY 1)
+         SELECT e.event_id, e.event_type, e.value,
+                round((e.value - s.mu) / s.sd, 4) AS z
+         FROM events e JOIN stats s USING (event_type)
+         WHERE abs((e.value - s.mu) / s.sd) > 3.0
+         ORDER BY e.event_id"""
   )
 }

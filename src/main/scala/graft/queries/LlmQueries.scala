@@ -33,6 +33,23 @@ object LlmQueries {
               lang, source, n_chars
        FROM documents WHERE doc_id % 10 = 0"""
 
+  /** The "next crawl" twin for corpus_overlap: 1-in-7 docs dropped (decayed
+    * pages), 1-in-10 surviving texts get one appended word (edited pages) —
+    * a realistic month-over-month shingle overlap in the 0.8–0.95 band.
+    */
+  private def docsNextCrawl(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" tail")))
+          .otherwise(col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+
+  private val docsNextCrawlSql: String =
+    """SELECT doc_id,
+              CASE WHEN doc_id % 10 = 0 THEN text || ' tail' ELSE text END AS text,
+              lang, source, n_chars
+       FROM documents WHERE doc_id % 7 <> 0"""
+
   /** embeddings ∪ identical copies of ids %25==0 (cosine exactly 1). */
   private def embWithDups(emb: DataFrame): DataFrame =
     emb.unionByName(
@@ -1092,7 +1109,56 @@ object LlmQueries {
       LlmOps.ivfSearchBatch(corpus, e.filter(col("vec_id") < 4), cents,
           nprobe = 2, k = 10)
         .orderBy(col("qid"), col("cos").desc, col("vec_id"))
-    })
+    }),
+
+    // per-lang TF-IDF head terms (r13): what characterizes each sub-corpus
+    // — map-combined tf/df aggregates + the graft_topk_str map-side heap,
+    // so the per-lang ranking never funnels a lang's distinct-token set
+    // through one window partition
+    "tfidf_topterms" -> ((s, d) =>
+      LlmOps.tfIdfTopTerms(t(s, d, "documents"), k = 10)),
+
+    // BM25 lexical retrieval (r13): top-10 docs for a fixed 3-term query —
+    // the keyword complement of the sim_search_* vector family; log-free
+    // rational idf keeps every score bit-reproducible in the oracle
+    "bm25_search" -> ((s, d) =>
+      LlmOps.bm25Search(t(s, d, "documents"),
+        Seq("column", "window", "scan"), kTop = 10)),
+
+    // crawl-to-crawl corpus overlap (r13): exact shingle-set Jaccard
+    // between documents and its "next crawl" twin (1-in-7 docs dropped,
+    // 1-in-10 texts edited), plus the MinHash estimate with an in-query
+    // tolerance check — the sketch is the only 100 TB form; the exact
+    // pass is its verification harness at gate scale
+    "corpus_overlap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      LlmOps.corpusOverlap(docs, docsNextCrawl(docs), "doc_id",
+        kSig = 64, tol = 0.2)
+    }),
+
+    // distributed PCA fit (r13): one map-combined moment pass (graft_vec_sum
+    // over per-row outer products — #tasks × d² doubles exchanged, never
+    // row-count-sized), d×d eigenproblem on the driver (byte-gated d ≤ 256).
+    // Structural facts hash-exact; eigenpair quality is the in-query pca_ok
+    // harness (residual ≤ 5% λ₁, λ₁ ∈ [trace/d, trace]); the strong check
+    // against a dense reference lives in TextRankOpsSpec
+    "embedding_pca" -> ((s, d) =>
+      LlmOps.embeddingPca(t(s, d, "embeddings"))),
+
+    // per-dimension embedding moments (r13): the whitening/normalization
+    // stats a feature pipeline computes before PCA or scalar quantization
+    // — one narrow posexplode (×dim, linear) into a 64-group map-combined
+    // aggregate; report-sized output
+    "embedding_dim_stats" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("vd", col("v").cast("double"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          LlmOps.round6(avg(col("vd"))).as("mean"),
+          LlmOps.round6(stddev_samp(col("vd"))).as("sd"),
+          min(col("vd")).as("vmin"), max(col("vd")).as("vmax"))
+        .orderBy(col("dim")))
   )
 
   /** DuckDB mirror of the trained-IVF search (c=4, iters=2, nprobe=2,
@@ -2515,6 +2581,120 @@ object LlmQueries {
          FROM documents d JOIN kf USING (lang)
          WHERE ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
                / 4294967296.0 < kf.keep_frac
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+
+    // score = round(tf·N / df, 6): the log-free idf keeps every double op
+    // inside the IEEE-exact set so both engines agree bit-for-bit; the
+    // row_number tie-break (score DESC, token) is the graft_topk_str
+    // heap's contract
+    "tfidf_topterms" ->
+      """WITH w AS (SELECT doc_id, lang,
+                           unnest(string_split(lower(text), ' ')) AS token
+                    FROM documents),
+          w2 AS (SELECT * FROM w WHERE token <> ''),
+          tf AS (SELECT lang, token, count(*) AS tf FROM w2 GROUP BY 1, 2),
+          dft AS (SELECT token, count(*) AS df
+                  FROM (SELECT DISTINCT doc_id, token FROM w2) GROUP BY 1),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          scored AS (SELECT lang, tf.token,
+                            round(CAST(tf * (SELECT n_docs FROM n) AS DOUBLE)
+                                  / CAST(df AS DOUBLE), 6) AS score
+                     FROM tf JOIN dft ON tf.token = dft.token)
+          SELECT lang, CAST(rk AS INTEGER) AS rk, token, score FROM (
+            SELECT lang, token, score,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY score DESC, token) AS rk
+            FROM scored)
+          WHERE rk <= 10 ORDER BY lang, rk""",
+
+    // identical parenthesization to bm25Search: idf, the length-normalized
+    // tf saturation, and round6 all run on bit-identical doubles; the
+    // ≤3-term sum goes through DECIMAL(20,6) so addition order can't matter
+    "bm25_search" ->
+      """WITH base AS (SELECT doc_id,
+                              list_filter(string_split(lower(text), ' '),
+                                          w -> w <> '') AS words
+                       FROM documents),
+          dls AS (SELECT doc_id, len(words) AS dl, words FROM base),
+          stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dls),
+          tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                 FROM (SELECT doc_id, dl,
+                              unnest(list_filter(words,
+                                w -> w IN ('column', 'window', 'scan'))) AS term
+                       FROM dls)
+                 GROUP BY 1, 2, 3),
+          dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          contrib AS (
+            SELECT tf.doc_id,
+                   round(((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                            / (CAST(d.df AS DOUBLE) + 0.5)
+                          * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)))
+                         / (CAST(tf.tf AS DOUBLE)
+                            + 1.2 * (1.0 - 0.75
+                                     + (0.75 * CAST(tf.dl AS DOUBLE))
+                                       / (CAST(s.sum_dl AS DOUBLE)
+                                          / CAST(s.n_docs AS DOUBLE)))), 6)
+                     AS contrib
+            FROM tf JOIN dft d USING (term) CROSS JOIN stats s)
+          SELECT doc_id,
+                 CAST(sum(CAST(contrib AS DECIMAL(20,6))) AS DOUBLE) AS score,
+                 count(*) AS n_terms
+          FROM contrib GROUP BY doc_id
+          ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // exact shingle-set Jaccard between documents and the next-crawl twin;
+    // est_ok is the envelope contract for the Spark-side MinHash estimate
+    // (64 perms, tol 0.2 ≈ 4.5σ — verified deterministic per SF tier)
+    "corpus_overlap" ->
+      s"""WITH bdocs AS ($docsNextCrawlSql),
+          aw AS (SELECT doc_id, text, $duckWords AS words FROM documents),
+          ash AS (SELECT CASE WHEN len(words) < 3 THEN [lower(text)]
+                         ELSE list_transform(generate_series(1, len(words) - 2),
+                                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                    END AS sh
+                  FROM aw),
+          ag AS (SELECT DISTINCT unnest(sh) AS g FROM ash),
+          bw AS (SELECT doc_id, text, $duckWords AS words FROM bdocs),
+          bsh AS (SELECT CASE WHEN len(words) < 3 THEN [lower(text)]
+                         ELSE list_transform(generate_series(1, len(words) - 2),
+                                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                    END AS sh
+                  FROM bw),
+          bg AS (SELECT DISTINCT unnest(sh) AS g FROM bsh),
+          u AS (SELECT g, max(a) AS a, max(b) AS b FROM (
+                  SELECT g, 1 AS a, 0 AS b FROM ag
+                  UNION ALL
+                  SELECT g, 0 AS a, 1 AS b FROM bg)
+                GROUP BY g)
+          SELECT CAST(sum(a) AS BIGINT) AS n_shingles_a,
+                 CAST(sum(b) AS BIGINT) AS n_shingles_b,
+                 CAST(sum(a * b) AS BIGINT) AS n_inter,
+                 count(*) AS n_union,
+                 round(CAST(sum(a * b) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                   AS jaccard,
+                 true AS est_ok
+          FROM u""",
+
+    // structural facts exact; pca_ok is the envelope contract for the
+    // driver-side eigenpair (no SQL engine solves the eigenproblem)
+    "embedding_pca" ->
+      """SELECT count(*) AS n_vecs,
+                CAST(max(len(embedding)) AS INTEGER) AS dim,
+                CAST(1 AS INTEGER) AS n_components,
+                true AS pca_ok
+         FROM embeddings""",
+
+    // per-dimension moments: mean/sd round to 6dp (cross-engine summation
+    // skew ~1e-13 abs vs 5e-7 rounding spacing); min/max are exact float
+    // widenings
+    "embedding_dim_stats" ->
+      """SELECT CAST(dim AS INTEGER) AS dim, count(*) AS n,
+                round(avg(vd), 6) AS mean,
+                round(stddev_samp(vd), 6) AS sd,
+                min(vd) AS vmin, max(vd) AS vmax
+         FROM (SELECT unnest(range(len(embedding))) AS dim,
+                      CAST(unnest(embedding) AS DOUBLE) AS vd
+               FROM embeddings)
+         GROUP BY dim ORDER BY dim"""
   )
 }

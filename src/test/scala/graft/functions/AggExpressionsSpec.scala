@@ -57,6 +57,120 @@ class AggExpressionsSpec extends SparkSpec {
     assert(agg == win)
   }
 
+  // --- graft_vec_sum (elementwise array sum) ------------------------------
+
+  test("graft_vec_sum sums elementwise across partitions (merge + serde), " +
+       "skips nulls, nulls out empty groups") {
+    val rows = Seq(
+      (1L, Some(Seq(1.0, 2.0, 3.0))), (1L, Some(Seq(10.0, 20.0, 30.0))),
+      (1L, None), (1L, Some(Seq(100.0, 200.0, 300.0))),
+      (2L, None))
+      .toDF("g", "x").repartition(4)
+    val out = rows.groupBy($"g").agg(expr("graft_vec_sum(x)").as("s"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(out(1L).get == Seq(111.0, 222.0, 333.0))
+    assert(out(2L).isEmpty) // all-null group → null
+  }
+
+  test("graft_vec_sum fails loudly on mixed lengths and non-double arrays") {
+    val mixed = Seq(Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)).toDF("x")
+    val e = intercept[Exception] {
+      mixed.agg(expr("graft_vec_sum(x)")).collect()
+    }
+    assert(e.getMessage != null)
+    intercept[Exception] {
+      Seq(Seq(1, 2)).toDF("x").agg(expr("graft_vec_sum(x)")).collect()
+    }
+  }
+
+  test("graft_vec_sum outer-product pass equals the posexplode reference " +
+       "(the Gramian shape embedding_pca uses)") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(50)
+      .select(expr("transform(embedding, v -> cast(v as double))").as("x"))
+    val viaAgg = e
+      .select(expr("flatten(transform(x, a -> transform(x, b -> a * b)))").as("xx"))
+      .agg(expr("graft_vec_sum(xx)").as("s"))
+      .collect()(0).getSeq[Double](0)
+    val viaExplode = e
+      .select(posexplode(expr(
+        "flatten(transform(x, a -> transform(x, b -> a * b)))")).as(Seq("i", "v")))
+      .groupBy($"i").agg(sum($"v").as("s"))
+      .orderBy($"i").collect().map(_.getDouble(1))
+    assert(viaAgg.length == viaExplode.length)
+    viaAgg.indices.foreach { i =>
+      assert(math.abs(viaAgg(i) - viaExplode(i)) <=
+        1e-9 * (1.0 + math.abs(viaExplode(i))), s"entry $i")
+    }
+  }
+
+  // --- graft_topk_str (string-keyed top-k heap) --------------------------
+
+  test("graft_topk_str keeps the k best (score desc, id asc) with string " +
+       "ids, exercising partial merge + serde") {
+    val rows = Seq(
+      // group 1: tie on 0.9 broken by token asc; 4 candidates for k=3
+      (1L, 0.9, "zebra"), (1L, 0.9, "apple"), (1L, 0.5, "mid"), (1L, 0.7, "top"),
+      // group 2: fewer than k
+      (2L, 0.1, "only"))
+      .toDF("g", "score", "id")
+      .repartition(4) // spread the group across tasks: merge + serialize run
+    val out = rows.groupBy($"g")
+      .agg(expr("graft_topk_str(score, id, 3)").as("nn"))
+      .select($"g", posexplode($"nn").as(Seq("pos", "nn")))
+      .select($"g", $"pos", $"nn.id", $"nn.score")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 0, "apple", 0.9), (1L, 1, "zebra", 0.9), (1L, 2, "top", 0.7),
+      (2L, 0, "only", 0.1)))
+  }
+
+  test("graft_topk_str matches the row_number window form on real tokens " +
+       "(ties included) and survives buffer-reuse of UTF8String inputs") {
+    import org.apache.spark.sql.expressions.Window
+    // token counts from the documents table: many ties at small counts,
+    // parquet string columns exercise the UTF8String clone-on-buffer path
+    val toks = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).cast("double").as("score"))
+    val agg = toks.groupBy(col("lang"))
+      .agg(expr("graft_topk_str(score, token, 5)").as("nn"))
+      .select(col("lang"), posexplode(col("nn")).as(Seq("pos", "x")))
+      .select(col("lang"), col("pos"), col("x.id"), col("x.score"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("token"))
+    val win = toks.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("lang"), (col("rn") - 1).as("pos"), col("token"), col("score"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    assert(agg == win)
+  }
+
+  test("graft_topk_str ranks NaN first, merges -0.0/0.0, skips nulls, " +
+       "and rejects bad k / non-string ids at analysis") {
+    val rows = Seq(
+      (1L, Double.NaN, "nan"), (1L, 1.0, "one"), (1L, -0.0, "negzero"),
+      (1L, 0.0, "poszero"))
+      .toDF("g", "score", "id")
+      .unionByName(Seq((1L, null.asInstanceOf[java.lang.Double], "nullsco"))
+        .toDF("g", "score", "id"))
+    val out = rows.groupBy($"g")
+      .agg(expr("graft_topk_str(score, id, 4)").as("nn"))
+      .select(posexplode($"nn").as(Seq("pos", "x")))
+      .select($"x.id").as[String].collect().toSeq
+    // NaN ranks greatest (Spark sort order); -0.0 ties 0.0 → id asc
+    assert(out == Seq("nan", "one", "negzero", "poszero"))
+    val df = Seq((1L, 0.5, 2L)).toDF("g", "s", "i")
+    intercept[Exception] {
+      df.groupBy($"g").agg(expr("graft_topk_str(s, i, 3)")).collect() // id not string
+    }
+    intercept[Exception] {
+      Seq((1L, 0.5, "x")).toDF("g", "s", "i").groupBy($"g")
+        .agg(expr("graft_topk_str(s, i, 0)")).collect()
+    }
+  }
+
   // --- graft_freq (Misra–Gries heavy hitters) ---------------------------
 
   /** Planted-skew corpus: 3 hitters at ~heavyEach rows each over a sea of

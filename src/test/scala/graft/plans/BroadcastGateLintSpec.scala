@@ -84,7 +84,19 @@ class BroadcastGateLintSpec extends AnyFunSuite {
     ("broadcast(ensureFns(query).select(col(\"embedding\").as(\"qm\")))",
       "LlmOps.pqSearchCodes: the single query vector — 1 row by contract"),
     ("crossJoin(broadcast(pqLut(cbs, q, m, ks)))",
-      "LlmOps.pqSearchCodes/pqSearchIvfCodes: the ADC lookup table grouped to ONE row — bounded by the (m, ks) literals"))
+      "LlmOps.pqSearchCodes/pqSearchIvfCodes: the ADC lookup table grouped to ONE row — bounded by the (m, ks) literals"),
+    (".crossJoin(broadcast(n))",
+      "LlmOps.tfIdfTopTerms: groupless global doc-count aggregate — exactly 1 row"),
+    ("tf.join(broadcast(dfT), Seq(\"term\"))",
+      "LlmOps.bm25Search: per-query-term document frequencies — ≤ |terms| rows (terms is a literal list)"),
+    (".crossJoin(broadcast(stats))",
+      "LlmOps.bm25Search: groupless global (n_docs, sum_dl) aggregate — exactly 1 row"),
+    (".join(broadcast(snapSig(shB).alias(\"y\")), Seq(\"pos\"))",
+      "LlmOps.corpusOverlap: the snapshot-level MinHash signature — exactly kSig (≤64) rows by the per-position min fold"),
+    ("exact.crossJoin(broadcast(est))",
+      "LlmOps.corpusOverlap: groupless signature-match aggregate — exactly 1 row"),
+    ("ev.join(broadcast(stats), Seq(\"event_type\"))",
+      "AggQueries.anomaly_zscore: per-event-type (mu, sd) aggregate — one row per distinct event type (a low-cardinality enum by data contract; the same bound heavy_hitters' k=16 presumes)"))
 
   test("every broadcast( in src/main is gated or allowlisted with a cited bound") {
     val root = Paths.get("src/main/scala")

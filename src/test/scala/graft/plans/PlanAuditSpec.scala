@@ -406,7 +406,13 @@ class PlanAuditSpec extends SparkSpec {
       // total are both report-sized)
       "dedup_cluster_stats",
       // inherits quality_lm_score's 1-row total-gram aggregate attach
-      "quality_histogram")
+      "quality_histogram",
+      // 1-row corpus doc-count attach (LlmOps.tfIdfTopTerms:
+      // crossJoin(broadcast(n)) — groupless global aggregate)
+      "tfidf_topterms",
+      // 1-row (n_docs, sum_dl) stats attach (LlmOps.bm25Search:
+      // crossJoin(broadcast(stats)) — groupless global aggregate)
+      "bm25_search")
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =
