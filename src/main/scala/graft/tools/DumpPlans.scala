@@ -63,7 +63,11 @@ object DumpPlans {
       "funnel_steps" -> "ordered funnel (r12): three conditional-MIN aggregates chained by user_id equi-joins — every stage partial-combines map-side, so a bot user's 10⁹ events collapse before any exchange; deliberately not a per-user collect_list + sequence scan (the unsplittable-hot-user shape); three narrow filter-pushed event scans is the price",
       "retention_cohorts" -> "cohort retention matrix (r12): first-seen MIN agg → user_id equi-join → (user, cohort, offset) distinct → matrix count; all hash aggregates partial-combine and the output is cohorts × horizon, report-sized",
       "heavy_hitters" -> "Misra–Gries heavy hitters (r12): the graft_freq TypedImperativeAggregate keeps ≤k counters per map task, so the exchange carries ≤k rows per task where the exact groupBy pays one per DISTINCT key; the exact pass + inner join here is the driver-visible verification envelope (presence = the join, accuracy = hh_ok), not the scale path",
-      "purge_by_ids" -> "takedown purge (r12): at sf tiers the ≤256-id regime compiles to a PLAIN SCAN FILTER (NOT-IN over the bounded-collected request ids — no join node at all; row-group prunable on an id-sorted layout); above the gate it is one left-anti equi-join AQE can broadcast — spec pins both regimes output-identical")
+      "purge_by_ids" -> "takedown purge (r12): at sf tiers the ≤256-id regime compiles to a PLAIN SCAN FILTER (NOT-IN over the bounded-collected request ids — no join node at all; row-group prunable on an id-sorted layout); above the gate it is one left-anti equi-join AQE can broadcast — spec pins both regimes output-identical",
+      "tfidf_topterms" -> "per-lang TF-IDF head terms (r13): tokenize/explode is a narrow generator; tf and df are map-combined hash aggregates (the Zipf head collapses map-side); the per-lang ranking is the graft_topk_str bounded heap — #langs×k exchange rows, NO Window node (a window would funnel each lang's distinct-token set through one partition); the 1-row doc-count attach is the only BNLJ",
+      "bm25_search" -> "BM25 retrieval (r13): query-term hits are filtered INSIDE the row (filter(words, …) before the explode — non-matching tokens never leave the scan stage); tf is a map-combined agg on (doc, term); df (≤|terms| rows) and the 1-row (n_docs, sum_dl) stats broadcast back; top-k is a TakeOrderedAndProject — the corpus is never hash- or range-exchanged at row width",
+      "embedding_dim_stats" -> "per-dimension moments (r13): one narrow posexplode (×dim, linear — never the d² outer-product fanout) into a dim-grouped map-combined hash aggregate; output is d rows, report-sized",
+      "anomaly_zscore" -> "z-score outliers (r13): per-type (mu, sd) is one map-combined agg over an enum-cardinality key, BROADCAST back onto the event stream (BHJ) — the corpus never shuffles on event_type (a window form would funnel one task per type); the outlier filter and rounding are narrow")
 
     val out = new StringBuilder
     out ++= "# Physical plan audit (generated by graft.tools.DumpPlans at sf0.01)\n\n"
