@@ -18,6 +18,31 @@ object MiscQueries {
     "array<float>" -> "FLOAT[]")
 
   val qs: Map[String, Q] = Map(
+    // connector-seam aggregate pushdown (r13): global COUNT/MIN/MAX over
+    // the writetime-floored DSv2 range source answered in ONE
+    // source-computed row (SupportsPushDownAggregates, complete pushdown
+    // — no Spark aggregate node), cross-checked in-query against the
+    // unpushed compute (a repartition barrier blocks pushdown, so the
+    // same aggregates run in Spark over source rows). The closed-form
+    // oracle follows from the source's deterministic generator: rows
+    // 0..99999, wt = base + i, floor at i = 60000.
+    "connector_agg_pushdown" -> ((s, d) => {
+      val df = s.read
+        .format(classOf[graft.sources.GraftRangeSource].getName)
+        .option("rows", "100000").option("slices", "8").load()
+      val minWt = graft.sources.GraftRangeSource.wtOf(60000)
+      val pushed = df.filter(col("wt") >= minWt)
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+          max(col("wt")).as("max_wt"))
+      val ref = df.filter(col("wt") >= minWt).repartition(4)
+        .agg(count(lit(1)).as("rn"), min(col("id")).as("rmin"),
+          max(col("wt")).as("rmax"))
+      pushed.crossJoin(broadcast(ref)).select(
+        col("n"), col("min_id"), col("max_wt"),
+        (col("n") === col("rn") && col("min_id") === col("rmin") &&
+          col("max_wt") === col("rmax")).as("pushdown_ok"))
+    }),
+
     // deterministic seeded global shuffle + shard assignment — the
     // training-export layout: shard and within-shard order are content
     // hashes of (seed, id), so the epoch data order reproduces across
@@ -263,6 +288,15 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // closed form of the deterministic range source (rows 0..99999,
+    // wt = 1700000000000000 + i, floor at i = 60000): 40000 survivors,
+    // min id 60000, max wt = base + 99999; pushdown_ok is the in-query
+    // pushed-vs-unpushed parity envelope
+    "connector_agg_pushdown" ->
+      """SELECT CAST(40000 AS BIGINT) AS n,
+                CAST(60000 AS BIGINT) AS min_id,
+                CAST(1700000000099999 AS BIGINT) AS max_wt,
+                true AS pushdown_ok""",
     // mirrors Ops.hotPartitionReport over events keyed on user_id: strlen
     // (DuckDB bytes) = Spark octet_length on the ASCII props payload
     "hot_partition_report" ->

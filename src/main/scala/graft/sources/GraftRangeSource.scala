@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, AggregateFunc, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -40,7 +41,13 @@ import java.util.{Map => JMap}
   * [[GraftRangeBatch.planInputPartitions]] ELIMINATES slices whose
   * id/writetime range cannot match the pushed bounds — the source-side
   * analog of token-range partition pruning (monotone columns only; `tok`
-  * predicates filter rows but keep every slice, like a hash partitioner).
+  * predicates filter rows but keep every slice, like a hash partitioner);
+  * [[SupportsPushDownAggregates]] (r13) — ungrouped COUNT(*)/MIN/MAX over
+  * the long columns push COMPLETELY: the source answers in ONE computed
+  * row and Spark plans no aggregate node at all — the server-side
+  * `count(*)` seam CDM's row-count validation reads through
+  * (docs/04-cdm-approach.md's validation counts are CQL-side for exactly
+  * this reason).
   *
   * Use `spark.read.format(classOf[GraftRangeSource].getName)
   * .option("rows", n).option("slices", k).load()`. PushdownSpec pins the
@@ -147,10 +154,11 @@ class GraftRangeTable(rows: Long, slices: Int) extends Table with SupportsRead {
 
 class GraftRangeScanBuilder(rows: Long, slices: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GraftRangeSource.schema
+  private var agg: Option[Aggregation] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) = filters.partition(GraftRangeSource.supported)
@@ -162,24 +170,71 @@ class GraftRangeScanBuilder(rows: Long, slices: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftRangeScan(rows, slices, pushed, required)
+  /** One long column behind a supported aggregate, or None. */
+  private def aggCol(f: AggregateFunc): Option[String] = f match {
+    case _: CountStar => Some("")
+    case m: Min => m.column() match {
+      case nr: NamedReference if nr.fieldNames().length == 1 &&
+        nr.fieldNames()(0) != "payload" => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    case m: Max => m.column() match {
+      case nr: NamedReference if nr.fieldNames().length == 1 &&
+        nr.fieldNames()(0) != "payload" => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def canPush(a: Aggregation): Boolean =
+    a.groupByExpressions().isEmpty &&
+      a.aggregateExpressions().nonEmpty &&
+      a.aggregateExpressions().forall(aggCol(_).isDefined)
+
+  /** Global COUNT(*)/MIN/MAX answer in ONE source-computed row — the
+    * server-side-aggregation seam (the production connector ships
+    * `count(*)` / writetime extremes to CQL the same way; CDM's
+    * row-count validation is exactly this read). Complete pushdown:
+    * Spark plans NO aggregate node over the scan.
+    */
+  override def supportCompletePushDown(a: Aggregation): Boolean = canPush(a)
+
+  override def pushAggregation(a: Aggregation): Boolean =
+    if (!canPush(a)) false
+    else {
+      agg = Some(a)
+      required = StructType(a.aggregateExpressions().zipWithIndex.map {
+        case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+        case (f, i) => StructField(s"agg_$i", LongType, nullable = true)
+      })
+      true
+    }
+
+  override def build(): Scan = new GraftRangeScan(rows, slices, pushed, required, agg)
 }
 
 class GraftRangeScan(rows: Long, slices: Int,
-                     val pushed: Array[Filter], val required: StructType)
+                     val pushed: Array[Filter], val required: StructType,
+                     val agg: Option[Aggregation] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftRangeScan(rows=$rows, pushed=[${pushed.mkString(", ")}], " +
-      s"cols=[${required.fieldNames.mkString(",")}])"
+      s"cols=[${required.fieldNames.mkString(",")}]" +
+      agg.map(a => s", pushedAggregates=[${a.aggregateExpressions()
+        .map(_.toString).mkString(", ")}]").getOrElse("") + ")"
 
   /** Slice elimination: id-sliced partitions outside the pushed
     * id/writetime bounds never materialize — 0 tasks, 0 rows, like the
-    * connector skipping token ranges outside partition.min/max.
+    * connector skipping token ranges outside partition.min/max. A pushed
+    * aggregation collapses the plan to ONE partition producing ONE row —
+    * the aggregate travels, not the data.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val (lo, hi) = GraftRangeSource.indexBounds(pushed.toSeq, rows)
+    if (agg.isDefined)
+      return Array(GraftRangePartition(math.max(0L, lo), math.min(rows, hi + 1)))
     val per = math.max(1L, (rows + slices - 1) / slices)
     (0 until slices).iterator
       .map(s => GraftRangePartition(s * per, math.min((s + 1) * per, rows)))
@@ -188,10 +243,65 @@ class GraftRangeScan(rows: Long, slices: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftRangeReaderFactory(pushed, required)
+    agg match {
+      case Some(a) => new GraftRangeAggReaderFactory(pushed, a)
+      case None => new GraftRangeReaderFactory(pushed, required)
+    }
 }
 
 final case class GraftRangePartition(start: Long, end: Long) extends InputPartition
+
+/** Source-side aggregate evaluation over the (already filter-absorbed)
+  * index range: one pass, one emitted row. MIN/MAX over an empty match set
+  * surface as SQL nulls, COUNT as 0 — the semantics Spark expects from a
+  * completely-pushed global aggregate.
+  */
+class GraftRangeAggReaderFactory(pushed: Array[Filter], agg: Aggregation)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GraftRangePartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted
+      override def get(): InternalRow = {
+        emitted = true
+        val fns = agg.aggregateExpressions()
+        var n = 0L
+        val mins = Array.fill[Long](fns.length)(Long.MaxValue)
+        val maxs = Array.fill[Long](fns.length)(Long.MinValue)
+        var i = part.start
+        while (i < part.end) {
+          if (pushed.forall(GraftRangeSource.eval(_, i))) {
+            n += 1
+            var k = 0
+            while (k < fns.length) {
+              fns(k) match {
+                case m: Min =>
+                  val c = m.column().asInstanceOf[NamedReference].fieldNames()(0)
+                  val v = GraftRangeSource.valueOf(c, i).asInstanceOf[Long]
+                  if (v < mins(k)) mins(k) = v
+                case m: Max =>
+                  val c = m.column().asInstanceOf[NamedReference].fieldNames()(0)
+                  val v = GraftRangeSource.valueOf(c, i).asInstanceOf[Long]
+                  if (v > maxs(k)) maxs(k) = v
+                case _ => ()
+              }
+              k += 1
+            }
+          }
+          i += 1
+        }
+        new GenericInternalRow(fns.zipWithIndex.map {
+          case (_: CountStar, _) => n: Any
+          case (_: Min, k) => if (n == 0) null else (mins(k): Any)
+          case (_: Max, k) => if (n == 0) null else (maxs(k): Any)
+          case _ => null
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
 
 class GraftRangeReaderFactory(pushed: Array[Filter], required: StructType)
     extends PartitionReaderFactory {

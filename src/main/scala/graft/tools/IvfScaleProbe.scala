@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
 object IvfScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 30000000L
+    // optional sample cap (args(1)): the full-corpus assignment row runs
+    // ~45 min/sample on this box — when wall-clock can't fund the
+    // protocol's median-of-3, a capped run records what it measured and
+    // SAYS SO in the STRESS row instead of skipping the tier silently
+    val maxSamples = if (args.length > 1) args(1).toInt else Int.MaxValue
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,13 +40,16 @@ object IvfScaleProbe {
 
     val base = "/root/repo/target/stress_ivf"
     val src = s"$base/vecs.parquet"
-    spark.range(n).select(
-      col("id").as("vec_id"),
-      expr("""transform(sequence(0, 63),
-               j -> cast(pmod(hash(id * 64 + j), 1000) as float) / 1000.0f)""")
-        .as("embedding"),
-      (col("id") % 1000).cast("int").as("label"))
-      .write.mode("overwrite").parquet(src)
+    // idempotent generation: a restarted probe reuses the corpus (the
+    // generator is deterministic, so the data is identical either way)
+    if (!new java.io.File(s"$src/_SUCCESS").exists())
+      spark.range(n).select(
+        col("id").as("vec_id"),
+        expr("""transform(sequence(0, 63),
+                 j -> cast(pmod(hash(id * 64 + j), 1000) as float) / 1000.0f)""")
+          .as("embedding"),
+        (col("id") % 1000).cast("int").as("label"))
+        .write.mode("overwrite").parquet(src)
 
     val cAuto = graft.ext.LlmOps.kmeansAutoC(n)
 
@@ -50,12 +58,13 @@ object IvfScaleProbe {
         val t0 = System.nanoTime()
         body
         val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[sample] $name: $secs%.1f s") // visible per-sample
         System.gc(); Thread.sleep(2000)
         secs
       }
       val first = once()
-      val samples =
-        first +: Seq.fill(StressProtocol.samplesNeeded(first) - 1)(once())
+      val wanted = math.min(maxSamples, StressProtocol.samplesNeeded(first))
+      val samples = first +: Seq.fill(wanted - 1)(once())
       val secs = StressProtocol.median(samples)
       println(f"| $name | ${StressProtocol.cell(samples)} | ${(rows / secs).toLong}%,d |")
       secs
@@ -66,8 +75,14 @@ object IvfScaleProbe {
     var cents: org.apache.spark.sql.DataFrame = null
     bench(s"kmeans train c=$cAuto on c*16 sample (${n / 1000000}M corpus)",
         cAuto.toLong * 16) {
+      // the id-prefix sample prunes to ~1 parquet row group — REDISTRIBUTE
+      // it before training, or every Lloyd iteration's sample×c argmax
+      // (~480M candidate rows here) runs in ONE task (a real cluster's
+      // sampled training set is likewise repartitioned to the executor
+      // count before iterating)
       cents = graft.ext.LlmOps.kmeansCentroids(
-        spark.read.parquet(src).filter(col("vec_id") < cAuto.toLong * 16),
+        spark.read.parquet(src).filter(col("vec_id") < cAuto.toLong * 16)
+          .repartition(cpus.toInt),
         cAuto, iters = 2)
       cents.count() // materialize the trained table
       ()

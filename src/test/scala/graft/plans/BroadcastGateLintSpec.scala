@@ -96,7 +96,9 @@ class BroadcastGateLintSpec extends AnyFunSuite {
     ("exact.crossJoin(broadcast(est))",
       "LlmOps.corpusOverlap: groupless signature-match aggregate — exactly 1 row"),
     ("ev.join(broadcast(stats), Seq(\"event_type\"))",
-      "AggQueries.anomaly_zscore: per-event-type (mu, sd) aggregate — one row per distinct event type (a low-cardinality enum by data contract; the same bound heavy_hitters' k=16 presumes)"))
+      "AggQueries.anomaly_zscore: per-event-type (mu, sd) aggregate — one row per distinct event type (a low-cardinality enum by data contract; the same bound heavy_hitters' k=16 presumes)"),
+    ("pushed.crossJoin(broadcast(ref))",
+      "MiscQueries.connector_agg_pushdown: groupless global aggregate harness — exactly 1 row each side"))
 
   test("every broadcast( in src/main is gated or allowlisted with a cited bound") {
     val root = Paths.get("src/main/scala")

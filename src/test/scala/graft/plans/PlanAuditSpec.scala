@@ -412,7 +412,10 @@ class PlanAuditSpec extends SparkSpec {
       "tfidf_topterms",
       // 1-row (n_docs, sum_dl) stats attach (LlmOps.bm25Search:
       // crossJoin(broadcast(stats)) — groupless global aggregate)
-      "bm25_search")
+      "bm25_search",
+      // 1-row pushed-aggregate row × 1-row unpushed harness row
+      // (MiscQueries.connector_agg_pushdown — both groupless)
+      "connector_agg_pushdown")
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =

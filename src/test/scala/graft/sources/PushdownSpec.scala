@@ -23,11 +23,17 @@ class PushdownSpec extends SparkSpec {
     spark.read.format(classOf[GraftRangeSource].getName)
       .option("rows", N.toString).option("slices", Slices.toString).load()
 
-  /** The single GraftRangeScan in the executed plan. */
+  /** The single GraftRangeScan in the executed plan (AQE-unwrapped: an
+    * aggregate that does NOT push keeps its exchange, so AQE wraps the
+    * tree in an AdaptiveSparkPlanExec leaf `collect` can't see through).
+    */
   private def scanOf(df: DataFrame): GraftRangeScan = {
-    val scans = df.queryExecution.executedPlan.collect {
-      case b: BatchScanExec => b.scan
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
     }
+    val scans = plan.collect { case b: BatchScanExec => b.scan }
     assert(scans.size == 1, s"expected exactly one v2 scan, got ${scans.size}")
     scans.head.asInstanceOf[GraftRangeScan]
   }
@@ -109,5 +115,55 @@ class PushdownSpec extends SparkSpec {
     assert(s.planInputPartitions().length == 5,
       "the pushed floor at row 400 eliminates the first 3 of 8 slices")
     assert(out.count() == 600)
+  }
+
+  test("global COUNT/MIN/MAX push COMPLETELY into the source (r13): no " +
+       "aggregate node over the scan, one source-computed row, values " +
+       "match the unpushed reference") {
+    val minWt = GraftRangeSource.wtOf(250)
+    val q = ranged.filter(col("wt") >= minWt)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("wt")).as("max_wt"))
+    val s = scanOf(q)
+    assert(s.agg.isDefined, "aggregation must reach the source")
+    assert(s.description().contains("pushedAggregates"), s.description())
+    // complete pushdown: the scan plans ONE partition and the physical
+    // plan carries NO hash/sort aggregate over it
+    assert(s.planInputPartitions().length == 1)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"aggregate must not replan over the scan:\n$plan")
+    val row = q.collect()(0)
+    assert(row.getLong(0) == 750 && row.getLong(1) == 250 &&
+      row.getLong(2) == GraftRangeSource.wtOf(N - 1))
+    // unpushed reference: a repartition barrier blocks aggregate pushdown,
+    // so the same aggregates compute in Spark over source rows
+    val ref = ranged.filter(col("wt") >= minWt).repartition(4)
+      .agg(count(lit(1)), min(col("id")), max(col("wt"))).collect()(0)
+    assert(ref.getLong(0) == row.getLong(0) && ref.getLong(1) == row.getLong(1)
+      && ref.getLong(2) == row.getLong(2))
+  }
+
+  test("aggregate pushdown declines grouped/unsupported shapes — Spark " +
+       "keeps its own aggregate and results stay correct") {
+    // payload min is not absorbable (string) → source must refuse
+    val q = ranged.agg(min(col("payload")).as("m"))
+    val s = scanOf(q)
+    assert(s.agg.isEmpty, "string aggregate must not push")
+    assert(q.collect()(0).getString(0) == "p0")
+    // grouped aggregates must not push either (no groupBy support claimed)
+    val g = ranged.groupBy(col("tok") % 2).agg(count(lit(1)).as("n"))
+    val sg = scanOf(g)
+    assert(sg.agg.isEmpty, "grouped aggregate must not push")
+    assert(g.collect().map(_.getLong(1)).sum == N)
+  }
+
+  test("empty match set under a pushed aggregate: COUNT 0, MIN/MAX null") {
+    val q = ranged.filter(col("id") >= (N + 10))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("m"))
+    val s = scanOf(q)
+    assert(s.agg.isDefined)
+    val row = q.collect()(0)
+    assert(row.getLong(0) == 0 && row.isNullAt(1))
   }
 }
