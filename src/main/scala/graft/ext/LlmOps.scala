@@ -2537,6 +2537,38 @@ object LlmOps {
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
 
+  /** Append a DELTA batch into an existing cell-partitioned assignment
+    * store without retraining or rewriting it — the index-maintenance op
+    * between full rebuilds (annIndexHealth's drift/size rules decide WHEN
+    * to retrain; this is the cheap path while the trained centroids still
+    * describe the corpus). Work is delta-proportional: only the delta
+    * assigns (against the bounded c-row centroid table, auto-path above
+    * the crossover), and `mode("append")` adds files under the delta's
+    * cid= partitions — existing cell files are never read, rewritten, or
+    * touched (spec-pinned by file inventory + task input metrics).
+    *
+    * Id discipline is the CALLER's contract (same as the diff family's
+    * PK contract): replaying a delta duplicates its rows. With
+    * `dedupeAgainstStore = true` the delta anti-joins the store's vec_id
+    * column first — a column-pruned store scan, history-proportional, so
+    * the default stays off for the hot path (an upstream ledger is the
+    * production replay guard, the MigrateJob pattern).
+    */
+  def appendAnnAssignments(delta: DataFrame, cents: DataFrame, path: String,
+                           exact: Boolean = false,
+                           dedupeAgainstStore: Boolean = false): Unit = {
+    val d0 =
+      if (!dedupeAgainstStore) delta
+      else delta.join(
+        delta.sparkSession.read.parquet(path).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+    val assigned =
+      if (exact) kmeansAssignTo(d0, cents) else kmeansAssignAuto(d0, cents)
+    assigned.select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(path)
+  }
+
   /** Serve one query from the cell-partitioned assignment store: rank the
     * c centroids against the query (bounded — cents is the local c-row
     * table), collect the top-`nprobe` cell ids (nprobe ints, bounded by

@@ -1111,6 +1111,27 @@ object LlmQueries {
         .orderBy(col("qid"), col("cos").desc, col("vec_id"))
     }),
 
+    // ANN index delta maintenance (r13): the store is built from 2/3 of
+    // the corpus, the remaining third APPENDS as a delta batch (assigned
+    // against the same trained centroids, files added only under the
+    // delta's cells — no retrain, no store rewrite), and serving from the
+    // appended store must equal the full-corpus trained serve — the same
+    // oracle as sim_search_served. The maintenance loop this enables:
+    // append deltas while ann_index_health's drift rules stay green,
+    // retrain when they trip.
+    "ann_index_append" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val cents = LlmOps.kmeansCentroids(corpus, c = 4, iters = 2)
+      val store = scratch("ann_append_store", d)
+      LlmOps.writeAnnAssignments(corpus.filter(col("vec_id") % 3 =!= 0),
+        cents, store)
+      LlmOps.appendAnnAssignments(corpus.filter(col("vec_id") % 3 === 0),
+        cents, store)
+      LlmOps.annAssignedSearch(s, store, cents,
+        e.filter(col("vec_id") === 0), nprobe = 2, k = 10)
+    }),
+
     // per-lang TF-IDF head terms (r13): what characterizes each sub-corpus
     // — map-combined tf/df aggregates + the graft_topk_str map-side heap,
     // so the per-lang ranking never funnels a lang's distinct-token set
@@ -2397,6 +2418,10 @@ object LlmQueries {
     // re-assigning trained-IVF search at the same (c, iters, nprobe, k)
     // — the shared mirror asserts exactly that
     "sim_search_served" -> simSearchKmeansSql,
+    // the appended store serves the SAME rows as the full-corpus trained
+    // chain — a dropped or duplicated delta row in the probed cells would
+    // shift the top-k
+    "ann_index_append" -> simSearchKmeansSql,
     // batched serving: the same trained chain, per-query probe + top-k
     // via row_number windows (the oracle-side analog of graft_topk's
     // (score desc, id asc) heap and the (ccos desc, cid asc) cell rank)

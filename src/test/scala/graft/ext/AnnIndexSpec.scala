@@ -247,4 +247,60 @@ class AnnIndexSpec extends SparkSpec {
           s"stream would sort/spill again:\n$plan")
     }
   }
+
+  test("appendAnnAssignments (r13): delta-proportional append — existing " +
+       "store files never rewritten, base store never read, serving from " +
+       "the appended store equals the full rebuild") {
+    import org.apache.spark.sql.functions._
+    val store = dir("append_store")
+    val all = baseCorpus(120)
+    val base = all.filter(col("vec_id") % 3 =!= 0)
+    val delta = all.filter(col("vec_id") % 3 === 0)
+    val cents = LlmOps.kmeansCentroids(all, c = 2, iters = 2)
+    LlmOps.writeAnnAssignments(base, cents, store)
+    def inventory(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(store)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.length()).toMap
+    }
+    val before = inventory()
+    // the append must not READ the store (delta-proportional contract)
+    val reads = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          reads.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      LlmOps.appendAnnAssignments(delta, cents, store)
+      // drain the listener bus (same spin-until-stable idiom as
+      // StreamingAnnServeSpec — the bus is async and private[spark])
+      var last = -1L; var spins = 0
+      while (reads.get() != last && spins < 50) {
+        last = reads.get(); spins += 1; Thread.sleep(100)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(reads.get() <= 3L * 40 + 10,
+      s"append read ${reads.get()} records — more than the 40-row delta " +
+        "accounts for (the base store must not be scanned)")
+    val after = inventory()
+    before.foreach { case (p, len) =>
+      assert(after.get(p).contains(len), s"append rewrote existing file $p")
+    }
+    assert(spark.read.parquet(store).count() == 120)
+    // serving parity with the one-shot full-corpus store
+    val full = dir("append_store_full")
+    LlmOps.writeAnnAssignments(all, cents, full)
+    val q = baseCorpus(1, idOffset = 9000L)
+    def serve(p: String) =
+      LlmOps.annAssignedSearch(spark, p, cents, q, nprobe = 1, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(serve(store) == serve(full))
+    // replay with the dedupe guard is a no-op
+    LlmOps.appendAnnAssignments(delta, cents, store, dedupeAgainstStore = true)
+    assert(spark.read.parquet(store).count() == 120,
+      "dedupe-guarded replay must not duplicate the delta")
+  }
 }
