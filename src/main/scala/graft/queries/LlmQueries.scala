@@ -762,6 +762,26 @@ object LlmQueries {
         .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
         .orderBy(col("doc_id"))),
 
+    // deterministic holdout-split manifest (r13): every doc lands in
+    // exactly one of train/valid/test by a CONTENT-STABLE md5 bucket
+    // (250/3/3 of 256) — recrawls and cluster-size changes never move a
+    // doc across the split boundary, the property that prevents
+    // eval-set leakage over time. The hash input is salted ('split:')
+    // so split membership is independent of sample_stratified's
+    // sampling buckets. One narrow per-row hash + one map-combined agg;
+    // report-sized output.
+    "split_manifest" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("b", substring(
+          md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")),
+          1, 2))
+        .withColumn("split",
+          when(col("b") < "fa", "train")
+            .when(col("b") < "fd", "valid").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"), col("lang"))),
+
     // Gopher-style repetition signal: duplicate word-3-gram fraction per
     // doc (narrow per-row maps, no shuffle)
     "quality_repetition" -> ((s, d) =>
@@ -2084,6 +2104,17 @@ object LlmQueries {
          WHERE substring(md5(doc_id::VARCHAR), 1, 2)
                < CASE WHEN lang = 'en' THEN '1a' ELSE '80' END
          ORDER BY doc_id""",
+    "split_manifest" ->
+      """SELECT split, lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM (SELECT lang, n_chars,
+                      CASE WHEN b < 'fa' THEN 'train'
+                           WHEN b < 'fd' THEN 'valid'
+                           ELSE 'test' END AS split
+               FROM (SELECT lang, n_chars,
+                            substring(md5('split:' || doc_id::VARCHAR), 1, 2) AS b
+                     FROM documents))
+         GROUP BY 1, 2 ORDER BY split, lang""",
     "quality_repetition" ->
       s"""WITH docs AS ($docsDupSql),
           $duckShingleCte

@@ -67,7 +67,9 @@ object DumpPlans {
       "tfidf_topterms" -> "per-lang TF-IDF head terms (r13): tokenize/explode is a narrow generator; tf and df are map-combined hash aggregates (the Zipf head collapses map-side); the per-lang ranking is the graft_topk_str bounded heap — #langs×k exchange rows, NO Window node (a window would funnel each lang's distinct-token set through one partition); the 1-row doc-count attach is the only BNLJ",
       "bm25_search" -> "BM25 retrieval (r13): query-term hits are filtered INSIDE the row (filter(words, …) before the explode — non-matching tokens never leave the scan stage); tf is a map-combined agg on (doc, term); df (≤|terms| rows) and the 1-row (n_docs, sum_dl) stats broadcast back; top-k is a TakeOrderedAndProject — the corpus is never hash- or range-exchanged at row width",
       "embedding_dim_stats" -> "per-dimension moments (r13): one narrow posexplode (×dim, linear — never the d² outer-product fanout) into a dim-grouped map-combined hash aggregate; output is d rows, report-sized",
-      "anomaly_zscore" -> "z-score outliers (r13): per-type (mu, sd) is one map-combined agg over an enum-cardinality key, BROADCAST back onto the event stream (BHJ) — the corpus never shuffles on event_type (a window form would funnel one task per type); the outlier filter and rounding are narrow")
+      "anomaly_zscore" -> "z-score outliers (r13): per-type (mu, sd) is one map-combined agg over an enum-cardinality key, BROADCAST back onto the event stream (BHJ) — the corpus never shuffles on event_type (a window form would funnel one task per type); the outlier filter and rounding are narrow",
+      "connector_agg_pushdown" -> "DSv2 aggregate pushdown (r13): the pushed branch is a bare projection over the source's ONE pre-aggregated row — no aggregate node, no exchange; the unpushed harness branch keeps its repartition + two-stage aggregate, and the two 1-row results meet in a bounded BNLJ",
+      "ann_index_append" -> "ANN delta maintenance serving (r13): the dumped plan is the post-append serve — identical shape to sim_search_served (probed-cell partition-pruned store scan × 1-row query attach); the append itself is a write job whose delta-proportional contract is metrics-pinned in AnnIndexSpec, not a plan row")
 
     val out = new StringBuilder
     out ++= "# Physical plan audit (generated by graft.tools.DumpPlans at sf0.01)\n\n"

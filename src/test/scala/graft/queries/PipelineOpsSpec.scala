@@ -33,6 +33,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("split_manifest partitions the corpus exactly (every doc in one " +
+       "split), is re-run stable, and holds its 250/3/3 proportions " +
+       "within binomial noise") {
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val rows = q("split_manifest").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // exact partition: per-(split,lang) counts sum back to the corpus,
+    // and chars conserve too (a doc in two splits would double-count)
+    assert(rows.map(_._3).sum == docs.count())
+    assert(rows.map(_._4).sum ==
+      docs.agg(sum(col("n_chars"))).collect()(0).getLong(0))
+    val again = q("split_manifest").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq, "split must be content-stable")
+    val n = docs.count().toDouble
+    val bySplit = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    for ((split, want) <- Seq("train" -> 250.0 / 256,
+                              "valid" -> 3.0 / 256, "test" -> 3.0 / 256)) {
+      val rate = bySplit.getOrElse(split, 0L) / n
+      val tol = 4 * math.sqrt(want * (1 - want) / n) + 1.0 / n
+      assert(math.abs(rate - want) < tol,
+        s"$split: rate $rate vs target $want ± $tol")
+    }
+    // independence from the sampling buckets: the 'split:' salt means the
+    // eval splits still contain sampled-IN docs and train contains
+    // sampled-OUT docs (a shared hash would nest one inside the other)
+    val sampled = q("sample_stratified").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val testDocs = docs
+      .withColumn("b", substring(
+        md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")),
+        1, 2))
+      .filter(col("b") >= "fa").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(testDocs.nonEmpty)
+    assert(testDocs.exists(sampled.contains) || testDocs.size < 4,
+      "eval splits should intersect the sample under independent hashing")
+  }
+
   test("pack_sequences: offsets are contiguous and bins consistent per language") {
     val rows = q("pack_sequences")
       .select("lang", "doc_id", "n_tokens", "start_off", "bin", "off_in_bin")
