@@ -283,6 +283,17 @@ object LlmOps {
     */
   def round6(c: Column): Column = roundAt(c, 6)
 
+  /** Driver-side SCALAR twin of `graft_round` at scale 6 — for the rare
+    * report scalar computed on the driver from already-collected values
+    * (ann_index_append's cos_drift). Same two-op half-away-from-zero
+    * algorithm as [[graft.functions.GraftRound]], so the value matches
+    * what the column form and the DuckDB oracle's `round(x, 6)` produce.
+    */
+  def round6d(x: Double): Double = {
+    val y = x * 1e6
+    Math.copySign(Math.floor(Math.abs(y) + 0.5d), y) / 1e6 + 0.0d
+  }
+
   /** [[round6]] at any literal scale (embed_quantize rounds at 9). The
     * session must have the graft functions registered by evaluation time —
     * every LlmOps entry point and [[withWords]] ensure that.
@@ -2559,9 +2570,18 @@ object LlmOps {
                            dedupeAgainstStore: Boolean = false): Unit = {
     val d0 =
       if (!dedupeAgainstStore) delta
-      else delta.join(
-        delta.sparkSession.read.parquet(path).select(col("vec_id")),
-        Seq("vec_id"), "left_anti")
+      else
+        // Materialized EAGERLY (localCheckpoint) so the store is fully read
+        // before the append job opens it for write: without this the guard
+        // relies on the file source's planning-time snapshot listing — an
+        // implementation detail a refactor to a lazily-listed source would
+        // silently break (r13 ADVICE). The checkpoint holds only the
+        // deduped DELTA (delta-proportional); the store scan itself stays
+        // column-pruned. Concurrent appenders are out of contract either
+        // way — single-writer is the caller's replay-ledger discipline.
+        delta.join(
+          delta.sparkSession.read.parquet(path).select(col("vec_id")),
+          Seq("vec_id"), "left_anti").localCheckpoint()
     val assigned =
       if (exact) kmeansAssignTo(d0, cents) else kmeansAssignAuto(d0, cents)
     assigned.select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
@@ -3831,13 +3851,20 @@ object LlmOps {
     val dfT = w.select(col("doc_id"), col("token")).distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    // (tf * n) stays exact in int64 (tf, n ≤ 2^31 here; the product is the
-    // only integer-overflow candidate and 100 TB corpora keep tf·n < 2^62
-    // per lang); ONE double division at the end — deterministic IEEE
+    // (tf * n) stays exact in int64 while tf ≤ Long.MaxValue DIV n_docs —
+    // enforced per row below (r13 ADVICE: in non-ANSI mode a long product
+    // wraps silently, corrupting every score; the guard is one comparison
+    // on the token-count-sized tf table, never the corpus). ONE double
+    // division at the end — deterministic IEEE.
+    val prodGuard = col("tf") <= expr("9223372036854775807L DIV n_docs")
     val scored = tf.join(dfT, Seq("token"))
       .crossJoin(broadcast(n))
       .withColumn("score",
-        round6((col("tf") * col("n_docs")).cast("double") / col("df").cast("double")))
+        when(prodGuard,
+          round6((col("tf") * col("n_docs")).cast("double") / col("df").cast("double")))
+        .otherwise(raise_error(concat(
+          lit("tfIdfTopTerms: tf*n_docs overflows int64 (tf="),
+          col("tf"), lit(", n_docs="), col("n_docs"), lit(")")))))
     scored
       .groupBy(col("lang"))
       .agg(expr(s"graft_topk_str(score, token, $k)").as("nn"))

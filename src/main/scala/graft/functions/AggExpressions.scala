@@ -193,16 +193,25 @@ case class VecSum(
     val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = arr.numElements()
     require(n > 0, "graft_vec_sum: zero-length vector")
+    // Null ELEMENTS fail loudly, same contract as mixed lengths: getDouble
+    // on a null slot would silently read 0.0 and corrupt the sum. (A null
+    // vector — the whole array — is skipped above, like every SQL agg.)
     if (b.length == 0) {
       val fresh = new Array[Double](n)
       var i = 0
-      while (i < n) { fresh(i) = arr.getDouble(i); i += 1 }
+      while (i < n) {
+        require(!arr.isNullAt(i), s"graft_vec_sum: null element at index $i")
+        fresh(i) = arr.getDouble(i); i += 1
+      }
       fresh
     } else {
       require(b.length == n,
         s"graft_vec_sum: mixed vector lengths (${b.length} vs $n)")
       var i = 0
-      while (i < n) { b(i) += arr.getDouble(i); i += 1 }
+      while (i < n) {
+        require(!arr.isNullAt(i), s"graft_vec_sum: null element at index $i")
+        b(i) += arr.getDouble(i); i += 1
+      }
       b
     }
   }

@@ -195,7 +195,11 @@ object AggQueries {
     // never shuffles (a window form would exchange every event on
     // event_type; with few types that is a one-task-per-type funnel).
     // The |z|>3 cutoff sits ≥2e-4 from every data z (measured per SF),
-    // 8 orders above cross-engine stddev summation skew.
+    // 8 orders above cross-engine stddev summation skew. Emitted z rounds
+    // through graft_round (r13 ADVICE): mu/sd are summation-order
+    // dependent, so a z near a 4dp HALF_UP boundary could round apart
+    // across engines under Spark's builtin round; graft_round is the
+    // repo's cross-engine-stable rounding, built to match DuckDB's.
     "anomaly_zscore" -> ((s, d) => {
       val ev = events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
@@ -206,7 +210,7 @@ object AggQueries {
         .withColumn("z", (col("value") - col("mu")) / col("sd"))
         .filter(abs(col("z")) > lit(3.0))
         .select(col("event_id"), col("event_type"), col("value"),
-          round(col("z"), 4).as("z"))
+          graft.ext.LlmOps.roundAt(col("z"), 4).as("z"))
         .orderBy(col("event_id"))
     })
   )

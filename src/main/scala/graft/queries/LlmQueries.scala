@@ -1131,25 +1131,35 @@ object LlmQueries {
         .orderBy(col("qid"), col("cos").desc, col("vec_id"))
     }),
 
-    // ANN index delta maintenance (r13): the store is built from 2/3 of
-    // the corpus, the remaining third APPENDS as a delta batch (assigned
-    // against the same trained centroids, files added only under the
-    // delta's cells — no retrain, no store rewrite), and serving from the
-    // appended store must equal the full-corpus trained serve — the same
-    // oracle as sim_search_served. The maintenance loop this enables:
-    // append deltas while ann_index_health's drift rules stay green,
-    // retrain when they trip.
+    // ANN index delta maintenance (r13; retrain-realism r14): centroids
+    // train on the BASE 2/3 snapshot ONLY — the delta batch did not exist
+    // at train time, the situation every real append faces — then the
+    // remaining third APPENDS (assigned against the frozen centroids,
+    // files added only under the delta's cells — no retrain, no store
+    // rewrite). Serving from the appended store must equal the base-
+    // trained full-corpus assignment chain, and the key RECORDS the
+    // ann_index_health drift the append caused (reason pre/post + the
+    // mean-cos drop) — the numbers the maintenance loop's retrain
+    // decision reads.
     "ann_index_append" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val corpus = e.filter(col("vec_id") =!= 0)
-      val cents = LlmOps.kmeansCentroids(corpus, c = 4, iters = 2)
+      val base = corpus.filter(col("vec_id") % 3 =!= 0)
+      val delta = corpus.filter(col("vec_id") % 3 === 0)
+      val cent = scratch("ann_append_cent", d)
       val store = scratch("ann_append_store", d)
-      LlmOps.writeAnnAssignments(corpus.filter(col("vec_id") % 3 =!= 0),
-        cents, store)
-      LlmOps.appendAnnAssignments(corpus.filter(col("vec_id") % 3 === 0),
-        cents, store)
+      LlmOps.writeAnnIndex(base, cent, cHint = Some(4), iters = 2)
+      val cents = LlmOps.readAnnIndex(s, cent)
+      LlmOps.writeAnnAssignments(base, cents, store)
+      val hPre = LlmOps.annIndexHealth(base, cent)
+      LlmOps.appendAnnAssignments(delta, cents, store)
+      val hPost = LlmOps.annIndexHealth(corpus, cent)
       LlmOps.annAssignedSearch(s, store, cents,
-        e.filter(col("vec_id") === 0), nprobe = 2, k = 10)
+          e.filter(col("vec_id") === 0), nprobe = 2, k = 10)
+        .withColumn("reason_pre", lit(hPre.reason))
+        .withColumn("reason_post", lit(hPost.reason))
+        .withColumn("cos_drift",
+          lit(LlmOps.round6d(hPost.meanCosBuild - hPost.meanCosNow)))
     }),
 
     // per-lang TF-IDF head terms (r13): what characterizes each sub-corpus
@@ -1207,21 +1217,62 @@ object LlmQueries {
     * re-assigning form) and `sim_search_served` (the cell-partitioned
     * assignment store), which are row-identical by contract.
     */
+  /** Shared probe+serve tail CTEs over a trained chain (expects `emb`,
+    * `cent2`, `a3` in scope): `q` (the query vector), `probed` (top-2
+    * probed cells), `serve` (the pruned-cell top-10 by query cosine).
+    */
+  private val duckServeTail: String =
+    """q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       probed AS (SELECT cid,
+                    round(list_dot_product(c2.cvec, q.qv) /
+                          (sqrt(list_dot_product(c2.cvec, c2.cvec))
+                           * sqrt(list_dot_product(q.qv, q.qv))), 6) AS ccos
+                  FROM cent2 c2 CROSS JOIN q
+                  WHERE sqrt(list_dot_product(c2.cvec, c2.cvec)) > 0
+                  ORDER BY ccos DESC, cid LIMIT 2),
+       serve AS (SELECT m.vec_id, a3.cid,
+                   round(list_dot_product(m.e, q.qv) /
+                         (m.nrm * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+                 FROM a3 JOIN probed USING (cid) JOIN emb m USING (vec_id) CROSS JOIN q
+                 ORDER BY cos DESC, vec_id LIMIT 10)"""
+
   private lazy val simSearchKmeansSql: String =
     s"""WITH $duckKmeansChain,
-        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-        probed AS (SELECT cid,
-                     round(list_dot_product(c2.cvec, q.qv) /
-                           (sqrt(list_dot_product(c2.cvec, c2.cvec))
-                            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS ccos
-                   FROM cent2 c2 CROSS JOIN q
-                   WHERE sqrt(list_dot_product(c2.cvec, c2.cvec)) > 0
-                   ORDER BY ccos DESC, cid LIMIT 2)
-        SELECT m.vec_id, a3.cid,
-               round(list_dot_product(m.e, q.qv) /
-                     (m.nrm * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
-        FROM a3 JOIN probed USING (cid) JOIN emb m USING (vec_id) CROSS JOIN q
-        ORDER BY cos DESC, vec_id LIMIT 10"""
+        $duckServeTail
+        SELECT vec_id, cid, cos FROM serve ORDER BY cos DESC, vec_id"""
+
+  /** The append key's mirror: the SAME serve tail, but the chain TRAINS on
+    * the base 2/3 only (`vec_id % 3 <> 0`) while a3 assigns the full
+    * corpus — exactly what base-trained write + frozen-centroid delta
+    * append produces — plus the health columns: `mb` is the build-time
+    * mean assignment cosine (winning rows restricted to the base), `mn`
+    * the post-append mean over everything, and the reasons replay
+    * annIndexHealth's size/drift rules (c_index = 4, growFactor 2,
+    * cosDrop 0.05; pre-append now == build, so only the size rule can
+    * fire pre).
+    */
+  private lazy val annIndexAppendSql: String =
+    s"""WITH ${duckKmeansChainC(4, "", "vec_id % 3 <> 0")},
+        $duckServeTail,
+        win AS (SELECT vec_id, ccos, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY ccos DESC, cid) AS rn FROM s3),
+        mb AS (SELECT round(avg(ccos), 6) AS m, count(*) AS n FROM win
+               WHERE rn = 1 AND vec_id % 3 <> 0),
+        mn AS (SELECT round(avg(ccos), 6) AS m, count(*) AS n FROM win
+               WHERE rn = 1),
+        h AS (SELECT
+                CASE WHEN GREATEST(2, LEAST(round(sqrt(mb.n::DOUBLE)), 65536)) > 2.0 * 4
+                     THEN 'size' ELSE 'fresh' END AS reason_pre,
+                CASE WHEN GREATEST(2, LEAST(round(sqrt(mn.n::DOUBLE)), 65536)) > 2.0 * 4
+                      AND mb.m - mn.m > 0.05 THEN 'size+drift'
+                     WHEN GREATEST(2, LEAST(round(sqrt(mn.n::DOUBLE)), 65536)) > 2.0 * 4
+                     THEN 'size'
+                     WHEN mb.m - mn.m > 0.05 THEN 'drift'
+                     ELSE 'fresh' END AS reason_post,
+                round(mb.m - mn.m, 6) AS cos_drift
+              FROM mb, mn)
+        SELECT vec_id, cid, cos, reason_pre, reason_post, cos_drift
+        FROM serve CROSS JOIN h ORDER BY cos DESC, vec_id"""
 
   /** DuckDB mirror of LlmOps.ivfSearch (nprobe=2, k=10, query = vec 0). */
   private val simSearchIvfSql: String =
@@ -1254,11 +1305,11 @@ object LlmQueries {
   // DECIMAL-exact element-wise mean (the ivfCentroids construction).
 
   private def duckKmeansAssign(i: Int, prevCent: String,
-                               p: String = ""): String =
+                               p: String = "", src: String = "emb"): String =
     s"""${p}s$i AS (SELECT m.vec_id, c.cid,
                   round(list_dot_product(m.e, c.cvec) /
                         (m.nrm * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS ccos
-           FROM ${p}emb m CROSS JOIN (SELECT * FROM $prevCent
+           FROM ${p}$src m CROSS JOIN (SELECT * FROM $prevCent
                   WHERE sqrt(list_dot_product(cvec, cvec)) > 0) c),
         ${p}a$i AS (SELECT vec_id, cid FROM (
                   SELECT vec_id, cid,
@@ -1278,18 +1329,27 @@ object LlmQueries {
     * vec_id → cid assignment under them). Seed = the `c` smallest vec_ids.
     * Every CTE name takes prefix `p`, so the chain composes collision-free
     * with the PQ chain (the IVF+PQ mirror runs both).
+    *
+    * `trainWhere` restricts TRAINING (seed + both Lloyd iterations) to a
+    * subset of `emb` while the final a3 assignment still covers the full
+    * corpus — the retrain-realism shape ann_index_append mirrors (the
+    * delta batch did not exist when the centroids were trained). The
+    * default TRUE makes `tremb` a passthrough, leaving every other chain
+    * consumer semantically unchanged.
     */
-  private def duckKmeansChainC(c: Int, p: String = ""): String =
+  private def duckKmeansChainC(c: Int, p: String = "",
+                               trainWhere: String = "TRUE"): String =
     s"""${p}emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
            FROM embeddings
            WHERE vec_id <> 0
              AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0),
+        ${p}tremb AS (SELECT * FROM ${p}emb WHERE $trainWhere),
         ${p}cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS cvec
-           FROM (SELECT vec_id, e FROM ${p}emb ORDER BY vec_id LIMIT $c)),
-        ${duckKmeansAssign(1, s"${p}cent0", p)},
+           FROM (SELECT vec_id, e FROM ${p}tremb ORDER BY vec_id LIMIT $c)),
+        ${duckKmeansAssign(1, s"${p}cent0", p, "tremb")},
         ${duckKmeansUpdate(1, p)},
-        ${duckKmeansAssign(2, s"${p}cent1", p)},
+        ${duckKmeansAssign(2, s"${p}cent1", p, "tremb")},
         ${duckKmeansUpdate(2, p)},
         ${duckKmeansAssign(3, s"${p}cent2", p)}"""
 
@@ -2449,10 +2509,11 @@ object LlmQueries {
     // re-assigning trained-IVF search at the same (c, iters, nprobe, k)
     // — the shared mirror asserts exactly that
     "sim_search_served" -> simSearchKmeansSql,
-    // the appended store serves the SAME rows as the full-corpus trained
-    // chain — a dropped or duplicated delta row in the probed cells would
-    // shift the top-k
-    "ann_index_append" -> simSearchKmeansSql,
+    // the appended store serves the SAME rows as the base-trained chain's
+    // full-corpus assignment — a dropped or duplicated delta row in the
+    // probed cells would shift the top-k — and the health columns replay
+    // the pre/post drift report the maintenance loop reads
+    "ann_index_append" -> annIndexAppendSql,
     // batched serving: the same trained chain, per-query probe + top-k
     // via row_number windows (the oracle-side analog of graft_topk's
     // (score desc, id asc) heap and the (ccos desc, cid asc) cell rank)

@@ -83,6 +83,21 @@ class AggExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_vec_sum fails loudly on null ELEMENTS (r13 ADVICE: getDouble " +
+       "on a null slot would silently contribute 0.0)") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_vec_sum(x) FROM VALUES (array(1.0d, NULL)) t(x)")
+        .collect()
+    }
+    assert(e.getMessage.contains("null element") ||
+      (e.getCause != null && e.getCause.getMessage.contains("null element")))
+    // a null VECTOR is still skipped like any SQL agg input
+    val ok = spark.sql(
+      "SELECT graft_vec_sum(x) AS s FROM VALUES (array(1.0d, 2.0d)), " +
+      "(CAST(NULL AS array<double>)) t(x)").collect()(0).getSeq[Double](0)
+    assert(ok == Seq(1.0, 2.0))
+  }
+
   test("graft_vec_sum outer-product pass equals the posexplode reference " +
        "(the Gramian shape embedding_pca uses)") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(50)
