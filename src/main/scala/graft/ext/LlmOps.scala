@@ -3934,6 +3934,138 @@ object LlmOps {
       .limit(kTop)
   }
 
+  // ---------------------------------------------------------------------
+  // BPE vocabulary induction (r14): the merge loop vocab_topk feeds
+  // ---------------------------------------------------------------------
+
+  /** One learned merge: at `round`, pair (left, right) had weighted
+    * adjacent frequency `cnt` (the round's maximum).
+    */
+  final case class BpeMerge(round: Int, left: String, right: String,
+                            cnt: Long)
+
+  /** The distinct-word frequency table BPE trains on — the Zipf collapse
+    * that makes tokenizer induction tractable at corpus scale: ONE
+    * map-combined aggregate reduces the corpus to (word, cnt) rows, and
+    * every subsequent merge round works at word-table size, never corpus
+    * size. Tokenization matches `vocab_topk` (space split, empty tokens
+    * dropped) so the two operators describe the same token stream.
+    * `syms` starts as the word's character sequence.
+    */
+  private def bpeWordTable(docs: DataFrame): DataFrame =
+    ensureFns(docs)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", array_remove(split(col("w"), ""), ""))
+
+  /** Byte-pair-encoding vocabulary induction (the public construction —
+    * Sennrich/Haddow/Birch, ACL 2016): starting from characters, `rounds`
+    * times take the most frequent adjacent symbol pair (weighted by word
+    * frequency; ties to the lexicographically smallest (left, right) so
+    * the table is deterministic and engine-portable) and merge it
+    * everywhere. Stops early when no pair repeats (max count < 2 — merging
+    * singletons would just memorize words).
+    *
+    * Scale shape: the corpus is read ONCE (the [[bpeWordTable]] collapse,
+    * materialized by an eager localCheckpoint); each round is then one
+    * map-combined pair-count aggregate over the word table (adjacent pairs
+    * via zip_with over two slice arguments — no lambda touches an outer
+    * column) + a 1-row argmax collect, and one stacked
+    * `graft_bpe_merge` projection (codegen'd single pass). Lineage is
+    * re-checkpointed every `checkpointEvery` rounds so plan depth stays
+    * bounded at large `rounds`. Driver state is the merge table itself —
+    * `rounds` entries, bounded by the literal (the r = 30k production
+    * tier holds ~30k short strings, KBs). Returns the merge table and the
+    * final symbolized word table (callers run round-trip / vocab checks
+    * against it).
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int = 20,
+               checkpointEvery: Int = 8): (Seq[BpeMerge], DataFrame) = {
+    require(rounds >= 1, s"bpeTrain: rounds must be >= 1, got $rounds")
+    var wc = bpeWordTable(docs).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val top = wc
+        .select(col("cnt"), explode(zip_with(
+          expr("slice(syms, 1, size(syms) - 1)"),
+          expr("slice(syms, 2, size(syms) - 1)"),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < 2L) done = true
+      else {
+        val (l, rr, pc) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += BpeMerge(r, l, rr, pc)
+        wc = wc.withColumn("syms",
+          call_function("graft_bpe_merge", col("syms"), lit(l), lit(rr)))
+        if (r % checkpointEvery == 0) wc = wc.localCheckpoint()
+        r += 1
+      }
+    }
+    (merges.toSeq, wc)
+  }
+
+  /** Tokenize words with an already-trained merge table: apply every merge
+    * in learned order (the BPE encode discipline). Narrow — `rounds`
+    * stacked single-pass merge kernels per row, nothing exchanged.
+    */
+  def bpeEncode(words: DataFrame, merges: Seq[BpeMerge],
+                wordCol: String = "w", outCol: String = "tokens",
+                checkpointEvery: Int = 64): DataFrame = {
+    var df = ensureFns(words).withColumn(outCol,
+      array_remove(split(col(wordCol), ""), ""))
+    merges.zipWithIndex.foreach { case (m, i) =>
+      df = df.withColumn(outCol,
+        call_function("graft_bpe_merge", col(outCol), lit(m.left),
+          lit(m.right)))
+      if ((i + 1) % checkpointEvery == 0) df = df.localCheckpoint()
+    }
+    df
+  }
+
+  /** Registry report over [[bpeTrain]]: the first merge and the base
+    * vocabulary are HASH-EXACT against the oracle (round 1 is plain SQL —
+    * the weighted char-pair argmax); the loop-dependent facts surface as
+    * envelope booleans, since no SQL engine can replay the sequential
+    * merge dependency:
+    *
+    *   - `monotone_ok`: the winning pair count never increases across
+    *     rounds (a theorem of the construction — any new pair created by a
+    *     merge occurs at most as often as the pair just merged);
+    *   - `vocab_ok`: final distinct symbol count ∈ [1, base + n_merges]
+    *     (each round adds at most one symbol);
+    *   - `roundtrip_ok`: concatenating every word's final symbol sequence
+    *     reproduces the word exactly — merging can never lose or invent
+    *     bytes. Checked distributively over the whole word table.
+    */
+  def bpeTrainReport(docs: DataFrame, rounds: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    val (merges, wcFinal) = bpeTrain(docs, rounds)
+    require(merges.nonEmpty, "bpeTrainReport: corpus yielded no merges")
+    val baseVocab = bpeWordTable(docs)
+      .select(explode(col("syms")).as("ch")).distinct().count()
+    val finalVocab = wcFinal
+      .select(explode(col("syms")).as("sym")).distinct().count()
+    val monotoneOk = merges.sliding(2).forall {
+      case Seq(a, b) => b.cnt <= a.cnt
+      case _ => true
+    }
+    val vocabOk = finalVocab >= 1 && finalVocab <= baseVocab + merges.length
+    val roundtripOk = wcFinal
+      .filter(concat_ws("", col("syms")) =!= col("w")).limit(1).count() == 0L
+    import spark.implicits._
+    Seq((merges.length, baseVocab, merges.head.left, merges.head.right,
+        merges.head.cnt, monotoneOk, vocabOk, roundtripOk))
+      .toDF("n_merges", "base_vocab", "first_left", "first_right",
+        "first_cnt", "monotone_ok", "vocab_ok", "roundtrip_ok")
+  }
+
   /** Fitted top principal component of an embedding corpus.
     * All driver-side state is O(d²) (gated at d ≤ 256 — ≤ 512 KB).
     */
@@ -3941,6 +4073,14 @@ object LlmOps {
       nVecs: Long, dim: Int, mean: Array[Double],
       eigenvalue: Double, eigenvector: Array[Double],
       trace: Double, resid: Double)
+
+  /** k-component fit: [[embeddingPcaFit]]'s single-component story,
+    * generalized by deflation. Same O(d²) driver gate; `resids(j)` is the
+    * j-th eigenpair's residual ‖Cv − λv‖ against the PRE-deflation C.
+    */
+  final case class PcaFitK(
+      nVecs: Long, dim: Int, mean: Array[Double], eigenvalues: Array[Double],
+      basis: Array[Array[Double]], trace: Double, resids: Array[Double])
 
   /** Distributed PCA fit: ONE map-combined aggregate pass accumulates the
     * first moment (d doubles) and the raw second moment (d² doubles, the
@@ -3959,6 +4099,19 @@ object LlmOps {
     */
   def embeddingPcaFit(emb: DataFrame, vecCol: String = "embedding",
                       iters: Int = 200): PcaFit = {
+    val f = embeddingPcaFitK(emb, vecCol, k = 1, iters = iters)
+    PcaFit(f.nVecs, f.dim, f.mean, f.eigenvalues(0), f.basis(0), f.trace,
+      f.resids(0))
+  }
+
+  /** The top-`k` eigenpairs by DEFLATED power iteration: extract the
+    * leading eigenpair exactly as [[embeddingPcaFit]] (deterministic
+    * max-variance-axis start, fixed `iters`), subtract λ·vvᵀ, repeat. The
+    * whole loop is driver-side O(k·iters·d²) on the already-collected
+    * moment summary — the corpus is scanned exactly once regardless of k.
+    */
+  def embeddingPcaFitK(emb: DataFrame, vecCol: String = "embedding",
+                       k: Int = 8, iters: Int = 200): PcaFitK = {
     val row = ensureFns(emb)
       .select(expr(s"transform($vecCol, v -> cast(v as double))").as("x"))
       .select(col("x"),
@@ -3973,6 +4126,7 @@ object LlmOps {
     val d = sx.length
     require(d >= 1 && d <= 256,
       s"embeddingPca: dim $d outside the driver Gramian gate [1, 256]")
+    require(k >= 1 && k <= d, s"embeddingPca: k=$k outside [1, d=$d]")
     val sxx = row.getSeq[Double](2).toArray
     val mu = sx.map(_ / n)
     // C = (Sxx - n·mu·muᵀ) / (n-1)
@@ -3988,34 +4142,104 @@ object LlmOps {
     }
     var trace = 0.0
     i = 0; while (i < d) { trace += cov(i * d + i); i += 1 }
-    // deterministic start: the max-variance axis
-    var start = 0
-    i = 1; while (i < d) { if (cov(i * d + i) > cov(start * d + start)) start = i; i += 1 }
-    var v = Array.tabulate(d)(k => if (k == start) 1.0 else 0.0)
-    def matVec(x: Array[Double]): Array[Double] = {
+    def matVec(m: Array[Double], x: Array[Double]): Array[Double] = {
       val y = new Array[Double](d)
       var r = 0
       while (r < d) {
         var acc = 0.0; var c = 0
-        while (c < d) { acc += cov(r * d + c) * x(c); c += 1 }
+        while (c < d) { acc += m(r * d + c) * x(c); c += 1 }
         y(r) = acc; r += 1
       }
       y
     }
-    var it = 0
-    while (it < iters) {
-      val y = matVec(v)
-      val nrm = math.sqrt(y.map(a => a * a).sum)
-      require(nrm > 0.0, "embeddingPca: degenerate covariance (zero image)")
-      v = y.map(_ / nrm)
-      it += 1
+    val work = cov.clone() // deflated in place; cov keeps the original
+    val lambdas = new Array[Double](k)
+    val basis = new Array[Array[Double]](k)
+    val resids = new Array[Double](k)
+    var comp = 0
+    while (comp < k) {
+      // deterministic start: the max-variance axis of the CURRENT matrix
+      var start = 0
+      i = 1
+      while (i < d) {
+        if (work(i * d + i) > work(start * d + start)) start = i
+        i += 1
+      }
+      var v = Array.tabulate(d)(a => if (a == start) 1.0 else 0.0)
+      var it = 0
+      while (it < iters) {
+        val y = matVec(work, v)
+        // re-orthogonalize against the basis found so far EVERY step
+        // (orthogonal iteration): deflation alone leaves the returned
+        // basis only as orthogonal as power iteration converged — on
+        // near-degenerate spectra (λ ratios ≈ 1, exactly this corpus)
+        // that can be arbitrarily bad, while explicit projection makes
+        // orthonormality structural at working precision.
+        var j = 0
+        while (j < comp) {
+          val b = basis(j)
+          var dp = 0.0
+          i = 0; while (i < d) { dp += y(i) * b(i); i += 1 }
+          i = 0; while (i < d) { y(i) -= dp * b(i); i += 1 }
+          j += 1
+        }
+        val nrm = math.sqrt(y.map(a => a * a).sum)
+        require(nrm > 0.0, "embeddingPca: degenerate covariance (zero image)")
+        v = y.map(_ / nrm)
+        it += 1
+      }
+      val wv = matVec(work, v)
+      val lambda = v.indices.map(a => v(a) * wv(a)).sum // Rayleigh quotient
+      // residual against the ORIGINAL covariance — what consumers care
+      // about (the deflated-matrix residual would understate error
+      // compounding across components)
+      val cv = matVec(cov, v)
+      resids(comp) = math.sqrt(v.indices.map { a =>
+        val e = cv(a) - lambda * v(a); e * e
+      }.sum)
+      lambdas(comp) = lambda
+      basis(comp) = v
+      // deflate: work -= λ·vvᵀ
+      i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { work(i * d + j) -= lambda * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      comp += 1
     }
-    val cv = matVec(v)
-    val lambda = v.indices.map(k => v(k) * cv(k)).sum // Rayleigh quotient
-    val resid = math.sqrt(v.indices.map { k =>
-      val e = cv(k) - lambda * v(k); e * e
-    }.sum)
-    PcaFit(n, d, mu, lambda, v, trace, resid)
+    PcaFitK(n, d, mu, lambdas, basis, trace, resids)
+  }
+
+  /** The APPLY half of the PCA pair: project every row's embedding onto
+    * the fitted `k`-component basis (optionally whitening — dividing
+    * coordinate j by √λⱼ so each output dimension has unit variance).
+    *
+    * Shape: k codegen'd [[graft.functions.DotProduct]] kernels against
+    * LITERAL basis vectors, with the centering folded into a driver-side
+    * constant per component ((x−μ)·w = x·w − μ·w) — so the row pipeline is
+    * k dots over the RAW float column: no centered intermediate array, no
+    * broadcast (the d×k basis rides in the plan as literals, byte-gated by
+    * the fit's d ≤ 256), nothing exchanged. Whitening is also free at row
+    * time: the scale is baked into the literal basis vector.
+    */
+  def embeddingPcaApply(emb: DataFrame, fit: PcaFitK, whiten: Boolean = false,
+                        vecCol: String = "embedding",
+                        outCol: String = "proj"): DataFrame = {
+    val comps: Seq[Column] = fit.basis.indices.map { j =>
+      val scale =
+        if (!whiten) 1.0
+        else {
+          require(fit.eigenvalues(j) > 0.0,
+            s"embeddingPcaApply: cannot whiten component $j with " +
+              s"eigenvalue ${fit.eigenvalues(j)} <= 0")
+          1.0 / math.sqrt(fit.eigenvalues(j))
+        }
+      val w = fit.basis(j).map(_ * scale)
+      val c = w.indices.map(a => w(a) * fit.mean(a)).sum // μ·w, a constant
+      call_function("graft_dot", col(vecCol), typedLit(w.toSeq)) - lit(c)
+    }
+    ensureFns(emb).withColumn(outCol, array(comps: _*))
   }
 
   /** Registry report over [[embeddingPcaFit]]: structural facts hash-exact
@@ -4033,6 +4257,86 @@ object LlmOps {
     import spark.implicits._
     Seq((f.nVecs, f.dim, 1, ok))
       .toDF("n_vecs", "dim", "n_components", "pca_ok")
+  }
+
+  /** Registry report over the APPLY half ([[embeddingPcaApply]]): one
+    * projection pass over the corpus feeds every check. Structural facts
+    * are hash-exact; the quality columns are in-query envelope booleans
+    * (the eigenbasis itself is not SQL-computable — same contract as
+    * `pca_ok`):
+    *
+    *   - `proj_var_ok`: the sample variance of each projected coordinate
+    *     equals its eigenvalue (vᵀCv = λ by construction — the comparison
+    *     tolerance covers only float accumulation, not model error);
+    *   - `ortho_ok`: the fitted basis is orthonormal to 1e-6 (deflation
+    *     degrades orthogonality if power iteration under-converges —
+    *     this is the check that would catch it);
+    *   - `var_capture_ok`: Σλ ≥ (k/d)·trace — the top-k eigenvalues must
+    *     capture at least the uniform share (a theorem, so any violation
+    *     is an implementation bug);
+    *   - `recall_ok`: the production projected-search shape — rank by
+    *     cosine in the k-dim PROJECTED space, keep an `overfetch`
+    *     candidate pool, re-rank the pool by EXACT full-dim cosine — must
+    *     recover ≥ `recallFloor` of the original-space top-`kNN`. (Pure
+    *     projected top-kNN without the rescore is near-random on
+    *     isotropic-noise embeddings like this corpus — measured 0.0–0.5
+    *     at k ≤ 32 — which is exactly why the prefilter+rescore form is
+    *     the one worth certifying; PcaProbe holds the per-(k, pool)
+    *     recall grid, NOTES the per-SF numbers.)
+    *
+    * Scale shape: the moment pass is ONE map-combined aggregate over
+    * k-width arrays; both searches are broadcast-query corpus scans into
+    * TakeOrdered (pool ids are bounded by the `overfetch` literal; the
+    * rescore touches only those rows); driver state is O(k² + overfetch).
+    */
+  def embeddingPcaApplyReport(corpus: DataFrame, query: DataFrame,
+                              fit: PcaFitK, kNN: Int = 10,
+                              overfetch: Int = 50,
+                              recallFloor: Double = 0.5): DataFrame = {
+    val spark = corpus.sparkSession
+    val k = fit.basis.length
+    val d = fit.dim
+    val proj = embeddingPcaApply(corpus, fit)
+    val m = proj
+      .select(col("proj"), expr("transform(proj, v -> v * v)").as("p2"))
+      .agg(count(lit(1)).as("n"), expr("graft_vec_sum(proj)").as("s1"),
+        expr("graft_vec_sum(p2)").as("s2"))
+      .collect()(0)
+    val n = m.getLong(0)
+    val s1 = m.getSeq[Double](1).toArray
+    val s2 = m.getSeq[Double](2).toArray
+    def varJ(j: Int): Double = (s2(j) - s1(j) * s1(j) / n) / (n - 1)
+    val projVarOk = (0 until k).forall { j =>
+      math.abs(varJ(j) - fit.eigenvalues(j)) <=
+        1e-4 * math.max(fit.eigenvalues(j), 1e-12)
+    }
+    val orthoOk = (0 until k).forall { a =>
+      (a until k).forall { b =>
+        val dotAB = (0 until d).map(i => fit.basis(a)(i) * fit.basis(b)(i)).sum
+        math.abs(dotAB - (if (a == b) 1.0 else 0.0)) <= 1e-6
+      }
+    }
+    val varCaptureOk =
+      fit.eigenvalues.sum >= (k.toDouble / d) * fit.trace * (1 - 1e-9)
+    val trueIds = cosineTopK(corpus, query, kNN).collect()
+      .map(_.getLong(0)).toSet
+    val qp = embeddingPcaApply(query, fit).select(col("proj").as("qp"))
+    val poolIds = proj.crossJoin(broadcast(qp))
+      .select(col("vec_id"),
+        round6(call_function("graft_dot", col("proj"), col("qp")) /
+          (sqrt(call_function("graft_dot", col("proj"), col("proj"))) *
+            sqrt(call_function("graft_dot", col("qp"), col("qp"))))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(overfetch)
+      .collect().map(_.getLong(0))
+    // exact full-dim rescore of the bounded candidate pool
+    val rescored = cosineTopK(
+      corpus.filter(col("vec_id").isin(poolIds.map(x => x: Any): _*)),
+      query, kNN).collect().map(_.getLong(0)).toSet
+    val recall = trueIds.intersect(rescored).size.toDouble / kNN
+    import spark.implicits._
+    Seq((n, d, k, projVarOk, orthoOk, varCaptureOk, recall >= recallFloor))
+      .toDF("n_vecs", "dim", "k", "proj_var_ok", "ortho_ok",
+        "var_capture_ok", "recall_ok")
   }
 
   /** Snapshot-to-snapshot corpus overlap: the exact word-3gram shingle-set

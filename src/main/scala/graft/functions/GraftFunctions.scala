@@ -163,6 +163,13 @@ object GraftFunctions {
         }
         GraftRound(args(0), scale)
       }),
+    (FunctionIdentifier("graft_bpe_merge"),
+      new ExpressionInfo(classOf[BpeMergePairs].getName, "graft_bpe_merge"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_bpe_merge takes (array<string>, string, string)")
+        BpeMergePairs(args(0), args(1), args(2))
+      }),
     (FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_might_contain"),
       (args: Seq[Expression]) => {

@@ -345,6 +345,30 @@ object TextOps {
     }
     new GenericArrayData(out)
   }
+
+  /** One greedy left-to-right non-overlapping (left, right) → left+right
+    * merge pass over a symbol sequence — see [[BpeMergePairs]]. Output
+    * elements are either the input's UTF8Strings (shared, row-scoped) or
+    * fresh concatenations.
+    */
+  def bpeMerge(arr: ArrayData, left: UTF8String,
+               right: UTF8String): Array[AnyRef] = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      val cur = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      if (cur != null && cur.equals(left) && i + 1 < n && !arr.isNullAt(i + 1)
+          && arr.getUTF8String(i + 1).equals(right)) {
+        out.add(UTF8String.concat(left, right))
+        i += 2
+      } else {
+        out.add(cur)
+        i += 1
+      }
+    }
+    out.toArray(new Array[AnyRef](out.size()))
+  }
 }
 
 /** `graft_gram_hash(text, k, suffix, nibbles)` → array<bigint>: the hash of
@@ -731,4 +755,54 @@ case class FrameEnergy(child: Expression, nFrames: Int)
 
   override protected def withNewChildInternal(newChild: Expression): FrameEnergy =
     copy(child = newChild)
+}
+
+/** `graft_bpe_merge(syms, left, right)` → array<string>: one BPE merge
+  * step — every LEFT-TO-RIGHT NON-OVERLAPPING adjacent (left, right)
+  * occurrence in the symbol sequence is replaced by their concatenation
+  * (the replacement discipline of the public BPE construction — Sennrich/
+  * Haddow/Birch, "Neural Machine Translation of Rare Words with Subword
+  * Units", ACL 2016: greedy scan, a consumed symbol can't also start the
+  * next match, and the freshly merged symbol CAN match `left` for the
+  * following position — so merging (a,a) over [a,a,a,a] yields [aa,aa],
+  * not [aa,a,a]). One pass, no per-element lambda interpretation; the
+  * training loop stacks this expression once per learned merge.
+  *
+  * Null ELEMENTS pass through unmerged (they can never equal `left`/
+  * `right`); a null sequence or null pair side returns null (standard
+  * null-in/null-out).
+  */
+case class BpeMergePairs(syms: Expression, left: Expression,
+                         right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = syms
+  override def second: Expression = left
+  override def third: Expression = right
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_bpe_merge"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (syms.dataType, left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), StringType, StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_bpe_merge requires (array<string>, string, string), got $other")
+    }
+
+  override def nullSafeEval(a: Any, l: Any, r: Any): Any =
+    new GenericArrayData(TextOps.bpeMerge(a.asInstanceOf[ArrayData],
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, l, r) => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.TextOps.bpeMerge($a, $l, $r));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BpeMergePairs =
+    copy(syms = f, left = s, right = t)
 }

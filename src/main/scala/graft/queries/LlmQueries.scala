@@ -592,6 +592,16 @@ object LlmQueries {
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(100)),
 
+    // BPE vocabulary induction (r14): the merge loop vocab_topk's
+    // frequency head feeds — 20 rounds of weighted adjacent-pair argmax
+    // over the distinct-word table (corpus read ONCE; every round is
+    // word-table-sized, map-combined, with a codegen'd single-pass merge
+    // kernel). First merge + base vocab are hash-exact in SQL; the
+    // sequential-loop facts are envelope booleans (count monotonicity,
+    // vocab growth bound, byte-exact round-trip of every word)
+    "bpe_train" -> ((s, d) =>
+      LlmOps.bpeTrainReport(t(s, d, "documents"), rounds = 20)),
+
     // IVF two-stage ANN: centroid build → probe best 2 cells → exact search
     // inside them (the scale path; brute force is sim_search_topk)
     "sim_search_ivf" -> ((s, d) => {
@@ -1185,6 +1195,23 @@ object LlmQueries {
       val docs = t(s, d, "documents")
       LlmOps.corpusOverlap(docs, docsNextCrawl(docs), "doc_id",
         kSig = 64, tol = 0.2)
+    }),
+
+    // PCA APPLY (r14): the transform half of the embedding_pca pair — fit
+    // the top-32 basis on the corpus (one moment pass, deflated power
+    // iteration on the driver), project every row through k codegen'd
+    // dot kernels against literal basis vectors (centering folded into a
+    // driver constant — nothing broadcast, nothing exchanged), and report
+    // the envelope: per-coordinate variance == eigenvalue, basis
+    // orthonormality, the k/d variance-capture theorem, and top-10
+    // recall of the projected-prefilter + exact-rescore search vs the
+    // full-dim search (k=32/pool=50 measured 0.9-1.0 across SF tiers)
+    "embedding_pca_apply" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val fit = LlmOps.embeddingPcaFitK(corpus, k = 32)
+      LlmOps.embeddingPcaApplyReport(corpus,
+        e.filter(col("vec_id") === 0), fit)
     }),
 
     // distributed PCA fit (r13): one map-combined moment pass (graft_vec_sum
@@ -2282,6 +2309,29 @@ object LlmQueries {
          WHERE token <> ''
          GROUP BY token
          ORDER BY cnt DESC, token LIMIT 100""",
+    // round 1 of BPE is plain SQL (weighted char-pair argmax over the
+    // distinct-word table, ties to the smallest (l, r)); the loop facts
+    // are the envelope booleans bpeTrainReport documents
+    "bpe_train" ->
+      """WITH wc AS (SELECT w, count(*) AS cnt
+                     FROM (SELECT unnest(string_split(text, ' ')) AS w
+                           FROM documents)
+                     WHERE w <> '' GROUP BY w),
+          base AS (SELECT count(DISTINCT substring(w, CAST(i AS INTEGER), 1)) AS bv
+                   FROM (SELECT w, unnest(generate_series(1, length(w))) AS i
+                         FROM wc)),
+          pairs AS (SELECT substring(w, CAST(i AS INTEGER), 1) AS l,
+                           substring(w, CAST(i AS INTEGER) + 1, 1) AS r,
+                           CAST(sum(cnt) AS BIGINT) AS pc
+                    FROM (SELECT w, cnt,
+                                 unnest(generate_series(1, length(w) - 1)) AS i
+                          FROM wc)
+                    GROUP BY 1, 2),
+          f AS (SELECT l, r, pc FROM pairs ORDER BY pc DESC, l, r LIMIT 1)
+          SELECT CAST(20 AS INTEGER) AS n_merges, base.bv AS base_vocab,
+                 f.l AS first_left, f.r AS first_right, f.pc AS first_cnt,
+                 true AS monotone_ok, true AS vocab_ok, true AS roundtrip_ok
+          FROM base, f""",
     "dedup_corpus" ->
       s"""WITH RECURSIVE docs AS ($docsDupSql),
           $duckShingleCte,
@@ -2791,6 +2841,17 @@ object LlmQueries {
                    AS jaccard,
                  true AS est_ok
           FROM u""",
+
+    // apply half: structural facts exact; the quality booleans are the
+    // in-query envelope (variance==eigenvalue, orthonormality, k/d
+    // capture, projected-search recall) — same contract as pca_ok
+    "embedding_pca_apply" ->
+      """SELECT count(*) AS n_vecs,
+                CAST(max(len(embedding)) AS INTEGER) AS dim,
+                CAST(32 AS INTEGER) AS k,
+                true AS proj_var_ok, true AS ortho_ok,
+                true AS var_capture_ok, true AS recall_ok
+         FROM embeddings WHERE vec_id <> 0""",
 
     // structural facts exact; pca_ok is the envelope contract for the
     // driver-side eigenpair (no SQL engine solves the eigenproblem)

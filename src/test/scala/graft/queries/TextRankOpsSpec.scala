@@ -191,6 +191,66 @@ class TextRankOpsSpec extends SparkSpec {
     assert(f.resid <= 1e-6 * f.eigenvalue)
   }
 
+  test("embeddingPcaFitK + apply: recovers two planted directions, projects " +
+       "rows onto them (driver-parity), whitening yields unit variance") {
+    val d = 8
+    val u1 = { val v = Array.tabulate(d)(i => (i + 1).toDouble)
+               val n = math.sqrt(v.map(a => a * a).sum); v.map(_ / n) }
+    // u2 ⊥ u1 by construction (alternating-sign pairing)
+    val u2 = { val v = Array.tabulate(d)(i => if (i % 2 == 0) u1(i + 1) else -u1(i - 1))
+               val n = math.sqrt(v.map(a => a * a).sum); v.map(_ / n) }
+    val n = 400
+    val rows = (0 until n).map { i =>
+      val t1 = i - (n - 1) / 2.0          // planted var ≈ 13400
+      val t2 = (i % 40) - 19.5            // planted var ≈ 134, well separated
+      val x = Array.tabulate(d)(k =>
+        t1 * u1(k) + t2 * u2(k) + (if (k == i % d) 0.01 else 0.0))
+      Tuple1(x.toSeq)
+    }
+    val df = rows.toDF("embedding").withColumn("vec_id",
+      monotonically_increasing_id())
+    val f = LlmOps.embeddingPcaFitK(df, k = 2)
+    assert(f.eigenvalues(0) > f.eigenvalues(1),
+      s"eigenvalues out of order: ${f.eigenvalues.toSeq}")
+    val c1 = f.basis(0).indices.map(k => f.basis(0)(k) * u1(k)).sum
+    val c2 = f.basis(1).indices.map(k => f.basis(1)(k) * u2(k)).sum
+    // t2 = i%40 carries a small inherent correlation with t1 = i (cov =
+    // var(t2)), so the TRUE top eigenvector tilts ~cov/(λ1−λ2) ≈ 0.01 rad
+    // off u1 — 0.9999 is the bound the construction supports, not a
+    // convergence allowance (the 1-component planted test keeps 6 nines
+    // on its uncorrelated construction)
+    assert(math.abs(c1) > 0.9999, s"PC1 misses planted u1: $c1")
+    assert(math.abs(c2) > 0.9999, s"PC2 misses planted u2: $c2")
+    // apply parity: Spark projection == driver-computed (x − μ)·v
+    val got = LlmOps.embeddingPcaApply(df, f)
+      .select(col("vec_id"), col("proj")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.zipWithIndex.foreach { case (Tuple1(x), i) =>
+      val exp = f.basis.map(v =>
+        v.indices.map(k => (x(k) - f.mean(k)) * v(k)).sum)
+      val g = got(i.toLong)
+      exp.indices.foreach(j => assert(math.abs(g(j) - exp(j)) <=
+        1e-9 * math.max(1.0, math.abs(exp(j))), s"row $i comp $j"))
+    }
+    // whitened coordinates have unit sample variance
+    val w = LlmOps.embeddingPcaApply(df, f, whiten = true)
+      .select(col("proj")).collect().map(_.getSeq[Double](0))
+    (0 until 2).foreach { j =>
+      val m = w.map(_(j)).sum / n
+      val v = w.map(p => (p(j) - m) * (p(j) - m)).sum / (n - 1)
+      assert(math.abs(v - 1.0) <= 1e-6, s"whitened var comp $j = $v")
+    }
+  }
+
+  test("embedding_pca_apply registry key: every envelope boolean holds " +
+       "(variance==eigenvalue, orthonormal basis, k/d capture, " +
+       "prefilter+rescore recall)") {
+    val row = graft.SparkEntry.queries("embedding_pca_apply")(spark, sf())
+      .collect()(0)
+    assert(row.getInt(2) == 32)
+    (3 to 6).foreach(i => assert(row.getBoolean(i), s"boolean col $i false"))
+  }
+
   test("embeddingPcaFit on testdata: eigenpair satisfies the dense two-pass " +
        "covariance reference; registry key reports pca_ok") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
