@@ -43,6 +43,31 @@ object MiscQueries {
           col("max_wt") === col("rmax")).as("pushdown_ok"))
     }),
 
+    // connector-seam batched WRITE (r14): orders stream through the DSv2
+    // sink whose RequiresDistributionAndOrdering declaration makes Spark
+    // cluster+sort by pk, so the writer flushes pk-pure batches of ≤ 5.
+    // Under that contiguity contract each pk's batch count is EXACTLY
+    // ceil(rows/5) — a closed-form the SQL oracle states independently;
+    // a writer that mixed pks or dropped/duplicated rows shifts the
+    // counts. (WriteSinkSpec pins rate-limit pacing and the error-budget
+    // abort path, which have no SQL form.)
+    "connector_batch_write" -> ((s, d) => {
+      val runId = "cbw_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.sources.GraftBatchSink.clear(runId)
+      t(s, d, "orders")
+        .select((col("o_custkey") % 100).as("pk"), col("o_orderkey").as("v"))
+        .write.format(classOf[graft.sources.GraftBatchSink].getName)
+        .option("runId", runId).option("pkCol", "pk")
+        .option("batchSize", "5").mode("append").save()
+      val r = graft.sources.GraftBatchSink.runResult(runId).get
+      require(r.committed && !r.aborted, "batch-write run did not commit")
+      import s.implicits._
+      r.tasks.flatMap(_.batches).groupBy(_.pk).toSeq
+        .map { case (pk, bs) => (pk, bs.map(_.n.toLong).sum, bs.size) }
+        .toDF("pk", "n_rows", "n_batches")
+        .orderBy(col("pk"))
+    }),
+
     // deterministic seeded global shuffle + shard assignment — the
     // training-export layout: shard and within-shard order are content
     // hashes of (seed, id), so the epoch data order reproduces across
@@ -297,6 +322,12 @@ object MiscQueries {
                 CAST(60000 AS BIGINT) AS min_id,
                 CAST(1700000000099999 AS BIGINT) AS max_wt,
                 true AS pushdown_ok""",
+    // per-pk batch counts through the V2 writer: contiguity (clustered +
+    // sorted, batchSize 5) makes them exactly ceil(n/5)
+    "connector_batch_write" ->
+      """SELECT o_custkey % 100 AS pk, count(*) AS n_rows,
+                CAST(ceil(count(*) / 5.0) AS INTEGER) AS n_batches
+         FROM orders GROUP BY 1 ORDER BY pk""",
     // mirrors Ops.hotPartitionReport over events keyed on user_id: strlen
     // (DuckDB bytes) = Spark octet_length on the ASCII props payload
     "hot_partition_report" ->

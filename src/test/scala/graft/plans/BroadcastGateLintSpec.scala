@@ -31,6 +31,8 @@ class BroadcastGateLintSpec extends AnyFunSuite {
       "LlmOps.duplicateClusters: labels of collected edges — behind fitsDriverGate (byte-budgeted)"),
     ("crossJoin(broadcast(q))",
       "LlmOps ivfSearch/lshSearch: the single query vector — 1 row by contract"),
+    ("crossJoin(broadcast(qp))",
+      "LlmOps.embeddingPcaApplyReport / PcaProbe: the single PROJECTED query vector — 1 row by the vec_id = 0 contract"),
     ("broadcast(probed.select(col(\"label\")))",
       "LlmOps.ivfSearch: probed centroid ids — ≤ nprobe rows by .limit(nprobe)"),
     ("c.join(broadcast(q), \"blk\")",
