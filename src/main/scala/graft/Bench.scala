@@ -37,6 +37,17 @@ object Bench {
     // clamp to >= 1: zero/garbage would silently report every query failed
     val iterations = sys.env.get("SPARK_GRAFT_BENCH_ITERS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
+    // Discarded warmup attempt per key (r14, adjudicating the r12-r13
+    // sim_search_pq variance): VarianceProbe measured its first sample at
+    // 7.6s decaying monotonically to a 2.5s steady state with per-stage
+    // splits summing to ~1.9s — the spread is PLAN-ANALYSIS + CODEGEN
+    // warmup of the registry's deepest expression trees, not data-path
+    // work, and whether the median-of-3 caught a cold sample was the
+    // whole cross-round wobble. One discarded attempt makes the record
+    // steady-state (what a production query template pays after its first
+    // run); the raw samples stay in BENCH_LOCAL.json as evidence.
+    val warmup = sys.env.get("SPARK_GRAFT_BENCH_WARMUP")
+      .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(1)
     // Host calibration constant: a SOLO median-of-5 of the flagship narrow
     // scan, measured before the main loop (stable position, no preceding
     // load). Cross-round totals divide by this to normalize host weather
@@ -54,7 +65,11 @@ object Bench {
       if (times.isEmpty) -1.0 else times.sorted.apply(times.length / 2)
     }
     System.err.println(f"[bench] calibration scan_full solo: $calibration%.4f s")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val sampled = SparkEntry.queries.map { case (name, fn) =>
+      (1 to warmup).foreach { _ =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () } // the timed loop reports failures
+      }
       val times = (1 to iterations).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -73,13 +88,18 @@ object Bench {
         if (times.isEmpty) -1.0
         else times.sorted.apply(times.length / 2)
       System.err.println(f"[bench] $name%-28s $median%.4f s (${times.length}/$iterations ok)")
-      name -> median
+      name -> (median, times)
     }
+    val results = sampled.map { case (n, (m, _)) => n -> m }
+    val samples = sampled.map { case (n, (_, ts)) => n -> ts }
     // ONE compact line on stdout, nothing else: the r4 artifact was lost to
     // output-tail truncation, so keep the line small (4-decimal times) and
     // make it the only stdout the driver has to find.
-    // complete artifact the tail window can't truncate → file (committed)
-    val full = renderJson(results, sfDir, calibration)
+    // complete artifact the tail window can't truncate → file (committed);
+    // carries the raw per-key SAMPLES alongside the medians (r13 VERDICT:
+    // cross-round comparisons kept needing manual host-weather
+    // adjudication — the spread is the evidence, so record it)
+    val full = renderJsonFull(results, samples, sfDir, calibration)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] local dump failed: $e") }
@@ -126,6 +146,23 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""cal_scan_full":${num(calibration)},"queries":$qs,"sf":${str(sfDir)}}"""
+  }
+
+  /** The FILE artifact line (BENCH_LOCAL.json): [[renderJson]]'s schema
+    * plus `"samples"` — every successful attempt's raw seconds per key, in
+    * run order. Medians absorb noise; the samples PROVE whether a
+    * cross-round delta is host weather (wide spread / one fat outlier) or
+    * real (tight spread at a new level) without a re-run. File-only: the
+    * stdout line stays inside the driver's tail window.
+    */
+  def renderJsonFull(results: Map[String, Double],
+                     samples: Map[String, Seq[Double]], sfDir: String,
+                     calibration: Double = -1.0): String = {
+    val base = renderJson(results, sfDir, calibration)
+    val ss = samples.map { case (k, ts) =>
+      str(k) + ":" + ts.map(num).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    base.stripSuffix("}") + s""","samples":$ss}"""
   }
 
   /** The stdout artifact, hard-capped at `budget` bytes. The driver keeps

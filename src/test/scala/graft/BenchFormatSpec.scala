@@ -35,6 +35,30 @@ class BenchFormatSpec extends AnyFunSuite {
     assert((parsed \ "unit").asInstanceOf[JString].s == "sec")
   }
 
+  test("renderJsonFull (the BENCH_LOCAL.json file artifact) appends the raw " +
+       "per-key samples to the pinned schema and stays parseable") {
+    val res = Map("a" -> 1.5, "b" -> -1.0)
+    val smp = Map("a" -> Seq(1.62, 1.5, 1.43), "b" -> Seq.empty[Double])
+    val line = Bench.renderJsonFull(res, smp, "/root/testdata/sf0.1", 0.55)
+    assert(!line.contains("\n"))
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val parsed = JsonMethods.parse(line)
+    // the base schema is untouched
+    val qs = (parsed \ "queries").asInstanceOf[JObject].obj.toMap
+    assert(qs.keySet == Set("a", "b"))
+    assert((parsed \ "cal_scan_full").asInstanceOf[JDouble].num == 0.55)
+    // samples: run-order raw attempts; a failed key keeps an empty list
+    val ss = (parsed \ "samples").asInstanceOf[JObject].obj.toMap
+    assert(ss.keySet == Set("a", "b"))
+    assert(ss("a").asInstanceOf[JArray].arr.map {
+      case JDouble(n) => n
+      case JInt(n) => n.toDouble
+      case other => fail(s"unexpected $other")
+    } == List(1.62, 1.5, 1.43))
+    assert(ss("b").asInstanceOf[JArray].arr.isEmpty)
+  }
+
   test("cal_scan_full (host calibration constant) is part of the pinned schema " +
        "on every artifact shape") {
     import org.json4s._
