@@ -3979,11 +3979,66 @@ object LlmOps {
     * tier holds ~30k short strings, KBs). Returns the merge table and the
     * final symbolized word table (callers run round-trip / vocab checks
     * against it).
+    *
+    * REGIME: below [[bpeFitsDriver]] the loop runs in memory on the
+    * collected word table ([[bpeTrainDriver]] — output-identical,
+    * spec-pinned), because R sequential rounds each costing a scheduled
+    * distributed job is the wrong trade once the word table fits the
+    * driver; the distributed rounds are the beyond-gate form.
+    * `forceDistributed` pins the distributed regime (specs, scale
+    * rehearsal).
     */
+  /** Regime gate for [[bpeTrain]]: the distinct-word table's estimated
+    * driver footprint (~200 B/word of map+count overhead + ~80 B/char for
+    * the early all-singleton symbol vectors — deliberately pessimistic).
+    * Below the budget, in-memory training wins by a wide margin: each
+    * distributed round is a full word-table explode+aggregate JOB, and
+    * BPE's rounds are inherently sequential, so R rounds cost R scheduled
+    * scans (measured 69 s for 20 rounds at the sf1 tier vs ~2 s on the
+    * driver) — while production vocabularies need thousands of rounds.
+    * This is the [[duplicateClusters]] pattern: exact driver compute below
+    * a byte gate, the distributed fixpoint above it.
+    */
+  def bpeFitsDriver(nWords: Long, totalChars: Long,
+                    budgetBytes: Long = 512L << 20): Boolean =
+    // ~120 B/word of String + array + count + pair-index overhead and
+    // ~40 B/char of symbol-cell cost — measured-order JVM footprints,
+    // ~2× pessimistic to carry GC headroom
+    nWords * 120L + totalChars * 40L <= budgetBytes
+
   def bpeTrain(docs: DataFrame, rounds: Int = 20,
-               checkpointEvery: Int = 8): (Seq[BpeMerge], DataFrame) = {
+               checkpointEvery: Int = 8,
+               driverWordBudgetBytes: Long = 512L << 20,
+               forceDistributed: Boolean = false): (Seq[BpeMerge], DataFrame) = {
+    val (m, wc, _) = bpeTrainFull(docs, rounds, checkpointEvery,
+      driverWordBudgetBytes, forceDistributed)
+    (m, wc)
+  }
+
+  /** [[bpeTrain]] plus the driver regime's free audit scalars (None in
+    * the distributed regime — [[bpeTrainReport]] then audits via Spark
+    * aggregates over the genuinely-distributed word table).
+    */
+  private[graft] def bpeTrainFull(docs: DataFrame, rounds: Int = 20,
+               checkpointEvery: Int = 8,
+               driverWordBudgetBytes: Long = 512L << 20,
+               forceDistributed: Boolean = false)
+      : (Seq[BpeMerge], DataFrame, Option[BpeAudit]) = {
     require(rounds >= 1, s"bpeTrain: rounds must be >= 1, got $rounds")
-    var wc = bpeWordTable(docs).localCheckpoint()
+    // ONE corpus pass builds the word table; the gate aggregate, the
+    // driver collect, and every distributed round all read the
+    // checkpointed result (the corpus explode is the only corpus-sized
+    // work in the whole trainer)
+    val wc0 = bpeWordTable(docs).localCheckpoint()
+    if (!forceDistributed) {
+      val g = wc0.agg(count(lit(1)).as("n"),
+        sum(length(col("w"))).as("chars")).head()
+      val nW = g.getLong(0)
+      val chars = if (g.isNullAt(1)) 0L else g.getLong(1)
+      if (bpeFitsDriver(nW, chars, driverWordBudgetBytes))
+        return bpeTrainDriver(docs.sparkSession, wc0, rounds)
+    }
+    var wc = wc0
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var r = 1
     var done = false
@@ -4008,7 +4063,173 @@ object LlmOps {
         r += 1
       }
     }
-    (merges.toSeq, wc)
+    (merges.toSeq, wc, None)
+  }
+
+  /** UTF-8 BINARY string order — the tie-break order Spark's `orderBy` on
+    * StringType and DuckDB's default collation share. Scala's
+    * String.compareTo is UTF-16 code-unit order, which diverges on
+    * supplementary-plane characters — the driver tier must not.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Code-point character split — the driver mirror of the distributed
+    * `array_remove(split(w, ""), "")` symbol seed (Java's regex empty-
+    * pattern split works at code-point boundaries, as does Spark's).
+    */
+  private def charSyms(w: String): Array[String] = {
+    val out = new Array[String](w.codePointCount(0, w.length))
+    var i = 0
+    var j = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val next = i + Character.charCount(cp)
+      out(j) = w.substring(i, next)
+      i = next
+      j += 1
+    }
+    out
+  }
+
+  /** Greedy left-to-right non-overlapping merge — the driver twin of
+    * [[graft.functions.TextOps.bpeMerge]] (same discipline, plain
+    * Strings).
+    */
+  private def mergeSyms(s: Array[String], l: String,
+                        r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == l && i + 1 < s.length && s(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** The in-memory regime of [[bpeTrain]] (below [[bpeFitsDriver]]):
+    * identical merge table and final symbol table as the distributed
+    * rounds — same weighted pair counts, same (cnt desc, left asc,
+    * right asc) argmax under UTF-8 binary order, same greedy merge, same
+    * pc < 2 stop — computed INCREMENTALLY, the production BPE-trainer
+    * design: pair counts build once, and each merge updates only the
+    * words that actually contain the merged pair (a pair→word-index
+    * posting list; per affected word, the old pair profile decrements and
+    * the re-merged profile increments). Per-round work is proportional to
+    * the merged pair's occurrence mass, not the word table — which is
+    * what makes the 30k-round production tier feasible at all (a full
+    * recount per round is O(R × total chars); BpeSpec pins parity with
+    * the distributed recount regime). Returned symbol table is a local
+    * relation with the distributed branch's exact schema.
+    */
+  /** Driver-regime audit scalars, computed for free during training. */
+  private[graft] final case class BpeAudit(baseVocab: Long, finalVocab: Long,
+                                           roundtripOk: Boolean)
+
+  private def bpeTrainDriver(spark: org.apache.spark.sql.SparkSession,
+                             wc0: DataFrame, rounds: Int)
+      : (Seq[BpeMerge], DataFrame, Option[BpeAudit]) = {
+    val rows = wc0.select(col("w"), col("cnt")).collect()
+    val n = rows.length
+    val wordsW = new Array[String](n)
+    val wordsC = new Array[Long](n)
+    val wordsS = new Array[Array[String]](n)
+    val counts = new java.util.HashMap[(String, String), Long]()
+    def pairsOf(syms: Array[String]): Iterator[(String, String)] =
+      (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
+    var w = 0
+    while (w < n) {
+      wordsW(w) = rows(w).getString(0)
+      wordsC(w) = rows(w).getLong(1)
+      wordsS(w) = charSyms(wordsW(w))
+      val c = wordsC(w)
+      pairsOf(wordsS(w)).foreach(p => counts.merge(p, c, (a, b) => a + b))
+      w += 1
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      // argmax over the pair-count map (bounded by live distinct pairs —
+      // charset² at round 1, growing by ≤ a few per merge)
+      var best: ((String, String), Long) = null
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.longValue() > 0L) {
+          val cand = (e.getKey, e.getValue.longValue())
+          if (best == null || cand._2 > best._2 ||
+              (cand._2 == best._2 && (utf8Lt(cand._1._1, best._1._1) ||
+                (cand._1._1 == best._1._1 && utf8Lt(cand._1._2, best._1._2)))))
+            best = cand
+        }
+      }
+      if (best == null || best._2 < 2L) done = true
+      else {
+        val ((l, rr), pc) = best
+        merges += BpeMerge(r, l, rr, pc)
+        // find affected words by a compare-only adjacency scan — cheaper
+        // than maintaining pair→word posting lists (millions of boxed
+        // entries) at these word-table sizes; only hits pay the
+        // decrement/re-merge/increment re-profile, so per-round update
+        // work stays proportional to the merged pair's occurrence mass
+        var wi = 0
+        while (wi < n) {
+          val old = wordsS(wi)
+          var hit = false
+          var i = 0
+          while (!hit && i + 1 < old.length) {
+            if ((old(i) eq l) || old(i) == l) {
+              if (old(i + 1) == rr) hit = true
+            }
+            i += 1
+          }
+          if (hit) {
+            val c = wordsC(wi)
+            pairsOf(old).foreach(p => counts.merge(p, -c, (a, b) => a + b))
+            val next = mergeSyms(old, l, rr)
+            wordsS(wi) = next
+            pairsOf(next).foreach(p => counts.merge(p, c, (a, b) => a + b))
+          }
+          wi += 1
+        }
+        counts.remove((l, rr)) // fully consumed by the merge
+        r += 1
+      }
+    }
+    // audit facts computed HERE, in tight loops over the in-hand arrays
+    // (base vocab / final vocab / byte-exact round-trip): a 2.27M-row
+    // LocalRelation pays seconds per single-threaded Spark aggregate,
+    // and parallelize() pays the data into task serialization — both
+    // measured 4-18 s at the sf1 tier vs ~0.3 s here
+    val baseV = new java.util.HashSet[String]()
+    val finalV = new java.util.HashSet[String]()
+    var roundtripOk = true
+    var a = 0
+    while (a < n) {
+      charSyms(wordsW(a)).foreach(baseV.add)
+      val sb = new java.lang.StringBuilder(wordsW(a).length)
+      wordsS(a).foreach { sym => finalV.add(sym); sb.append(sym) }
+      if (roundtripOk && sb.toString != wordsW(a)) roundtripOk = false
+      a += 1
+    }
+    import spark.implicits._
+    val wcFinal = (0 until n)
+      .map(i => (wordsW(i), wordsC(i), wordsS(i).toSeq))
+      .toDF("w", "cnt", "syms")
+    (merges.toSeq, wcFinal,
+      Some(BpeAudit(baseV.size.toLong, finalV.size.toLong, roundtripOk)))
   }
 
   /** Tokenize words with an already-trained merge table: apply every merge
@@ -4044,21 +4265,31 @@ object LlmOps {
     *     reproduces the word exactly — merging can never lose or invent
     *     bytes. Checked distributively over the whole word table.
     */
-  def bpeTrainReport(docs: DataFrame, rounds: Int = 20): DataFrame = {
+  def bpeTrainReport(docs: DataFrame, rounds: Int = 20,
+                     driverWordBudgetBytes: Long = 512L << 20): DataFrame = {
     val spark = docs.sparkSession
-    val (merges, wcFinal) = bpeTrain(docs, rounds)
+    val (merges, wcFinal, auditOpt) = bpeTrainFull(docs, rounds,
+      driverWordBudgetBytes = driverWordBudgetBytes)
     require(merges.nonEmpty, "bpeTrainReport: corpus yielded no merges")
-    val baseVocab = bpeWordTable(docs)
-      .select(explode(col("syms")).as("ch")).distinct().count()
-    val finalVocab = wcFinal
-      .select(explode(col("syms")).as("sym")).distinct().count()
+    // driver regime hands the audit scalars over for free; the
+    // distributed regime audits via Spark aggregates over the (real,
+    // checkpointed, word-table-sized) wcFinal — base vocabulary from its
+    // unchanged word column, no second corpus pass either way
+    val (baseVocab, finalVocab, roundtripOk) = auditOpt match {
+      case Some(a) => (a.baseVocab, a.finalVocab, a.roundtripOk)
+      case None =>
+        (wcFinal
+           .select(explode(array_remove(split(col("w"), ""), ""))
+             .as("ch")).distinct().count(),
+         wcFinal.select(explode(col("syms")).as("sym")).distinct().count(),
+         wcFinal.filter(concat_ws("", col("syms")) =!= col("w"))
+           .limit(1).count() == 0L)
+    }
     val monotoneOk = merges.sliding(2).forall {
       case Seq(a, b) => b.cnt <= a.cnt
       case _ => true
     }
     val vocabOk = finalVocab >= 1 && finalVocab <= baseVocab + merges.length
-    val roundtripOk = wcFinal
-      .filter(concat_ws("", col("syms")) =!= col("w")).limit(1).count() == 0L
     import spark.implicits._
     Seq((merges.length, baseVocab, merges.head.left, merges.head.right,
         merges.head.cnt, monotoneOk, vocabOk, roundtripOk))

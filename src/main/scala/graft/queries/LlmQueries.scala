@@ -599,8 +599,14 @@ object LlmQueries {
     // kernel). First merge + base vocab are hash-exact in SQL; the
     // sequential-loop facts are envelope booleans (count monotonicity,
     // vocab growth bound, byte-exact round-trip of every word)
+    // driver budget sized DELIBERATELY for this box (local[32]/128 GiB —
+    // the sf1 word table estimates ~0.8 GB): the in-memory incremental
+    // trainer is the production regime whenever the deduped word table
+    // fits the driver; a 100 TB word table (~10⁸ words) estimates well
+    // past any budget and takes the distributed rounds
     "bpe_train" -> ((s, d) =>
-      LlmOps.bpeTrainReport(t(s, d, "documents"), rounds = 20)),
+      LlmOps.bpeTrainReport(t(s, d, "documents"), rounds = 20,
+        driverWordBudgetBytes = 4L << 30)),
 
     // IVF two-stage ANN: centroid build → probe best 2 cells → exact search
     // inside them (the scale path; brute force is sim_search_topk)

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.ext.LlmOps
+
+/** Dev-only: stage split of the bpe_train key at a given SF dir. */
+object BpeProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def time[T](n: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val v = f
+      println(f"[bp] $n%-22s ${(System.nanoTime() - t0) / 1e9}%.2f s"); v
+    }
+    (1 to 2).foreach { it =>
+      val (m, wcF) = time(s"bpeTrain($it)")(
+        LlmOps.bpeTrain(docs, 20, driverWordBudgetBytes = 4L << 30))
+      println(s"[bp] merges=${m.length}")
+      time(s"report-full($it)")(
+        LlmOps.bpeTrainReport(docs, 20, driverWordBudgetBytes = 4L << 30)
+          .collect())
+      time(s"roundtrip-only($it)")(
+        wcF.filter(org.apache.spark.sql.functions.concat_ws("",
+          org.apache.spark.sql.functions.col("syms")) =!=
+          org.apache.spark.sql.functions.col("w")).limit(1).count())
+    }
+    spark.stop()
+  }
+}

@@ -69,7 +69,10 @@ object DumpPlans {
       "embedding_dim_stats" -> "per-dimension moments (r13): one narrow posexplode (×dim, linear — never the d² outer-product fanout) into a dim-grouped map-combined hash aggregate; output is d rows, report-sized",
       "anomaly_zscore" -> "z-score outliers (r13): per-type (mu, sd) is one map-combined agg over an enum-cardinality key, BROADCAST back onto the event stream (BHJ) — the corpus never shuffles on event_type (a window form would funnel one task per type); the outlier filter and rounding are narrow",
       "connector_agg_pushdown" -> "DSv2 aggregate pushdown (r13): the pushed branch is a bare projection over the source's ONE pre-aggregated row — no aggregate node, no exchange; the unpushed harness branch keeps its repartition + two-stage aggregate, and the two 1-row results meet in a bounded BNLJ",
-      "ann_index_append" -> "ANN delta maintenance serving (r13): the dumped plan is the post-append serve — identical shape to sim_search_served (probed-cell partition-pruned store scan × 1-row query attach); the append itself is a write job whose delta-proportional contract is metrics-pinned in AnnIndexSpec, not a plan row")
+      "ann_index_append" -> "ANN delta maintenance (r13; retrain-realism + drift recording r14): the dumped plan is the post-append serve over the base-trained store — probed-cell partition-pruned store scan × 1-row query attach, drift columns as literals; the lifecycle's other jobs (base-only train, build stats, append, post-health scan) share ONE localCheckpointed corpus read, and the append's delta-proportional contract stays metrics-pinned in AnnIndexSpec",
+      "embedding_pca_apply" -> "PCA apply + report (r14): the dumped plan is the 1-row driver-assembled report; the data-path jobs inside it are (a) ONE map-combined k-width moment pass over the projection, where each projected coordinate is a codegen'd graft_dot against a LITERAL basis vector with centering folded into a driver constant — no centered array, no broadcast, nothing exchanged — and (b) two broadcast-query corpus scans into TakeOrdered (original-space top-10, projected-space pool-50) plus a 50-row exact rescore; driver state O(k² + pool)",
+      "bpe_train" -> "BPE vocabulary induction (r14): the dumped plan is the 1-row report; the training regime below bpeFitsDriver collects the (word, cnt) table once (byte-gated, the duplicateClusters pattern) and loops in memory; ABOVE the gate each round is one map-combined adjacent-pair hash aggregate over the checkpointed word table + a 1-row argmax collect + a stacked codegen'd graft_bpe_merge projection, lineage re-checkpointed every 8 rounds — regimes spec-pinned output-identical; the corpus is read exactly once either way (the Zipf word-table collapse)",
+      "connector_batch_write" -> "DSv2 batched write (r14): the dumped plan is the per-pk summary local relation; the interesting plan is the WRITE job, where the sink's RequiresDistributionAndOrdering declaration makes Spark insert the clustering exchange + sort on pk — WriteSinkSpec pins the resulting contiguity (exactly ceil(rows/batchSize) pk-pure batches, each pk in one task), the per-task rate pacing, and the error-budget abort through BatchWrite.abort")
 
     val out = new StringBuilder
     out ++= "# Physical plan audit (generated by graft.tools.DumpPlans at sf0.01)\n\n"

@@ -110,6 +110,22 @@ class BpeSpec extends SparkSpec {
     words.keys.foreach(w => assert(trained(w) == refSyms(w)))
   }
 
+  test("driver and distributed regimes produce IDENTICAL merge tables and " +
+       "final symbol tables (the bpeFitsDriver gate is a cost switch, " +
+       "never a semantics switch)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .limit(400).localCheckpoint()
+    val (mDrv, wcDrv) = LlmOps.bpeTrain(docs, rounds = 12)
+    val (mDst, wcDst) = LlmOps.bpeTrain(docs, rounds = 12,
+      forceDistributed = true)
+    assert(mDrv == mDst, s"merge tables differ:\n drv=$mDrv\n dst=$mDst")
+    val a = wcDrv.select(col("w"), col("cnt"), col("syms")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2))).sortBy(_._1)
+    val b = wcDst.select(col("w"), col("cnt"), col("syms")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("bpeTrain stops early when no pair repeats") {
     val docs = Seq((0L, "ab cd ef")).toDF("doc_id", "text")
     val (merges, _) = LlmOps.bpeTrain(docs, rounds = 10)
