@@ -3989,8 +3989,9 @@ object LlmOps {
     * rehearsal).
     */
   /** Regime gate for [[bpeTrain]]: the distinct-word table's estimated
-    * driver footprint (~200 B/word of map+count overhead + ~80 B/char for
-    * the early all-singleton symbol vectors — deliberately pessimistic).
+    * driver footprint (~120 B/word of map+count overhead + ~40 B/char for
+    * the early all-singleton symbol vectors — the constants in the
+    * estimate below, already ~2× pessimistic vs measured JVM footprints).
     * Below the budget, in-memory training wins by a wide margin: each
     * distributed round is a full word-table explode+aggregate JOB, and
     * BPE's rounds are inherently sequential, so R rounds cost R scheduled
@@ -4122,16 +4123,30 @@ object LlmOps {
     * identical merge table and final symbol table as the distributed
     * rounds — same weighted pair counts, same (cnt desc, left asc,
     * right asc) argmax under UTF-8 binary order, same greedy merge, same
-    * pc < 2 stop — computed INCREMENTALLY, the production BPE-trainer
-    * design: pair counts build once, and each merge updates only the
-    * words that actually contain the merged pair (a pair→word-index
-    * posting list; per affected word, the old pair profile decrements and
-    * the re-merged profile increments). Per-round work is proportional to
-    * the merged pair's occurrence mass, not the word table — which is
-    * what makes the 30k-round production tier feasible at all (a full
-    * recount per round is O(R × total chars); BpeSpec pins parity with
-    * the distributed recount regime). Returned symbol table is a local
-    * relation with the distributed branch's exact schema.
+    * pc < 2 stop — computed INCREMENTALLY: pair counts build once, and
+    * each round (a) FINDS the words containing the merged pair by a
+    * compare-only adjacency scan over the whole word table's symbol
+    * arrays — O(total symbols) per round — then (b) RE-PROFILES only the
+    * hits (decrement old pair profile, greedy re-merge, increment new),
+    * which is proportional to the merged pair's occurrence mass. The
+    * scan term (a) dominates once the winning pair's mass falls below
+    * the symbol count — on Zipfian corpora within the first few dozen
+    * rounds — so the per-round cost floor is the scan, not the mass:
+    * total cost O(rounds × total symbols) compares plus the mass-
+    * proportional re-profile. MEASURED (BpeProbe round tiers at the sf1
+    * word table, 2.27M words / ~15M symbols): marginal ~0.37–0.40 s/round
+    * and FLAT from round 120 to 520 — the scan floor — vs ~3.5 s/round
+    * for the distributed recount regime at the same tier (~9× per round).
+    * So a 30k-round tier at this table size would pay ~3 h of scans:
+    * that is where a pair→word posting list would earn its keep — it was
+    * measured WORSE at the gated 20-round tiers (millions of boxed
+    * entries churned per merge dwarf 20 scans), and above the byte gate
+    * the distributed regime takes over, so the driver tier as shipped
+    * never reaches scan-bound round counts. A full recount per round
+    * would instead be O(rounds × total chars) hash-map rebuild work;
+    * BpeSpec pins parity with the distributed recount regime.
+    * Returned symbol table is a local relation with the distributed
+    * branch's exact schema.
     */
   /** Driver-regime audit scalars, computed for free during training. */
   private[graft] final case class BpeAudit(baseVocab: Long, finalVocab: Long,
@@ -4525,6 +4540,12 @@ object LlmOps {
                               overfetch: Int = 50,
                               recallFloor: Double = 0.5): DataFrame = {
     val spark = corpus.sparkSession
+    // single-query contract (same as annAssignedSearch): the crossJoin +
+    // global limit(overfetch) pool and the recall denominator below are
+    // only meaningful for ONE query row — multiple rows would silently
+    // mix candidate pools into one plausible-but-wrong report
+    require(query.limit(2).count() == 1L,
+      "embeddingPcaApplyReport expects exactly one query row")
     val k = fit.basis.length
     val d = fit.dim
     val proj = embeddingPcaApply(corpus, fit)

@@ -206,6 +206,17 @@ object LlmQueries {
   private def duckHash(s: String, seed: String): String =
     s"('0x' || substr(md5($s || ':' || $seed), 1, 15))::BIGINT"
 
+  /** Merge rounds for the bpe_train / bpe_encode keys — ONE constant so
+    * the Spark query and the DuckDB oracle's hardcoded n_merges can never
+    * drift. COUPLING: the oracle states n_merges = BpeRounds as a literal,
+    * which assumes every round finds a pair with count >= 2 (no early
+    * stop). That holds at every gated tier (thousands of docs make 20
+    * productive merges certain); a corpus small enough to early-stop
+    * would surface as an n_merges hash mismatch — regenerate the oracle
+    * literal if such a tier is ever gated.
+    */
+  private val BpeRounds = 20
+
   private val duckWords = "string_split(lower(text), ' ')"
 
   /** words → per-word hash → 32-bit vote simhash, shared by both simhash
@@ -605,7 +616,7 @@ object LlmQueries {
     // fits the driver; a 100 TB word table (~10⁸ words) estimates well
     // past any budget and takes the distributed rounds
     "bpe_train" -> ((s, d) =>
-      LlmOps.bpeTrainReport(t(s, d, "documents"), rounds = 20,
+      LlmOps.bpeTrainReport(t(s, d, "documents"), rounds = BpeRounds,
         driverWordBudgetBytes = 4L << 30)),
 
     // IVF two-stage ANN: centroid build → probe best 2 cells → exact search
@@ -2331,9 +2342,11 @@ object LlmQueries {
          ORDER BY cnt DESC, token LIMIT 100""",
     // round 1 of BPE is plain SQL (weighted char-pair argmax over the
     // distinct-word table, ties to the smallest (l, r)); the loop facts
-    // are the envelope booleans bpeTrainReport documents
+    // are the envelope booleans bpeTrainReport documents. n_merges is the
+    // shared BpeRounds constant — see its scaladoc for the no-early-stop
+    // coupling this literal assumes.
     "bpe_train" ->
-      """WITH wc AS (SELECT w, count(*) AS cnt
+      s"""WITH wc AS (SELECT w, count(*) AS cnt
                      FROM (SELECT unnest(string_split(text, ' ')) AS w
                            FROM documents)
                      WHERE w <> '' GROUP BY w),
@@ -2348,7 +2361,7 @@ object LlmQueries {
                           FROM wc)
                     GROUP BY 1, 2),
           f AS (SELECT l, r, pc FROM pairs ORDER BY pc DESC, l, r LIMIT 1)
-          SELECT CAST(20 AS INTEGER) AS n_merges, base.bv AS base_vocab,
+          SELECT CAST($BpeRounds AS INTEGER) AS n_merges, base.bv AS base_vocab,
                  f.l AS first_left, f.r AS first_right, f.pc AS first_cnt,
                  true AS monotone_ok, true AS vocab_ok, true AS roundtrip_ok
           FROM base, f""",

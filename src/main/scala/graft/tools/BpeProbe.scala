@@ -29,6 +29,21 @@ object BpeProbe {
           org.apache.spark.sql.functions.col("syms")) =!=
           org.apache.spark.sql.functions.col("w")).limit(1).count())
     }
+    // Marginal per-round cost of the driver regime's adjacency-scan term
+    // (the bpeTrainDriver docstring's measured claim): late rounds merge
+    // low-mass pairs, so (t(R_hi) - t(R_lo)) / (R_hi - R_lo) isolates the
+    // compare-only scan floor from the mass-proportional re-profile work.
+    val roundTiers = Seq(20, 120, 520)
+    val tiered = roundTiers.map { r =>
+      val t0 = System.nanoTime()
+      val (m, _) = LlmOps.bpeTrain(docs, r, driverWordBudgetBytes = 4L << 30)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[bp] rounds=$r%-5d total ${sec}%.2f s (merges=${m.length})")
+      (r, sec)
+    }
+    tiered.sliding(2).foreach { case Seq((rLo, tLo), (rHi, tHi)) =>
+      println(f"[bp] marginal ${(tHi - tLo) / (rHi - rLo) * 1000}%.2f ms/round over rounds $rLo->$rHi")
+    }
     spark.stop()
   }
 }
