@@ -125,6 +125,14 @@ object MigrateJob {
     val sc = spark.sparkContext
     @volatile var done = false
     @volatile var breached = false
+    // watchers can NEST (a GraftBatchTarget write watcher runs inside a
+    // guardrail-budget wave watcher): snapshot the enclosing job group so
+    // the inner finally can restore it instead of stripping it — else the
+    // outer watcher's cancelJobGroup would no-op on every job submitted
+    // after the inner body returned
+    val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    val prevInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
     sc.setJobGroup(groupTag, "graft migrate wave (error-budget watched)",
       interruptOnCancel = true)
     val watcher = new Thread({ () =>
@@ -150,18 +158,23 @@ object MigrateJob {
             "(wave cancelled; completed buckets are untouched, the wave " +
             "re-drives idempotently)", e)
       case e: Throwable =>
-        // a TASK-local budget abort arrives wrapped in Spark's job-failure
-        // exception — unwrap so callers see the budget violation itself
+        // a TASK-local or commit-time budget abort arrives wrapped in
+        // Spark's job-failure exception — unwrap so callers see the
+        // budget violation itself (IllegalStateException from the
+        // guardrail path, IOException from the V2 sink's budget)
         val cause = Iterator.iterate[Throwable](e)(_.getCause)
           .takeWhile(_ != null).take(10)
           .collectFirst {
-            case ise: IllegalStateException
-              if String.valueOf(ise.getMessage).contains("error budget exceeded") => ise
+            case t @ (_: IllegalStateException | _: java.io.IOException)
+              if String.valueOf(t.getMessage).contains("error budget exceeded") => t
           }
         throw cause.getOrElse(e)
     } finally {
       done = true
       sc.clearJobGroup()
+      if (prevGroup != null)
+        sc.setJobGroup(prevGroup, String.valueOf(prevDesc),
+          interruptOnCancel = prevInterrupt == "true")
       watcher.join(1000)
     }
   }

@@ -217,6 +217,64 @@ object LlmQueries {
     */
   private val BpeRounds = 20
 
+  /** The bpe_encode oracle: DuckDB TRAINS the same `rounds` BPE merges
+    * itself (no literals smuggled from the Spark run), then encodes the
+    * corpus with them. One materialized CTE pair per round — m_k is the
+    * weighted pair argmax (pc desc, l, r — binary collation, the pinned
+    * tie-break), wt_k applies the merge to every word. The merge applies
+    * via string replace over a TOKEN-WRAPPED rendering (each symbol
+    * wrapped in chr(31) unit separators): non-overlapping left-to-right
+    * replace on wrapped tokens is exactly the greedy single-pass BPE
+    * merge, including the (a,a) run case — [a,a,a,a] -> [aa,aa]
+    * (validated against an independent reference implementation).
+    * MATERIALIZED is load-bearing: each round references the previous
+    * table twice, so inlined CTEs would expand 2^rounds. Shares the
+    * no-early-stop coupling documented on [[BpeRounds]] (the SQL always
+    * runs all rounds; the trainer stops at pair count < 2 — at every
+    * gated tier round 20's count is in the hundreds).
+    */
+  private def bpeEncodeOracle(rounds: Int): String = {
+    val us = "chr(31)"
+    val head = s"""WITH wt_0 AS MATERIALIZED (
+        SELECT w, count(*) AS cnt, string_split(w, '') AS syms
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w)"""
+    val roundCtes = (1 to rounds).map { k =>
+      val p = k - 1
+      s"""m_$k AS MATERIALIZED (
+        SELECT l, r FROM (
+          SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+            SELECT cnt, unnest(syms[1:len(syms)-1]) AS l,
+                   unnest(syms[2:len(syms)]) AS r
+            FROM wt_$p WHERE len(syms) > 1)
+          GROUP BY 1, 2)
+        ORDER BY pc DESC, l, r LIMIT 1),
+      wt_$k AS MATERIALIZED (
+        SELECT w, cnt,
+          string_split(substr(rep2, 2, length(rep2) - 2), $us||$us) AS syms
+        FROM (
+          SELECT w, cnt,
+            replace($us||array_to_string(syms, $us||$us)||$us,
+                    $us||m.l||$us||$us||m.r||$us,
+                    $us||m.l||m.r||$us) AS rep2
+          FROM wt_$p, m_$k m))"""
+    }
+    val tail = s"""dw AS (
+        SELECT doc_id, w
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE w <> '')
+      SELECT d.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(e.n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(length(d.w)) AS BIGINT) AS n_chars,
+             true AS apply_ok
+      FROM dw d JOIN (SELECT w, len(syms) AS n_tok FROM wt_$rounds) e
+        USING (w)
+      GROUP BY d.doc_id ORDER BY d.doc_id"""
+    (Seq(head) ++ roundCtes ++ Seq(tail)).mkString(",\n")
+  }
+
   private val duckWords = "string_split(lower(text), ' ')"
 
   /** words → per-word hash → 32-bit vote simhash, shared by both simhash
@@ -618,6 +676,40 @@ object LlmQueries {
     "bpe_train" -> ((s, d) =>
       LlmOps.bpeTrainReport(t(s, d, "documents"), rounds = BpeRounds,
         driverWordBudgetBytes = 4L << 30)),
+
+    // the APPLY half of bpe_train (r14 VERDICT item 3 — the fit/apply
+    // pattern embedding_pca completed): encode the corpus with the
+    // trained merge table and report per-doc token counts. Scale shape:
+    // the merge table applies to the DISTINCT-word table only (the same
+    // Zipf collapse training rides — <= BpeRounds stacked codegen'd
+    // graft_bpe_merge kernels over word-table-sized rows, never corpus
+    // rows), then ONE corpus-sized equi-join from exploded doc words to
+    // the encoded words + one map-combined per-doc aggregate. apply_ok
+    // is the in-query fit/apply parity harness: re-encoding the distinct
+    // words with bpeEncode must reproduce the trainer's own final symbol
+    // table exactly (word-table-sized check). The oracle is fully
+    // independent: it TRAINS the same 20 rounds in SQL (materialized CTE
+    // chain; greedy merge via token-wrapped string replace) and derives
+    // every count from its own encoding.
+    "bpe_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val (merges, wcFinal) = LlmOps.bpeTrain(docs, BpeRounds,
+        driverWordBudgetBytes = 4L << 30)
+      val words = docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").distinct()
+      val enc = LlmOps.bpeEncode(words, merges).localCheckpoint()
+      val mismatch = enc.join(wcFinal.select(col("w"), col("syms")), "w")
+        .filter(col("tokens") =!= col("syms")).limit(1).count()
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .join(enc.select(col("w"), size(col("tokens")).as("n_tok")), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(length(col("w"))).as("n_chars"))
+        .withColumn("apply_ok", lit(mismatch == 0L))
+        .orderBy(col("doc_id"))
+    }),
 
     // IVF two-stage ANN: centroid build → probe best 2 cells → exact search
     // inside them (the scale path; brute force is sim_search_topk)
@@ -2365,6 +2457,9 @@ object LlmQueries {
                  f.l AS first_left, f.r AS first_right, f.pc AS first_cnt,
                  true AS monotone_ok, true AS vocab_ok, true AS roundtrip_ok
           FROM base, f""",
+    // independent SQL-side BPE: trains the same rounds, encodes the same
+    // corpus — see bpeEncodeOracle
+    "bpe_encode" -> bpeEncodeOracle(BpeRounds),
     "dedup_corpus" ->
       s"""WITH RECURSIVE docs AS ($docsDupSql),
           $duckShingleCte,

@@ -68,6 +68,55 @@ object MiscQueries {
         .orderBy(col("pk"))
     }),
 
+    // the connector-shaped migrate END-TO-END (r14 VERDICT item 1): DSv2
+    // read seam -> CDM transform chain -> DSv2 write seam in ONE
+    // MigrateJob.run. Read: GraftRangeOrigin (100k-row deterministic
+    // "cluster", 8 token slices); the cfg's writetime floor (wt >=
+    // base+60000) pushes INTO the scan and eliminates the first 4 input
+    // slices, the payload exclusion prunes the read schema to [id,tok,wt]
+    // (ConnectorMigrateSpec pins the executed plan). Transform: exclude
+    // (P2) + custom transformer mapping rows onto the target's partition
+    // key pk = id DIV 10 (X1) + writetime increment +1000 (X2). Write:
+    // GraftBatchSink with pk-pure batches of <= 5 under the declared
+    // clustering, a job-global error budget, and a per-task Σ(wt - base)
+    // content checksum proving the increment survived to the writer.
+    // Ledgered + resumable like every migrate (abort/resume is
+    // ConnectorMigrateSpec territory). Every output fact has a closed
+    // form from the source generator: ids 60000..99999 survive, 4000 pks
+    // x 10 rows = 2 batches of 5 each, Σ(i+1000) checksum.
+    "connector_migrate" -> ((s, d) => {
+      import graft.migrate._
+      val base = scratch("connector_migrate", d)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(base), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val wtBase = graft.sources.GraftRangeSource.WriteTimeBase
+      val sink = GraftBatchTarget(base, pkCol = "pk", batchSize = 5,
+        runPrefix = "cm_" + d.replaceAll("[^A-Za-z0-9.]", "_"),
+        sumCol = "wt", sumOffset = wtBase)
+      val cfg = MigrateJob.Config(
+        pkCols = Seq("id"), tokenBuckets = 8,
+        minWritetime = Some(graft.sources.GraftRangeSource.wtOf(60000)),
+        writetimeCol = Some("wt"), writetimeIncrementBy = 1000L,
+        columnsToExclude = Seq("payload"),
+        transformerClass = Some(classOf[TargetKeyTransformer].getName))
+      val r = MigrateJob.run(s, GraftRangeOrigin(100000, 8), sink, cfg)
+      val lt = MigrateJob.ledgerTotals(sink.ledgerPath)
+      val runs = sink.waveResults(Seq(0 to 7))
+      val tasks = runs.flatMap(_.tasks)
+      val batches = tasks.flatMap(_.batches)
+      import s.implicits._
+      Seq((r.migrated, r.skippedOversize, lt.bucketsDone.toLong,
+          tasks.map(_.written).sum, tasks.map(_.errors).sum,
+          batches.map(_.pk).distinct.size.toLong, batches.size.toLong,
+          batches.map(_.n).max,
+          tasks.map(_.colSum).sum,
+          runs.nonEmpty && runs.forall(w => w.committed && !w.aborted)))
+        .toDF("migrated", "skipped", "buckets_done", "written", "errors",
+          "n_pks", "n_batches", "max_batch_rows", "wt_rel_sum",
+          "committed_ok")
+    }),
+
     // deterministic seeded global shuffle + shard assignment — the
     // training-export layout: shard and within-shard order are content
     // hashes of (seed, id), so the epoch data order reproduces across
@@ -260,8 +309,10 @@ object MiscQueries {
         .orderBy(col("event_id"))
     }),
 
-    // multimodal decode plumbing: binary payload table → per-partition
-    // decode-stub features (see graft.ext.MultimodalOps)
+    // multimodal decode plumbing: binary payload table → decode-stub
+    // features, fully declarative (one codegen'd projection — see
+    // graft.ext.MultimodalOps; the imperative codec seam is
+    // decodeFeaturesImperative, spec-pinned identical)
     "multimodal_decode" -> ((s, d) =>
       graft.ext.MultimodalOps.decodeFeatures(
           graft.ext.MultimodalOps.toBinaryTable(t(s, d, "documents")))
@@ -322,6 +373,27 @@ object MiscQueries {
                 CAST(60000 AS BIGINT) AS min_id,
                 CAST(1700000000099999 AS BIGINT) AS max_wt,
                 true AS pushdown_ok""",
+    // closed form of the connector-shaped migrate over the deterministic
+    // range source: the writetime floor keeps ids 60000..99999 (40000
+    // rows), the target key is pk = id DIV 10 (4000 pks x 10 rows ->
+    // ceil(10/5) = 2 batches each under the declared clustering), and the
+    // sink checksum is sum(wt + 1000 - base) = sum(i + 1000) over the
+    // surviving ids — derived here from generate_series, not stated as
+    // bare literals, so the oracle re-derives what the pipeline computes
+    "connector_migrate" ->
+      """WITH ids AS (SELECT unnest(generate_series(60000, 99999)) AS i),
+              pks AS (SELECT i // 10 AS pk, count(*) AS n FROM ids GROUP BY 1)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM ids) AS migrated,
+                CAST(0 AS BIGINT) AS skipped,
+                CAST(8 AS BIGINT) AS buckets_done,
+                (SELECT CAST(count(*) AS BIGINT) FROM ids) AS written,
+                CAST(0 AS BIGINT) AS errors,
+                (SELECT CAST(count(*) AS BIGINT) FROM pks) AS n_pks,
+                (SELECT CAST(sum(CAST(ceil(n / 5.0) AS BIGINT)) AS BIGINT)
+                 FROM pks) AS n_batches,
+                CAST(5 AS INTEGER) AS max_batch_rows,
+                (SELECT CAST(sum(i + 1000) AS BIGINT) FROM ids) AS wt_rel_sum,
+                true AS committed_ok""",
     // per-pk batch counts through the V2 writer: contiguity (clustered +
     // sorted, batchSize 5) makes them exactly ceil(n/5)
     "connector_batch_write" ->

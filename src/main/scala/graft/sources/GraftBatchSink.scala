@@ -7,6 +7,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, S
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.LongAccumulator
 import java.util.{Map => JMap}
 
 /** Minimal DataSource V2 SINK proving the connector seam's WRITE
@@ -29,29 +30,49 @@ import java.util.{Map => JMap}
   *     writer task paces itself to `rateLimit` rows/second (token-bucket
   *     by elapsed time; 0 disables). Per-TASK, like the reference's
   *     per-executor limiter — total throughput = tasks × rate.
-  *   - ERROR BUDGET (`cdm.properties:38` — `errorLimit`): failed rows
-  *     (injected via `failEveryN` for tests: every id divisible by it
-  *     fails) are skipped and counted until the budget is exceeded, then
-  *     the TASK throws — Spark fails the job and calls
-  *     [[BatchWrite.abort]], which the run registry records. Budget is
-  *     per-task here (the job-global form needs an accumulator bus; the
-  *     abort-path contract it proves is identical).
+  *   - ERROR BUDGET (`cdm.properties:38` — `errorLimit`), JOB-GLOBAL like
+  *     CDM's maxErrorCount (r14 VERDICT item 2 — a per-task budget would
+  *     silently tolerate tasks × errorLimit at 1000 tasks). Failed rows
+  *     are skipped and counted at three scopes:
+  *       (1) task-local fast abort: a single task whose OWN count exceeds
+  *           the job limit throws immediately (local ≤ global, so this is
+  *           a definite breach — no driver round-trip needed);
+  *       (2) commit-time global enforcement: [[BatchWrite.commit]] sums
+  *           the error counts from every task's commit message and throws
+  *           when the JOB total exceeds the limit — Spark then calls
+  *           [[BatchWrite.abort]], which the run registry records;
+  *       (3) mid-job cross-task abort (best-effort): every error also
+  *           feeds a driver-registered [[LongAccumulator]] (exposed via
+  *           [[GraftBatchSink.errorAccumulator]]); an orchestrator that
+  *           owns the write action — [[graft.migrate.GraftBatchTarget]]
+  *           does — polls it and cancels the job group the moment the
+  *           cross-task total breaches, instead of letting the write run
+  *           to completion first (accumulator updates reach the driver as
+  *           tasks complete plus executor heartbeats).
+  *     Failure injection for tests: `failEveryN` fails every row whose
+  *     PARTITION-KEY VALUE is divisible by it — all rows of a divisible
+  *     pk fail (e.g. pks 0, 10 at failEveryN=10), not every N-th row.
   *
-  * Batch descriptors, written/error counts, and elapsed nanos travel in
-  * each task's [[WriterCommitMessage]] — the V2-lifecycle-correct channel
-  * — and land in the same-JVM run registry under the caller's `runId`
-  * option on driver-side commit. The registry is how the spec observes
-  * batching without a real external store; everything else is the
-  * production shape. NOTE the per-batch descriptor list is that
-  * OBSERVATION harness, sized rows/batchSize (gate-scale by contract —
-  * ~12 MB at the sf1 registry run); a production deployment of this seam
-  * would ship only the scalar counts in its commit messages, exactly as
-  * the parquet path ships file-level stats.
+  * Batch descriptors, written/error counts, the optional `sumCol`
+  * checksum, and elapsed nanos travel in each task's
+  * [[WriterCommitMessage]] — the V2-lifecycle-correct channel — and land
+  * in the same-JVM run registry under the caller's `runId` option on
+  * driver-side commit. The registry is how specs and the migrate
+  * composition observe batching without a real external store; everything
+  * else is the production shape. NOTE the per-batch descriptor list is
+  * that OBSERVATION harness, sized rows/batchSize (gate-scale by
+  * contract — ~12 MB at the sf1 registry run); a production deployment of
+  * this seam would ship only the scalar counts in its commit messages,
+  * exactly as the parquet path ships file-level stats.
   *
   * Options: `runId` (required), `pkCol` (default "pk", must be LongType),
   * `batchSize` (default 5 — the cdm.properties value), `rateLimit`
-  * rows/s/task (default 0 = off), `errorLimit` (default 100 — ditto),
-  * `failEveryN` (default 0 = no injected failures).
+  * rows/s/task (default 0 = off), `errorLimit` (default 100 — ditto,
+  * JOB-global), `failEveryN` (default 0 = no injected failures; keyed on
+  * the pk value, see above), `sumCol` (optional LongType column: each
+  * task accumulates Σ(value − `sumOffset`) over written rows — the
+  * content checksum the migrate composition verifies end-to-end transform
+  * survival with; offset keeps epoch-micro sums inside int64).
   */
 class GraftBatchSink extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
@@ -73,7 +94,7 @@ object GraftBatchSink {
 
   final case class TaskSummary(partitionId: Int, batches: Seq[BatchRec],
                                written: Long, errors: Long,
-                               elapsedNanos: Long)
+                               colSum: Long, elapsedNanos: Long)
       extends WriterCommitMessage
 
   final case class RunResult(committed: Boolean, aborted: Boolean,
@@ -85,8 +106,25 @@ object GraftBatchSink {
   private val runs =
     new java.util.concurrent.ConcurrentHashMap[String, RunResult]()
 
+  /** Per-runId error accumulators (scope 3 of the budget): created on the
+    * driver at write-build time (or pre-registered by an orchestrator that
+    * wants to poll DURING the job), fed by every writer task.
+    */
+  private val errorAccs =
+    new java.util.concurrent.ConcurrentHashMap[String, LongAccumulator]()
+
   def runResult(runId: String): Option[RunResult] = Option(runs.get(runId))
-  def clear(runId: String): Unit = runs.remove(runId)
+  def clear(runId: String): Unit = { runs.remove(runId); errorAccs.remove(runId) }
+
+  /** The job-wide error accumulator for `runId` — poll `.value` on the
+    * driver while the write runs (mid-job budget watchers). Registered
+    * lazily at write-build time; call this BEFORE the save() to start a
+    * watcher against the same instance the tasks will feed.
+    */
+  def errorAccumulator(runId: String): LongAccumulator =
+    errorAccs.computeIfAbsent(runId, _ =>
+      org.apache.spark.sql.SparkSession.active.sparkContext
+        .longAccumulator(s"graft_sink_errors_$runId"))
 
   private[sources] def recordCommit(runId: String,
                                     tasks: Seq[TaskSummary]): Unit =
@@ -114,13 +152,24 @@ private[sources] class GraftBatchTable(schema: StructType,
     val runId = o.get("runId")
     require(runId != null && runId.nonEmpty,
       "graft_batch_sink requires a runId option")
+    val sumCol = o.getOrDefault("sumCol", "")
+    val sumIdx =
+      if (sumCol.isEmpty) -1
+      else {
+        val i = schema.fieldIndex(sumCol)
+        require(schema.fields(i).dataType == LongType,
+          s"graft_batch_sink: sumCol '$sumCol' must be LongType, got " +
+            schema.fields(i).dataType)
+        i
+      }
     new WriteBuilder {
       override def build(): Write = new GraftBatchWrite(
         runId, pkCol, idx,
         o.getOrDefault("batchSize", "5").toInt,
         o.getOrDefault("rateLimit", "0").toLong,
         o.getOrDefault("errorLimit", "100").toLong,
-        o.getOrDefault("failEveryN", "0").toLong)
+        o.getOrDefault("failEveryN", "0").toLong,
+        sumIdx, o.getOrDefault("sumOffset", "0").toLong)
     }
   }
 }
@@ -128,7 +177,8 @@ private[sources] class GraftBatchTable(schema: StructType,
 private[sources] class GraftBatchWrite(runId: String, pkCol: String,
                                        pkIdx: Int, batchSize: Int,
                                        rateLimit: Long, errorLimit: Long,
-                                       failEveryN: Long)
+                                       failEveryN: Long, sumIdx: Int,
+                                       sumOffset: Long)
     extends Write with RequiresDistributionAndOrdering {
 
   // the layout contract: same pk never split across tasks, and contiguous
@@ -142,12 +192,24 @@ private[sources] class GraftBatchWrite(runId: String, pkCol: String,
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DataWriterFactory =
+      // driver-side: the accumulator is created (or the orchestrator's
+      // pre-registered one reused) here and serialized into every task
       new GraftBatchWriterFactory(pkIdx, batchSize, rateLimit, errorLimit,
-        failEveryN)
+        failEveryN, sumIdx, sumOffset,
+        GraftBatchSink.errorAccumulator(runId))
 
-    override def commit(messages: Array[WriterCommitMessage]): Unit =
-      GraftBatchSink.recordCommit(runId,
-        messages.toSeq.map(_.asInstanceOf[GraftBatchSink.TaskSummary]))
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val tasks = messages.toSeq.map(_.asInstanceOf[GraftBatchSink.TaskSummary])
+      // JOB-GLOBAL budget enforcement (CDM maxErrorCount semantics): the
+      // per-task counts each stayed under the limit or their task would
+      // have aborted already — the JOB total still must not exceed it
+      val totalErrors = tasks.map(_.errors).sum
+      if (totalErrors > errorLimit)
+        throw new java.io.IOException(
+          s"graft_batch_sink: job-global error budget exceeded " +
+            s"($totalErrors > $errorLimit across ${tasks.size} tasks)")
+      GraftBatchSink.recordCommit(runId, tasks)
+    }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       GraftBatchSink.recordAbort(runId)
@@ -157,17 +219,21 @@ private[sources] class GraftBatchWrite(runId: String, pkCol: String,
 private[sources] class GraftBatchWriterFactory(pkIdx: Int, batchSize: Int,
                                                rateLimit: Long,
                                                errorLimit: Long,
-                                               failEveryN: Long)
+                                               failEveryN: Long,
+                                               sumIdx: Int, sumOffset: Long,
+                                               errorAcc: LongAccumulator)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new GraftBatchWriter(partitionId, pkIdx, batchSize, rateLimit,
-      errorLimit, failEveryN)
+      errorLimit, failEveryN, sumIdx, sumOffset, errorAcc)
 }
 
 private[sources] class GraftBatchWriter(partitionId: Int, pkIdx: Int,
                                         batchSize: Int, rateLimit: Long,
-                                        errorLimit: Long, failEveryN: Long)
+                                        errorLimit: Long, failEveryN: Long,
+                                        sumIdx: Int, sumOffset: Long,
+                                        errorAcc: LongAccumulator)
     extends DataWriter[InternalRow] {
   import GraftBatchSink.{BatchRec, TaskSummary}
 
@@ -176,6 +242,7 @@ private[sources] class GraftBatchWriter(partitionId: Int, pkIdx: Int,
   private var curN = 0
   private var written = 0L
   private var errors = 0L
+  private var colSum = 0L
   private val t0 = System.nanoTime()
 
   private def flush(): Unit = {
@@ -184,16 +251,23 @@ private[sources] class GraftBatchWriter(partitionId: Int, pkIdx: Int,
 
   override def write(row: InternalRow): Unit = {
     val pk = row.getLong(pkIdx)
+    // injected failure: every row of a pk DIVISIBLE by failEveryN fails
+    // (keyed on the pk value — a divisible pk fails ALL its rows)
     if (failEveryN > 0 && pk % failEveryN == 0) {
       errors += 1
+      errorAcc.add(1L) // feeds the job-global mid-job watcher (scope 3)
+      // task-local fast abort (scope 1): this task ALONE blew the whole
+      // job budget — definite breach, no cross-task view needed
       if (errors > errorLimit) throw new java.io.IOException(
-        s"graft_batch_sink: error budget exceeded ($errors > $errorLimit)")
+        s"graft_batch_sink: error budget exceeded in one task " +
+          s"($errors > $errorLimit)")
       return
     }
     if (curN > 0 && (pk != curPk || curN >= batchSize)) flush()
     curPk = pk
     curN += 1
     written += 1
+    if (sumIdx >= 0) colSum += row.getLong(sumIdx) - sumOffset
     if (rateLimit > 0) {
       // token bucket by elapsed time: row `written` may not leave before
       // written/rateLimit seconds — the reference's maxPerSecond pacing
@@ -208,7 +282,7 @@ private[sources] class GraftBatchWriter(partitionId: Int, pkIdx: Int,
 
   override def commit(): WriterCommitMessage = {
     flush()
-    TaskSummary(partitionId, batches.toSeq, written, errors,
+    TaskSummary(partitionId, batches.toSeq, written, errors, colSum,
       System.nanoTime() - t0)
   }
 

@@ -72,7 +72,9 @@ object DumpPlans {
       "ann_index_append" -> "ANN delta maintenance (r13; retrain-realism + drift recording r14): the dumped plan is the post-append serve over the base-trained store — probed-cell partition-pruned store scan × 1-row query attach, drift columns as literals; the lifecycle's other jobs (base-only train, build stats, append, post-health scan) share ONE localCheckpointed corpus read, and the append's delta-proportional contract stays metrics-pinned in AnnIndexSpec",
       "embedding_pca_apply" -> "PCA apply + report (r14): the dumped plan is the 1-row driver-assembled report; the data-path jobs inside it are (a) ONE map-combined k-width moment pass over the projection, where each projected coordinate is a codegen'd graft_dot against a LITERAL basis vector with centering folded into a driver constant — no centered array, no broadcast, nothing exchanged — and (b) two broadcast-query corpus scans into TakeOrdered (original-space top-10, projected-space pool-50) plus a 50-row exact rescore; driver state O(k² + pool)",
       "bpe_train" -> "BPE vocabulary induction (r14): the dumped plan is the 1-row report; the training regime below bpeFitsDriver collects the (word, cnt) table once (byte-gated, the duplicateClusters pattern) and loops in memory; ABOVE the gate each round is one map-combined adjacent-pair hash aggregate over the checkpointed word table + a 1-row argmax collect + a stacked codegen'd graft_bpe_merge projection, lineage re-checkpointed every 8 rounds — regimes spec-pinned output-identical; the corpus is read exactly once either way (the Zipf word-table collapse)",
-      "connector_batch_write" -> "DSv2 batched write (r14): the dumped plan is the per-pk summary local relation; the interesting plan is the WRITE job, where the sink's RequiresDistributionAndOrdering declaration makes Spark insert the clustering exchange + sort on pk — WriteSinkSpec pins the resulting contiguity (exactly ceil(rows/batchSize) pk-pure batches, each pk in one task), the per-task rate pacing, and the error-budget abort through BatchWrite.abort")
+      "connector_batch_write" -> "DSv2 batched write (r14): the dumped plan is the per-pk summary local relation; the interesting plan is the WRITE job, where the sink's RequiresDistributionAndOrdering declaration makes Spark insert the clustering exchange + sort on pk — WriteSinkSpec pins the resulting contiguity (exactly ceil(rows/batchSize) pk-pure batches, each pk in one task), the per-task rate pacing, and the error-budget abort through BatchWrite.abort",
+      "connector_migrate" -> "connector-shaped migrate end-to-end (r15): the dumped plan is the 1-row summary local relation; the real plan is the single migrate wave captured in ConnectorMigrateSpec from the LIVE write job — DSv2 range scan with the writetime floor ABSORBED (pushed=[GreaterThanOrEqual(wt,…)]), payload pruned from the read schema, the 4 below-floor input slices eliminated at planning, then tag/transform/increment as narrow codegen'd projections, ONE clustering exchange + sort demanded by the sink's declared distribution, and pk-pure batched V2 writes under a JOB-global error budget (task-local fast abort, commit-time total enforcement, accumulator-fed mid-job watcher); ledgered + resumable like every migrate",
+      "bpe_encode" -> "BPE apply half (r15): the trained merge table applies to the DISTINCT-word table only — ≤20 stacked codegen'd graft_bpe_merge kernels over word-table-sized rows (the same Zipf collapse training rides), localCheckpointed once; the corpus-sized work is ONE exploded-words equi-join to the encoded table plus ONE map-combined per-doc aggregate; apply/train parity (apply_ok) is a word-table-sized join check, and the DuckDB oracle trains its own 20 rounds in SQL so every count is independently derived")
 
     val out = new StringBuilder
     out ++= "# Physical plan audit (generated by graft.tools.DumpPlans at sf0.01)\n\n"

@@ -68,9 +68,14 @@ class WriteSinkSpec extends SparkSpec {
       s"rate limit not applied: ${t.elapsedNanos / 1e9}s for 200 rows")
   }
 
+  private def messages(t: Throwable): Seq[String] =
+    if (t == null) Nil
+    else Option(t.getMessage).toSeq ++ messages(t.getCause)
+
   test("error budget: failures under the limit are skipped and counted; " +
        "over the limit the job aborts and BatchWrite.abort is recorded") {
-    // failEveryN=10 over pks 0..119 → 12 failing rows
+    // failEveryN=10 over pks 0..9 → only pk 0 is divisible, and a
+    // divisible pk fails ALL its rows → 12 failing rows (12 rows/pk)
     save(rows120, "wb_budget_ok",
       Map("failEveryN" -> "10", "errorLimit" -> "100"))
     val ok = GraftBatchSink.runResult("wb_budget_ok").get
@@ -78,17 +83,59 @@ class WriteSinkSpec extends SparkSpec {
     assert(ok.tasks.map(_.errors).sum == 12L)
     assert(ok.tasks.flatMap(_.batches).map(_.n).sum == 108)
 
+    // pk 0's 12 failures land in ONE task (clustered) → the task-local
+    // fast abort fires (12 > 2 in one task)
     val e = intercept[Exception] {
       save(rows120, "wb_budget_blow",
         Map("failEveryN" -> "10", "errorLimit" -> "2"))
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil
-      else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("error budget exceeded")),
       s"unexpected failure: $e")
     val blown = GraftBatchSink.runResult("wb_budget_blow").get
     assert(blown.aborted && !blown.committed)
+  }
+
+  test("error budget is JOB-global, not per-task: every task stays under " +
+       "the limit but the job total exceeds it -> commit refuses and " +
+       "BatchWrite.abort fires (CDM maxErrorCount semantics)") {
+    // failEveryN=3 → pks 0,3,6,9 each fail all 12 of their rows (48
+    // total). AQE partition coalescing is OFF for this case so the 4
+    // failing pks stay hash-spread over the 4 shuffle partitions (with
+    // coalescing, 120 rows collapse into one task and the LOCAL check
+    // fires instead — this test is about the cross-task total);
+    // errorLimit=40: no task breaches locally (worst spread = 3 pks/task
+    // = 36 < 40), the job does (48 > 40) — a per-task budget would have
+    // committed here
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    val e =
+      try intercept[Exception] {
+        save(rows120, "wb_budget_global",
+          Map("failEveryN" -> "3", "errorLimit" -> "40"))
+      } finally prev match {
+        case Some(v) => spark.conf.set(coalesceKey, v)
+        case None => spark.conf.unset(coalesceKey)
+      }
+    assert(messages(e).exists(_.contains("job-global error budget exceeded")),
+      s"unexpected failure: $e")
+    val r = GraftBatchSink.runResult("wb_budget_global").get
+    assert(r.aborted && !r.committed)
+  }
+
+  test("the job-global error accumulator is observable on the driver " +
+       "(the mid-job watcher channel) and counts every skipped row") {
+    // clear FIRST (clear drops the accumulator too), then pre-register
+    // the accumulator the way an orchestrator's watcher would, then write
+    GraftBatchSink.clear("wb_acc")
+    val acc = GraftBatchSink.errorAccumulator("wb_acc")
+    rows120.write.format(classOf[GraftBatchSink].getName)
+      .option("runId", "wb_acc").option("pkCol", "pk")
+      .option("failEveryN", "10").option("errorLimit", "100")
+      .mode("append").save()
+    assert(acc.value == 12L)
+    assert(GraftBatchSink.errorAccumulator("wb_acc") eq acc,
+      "accumulator must be stable per runId until clear()")
   }
 
   test("the writer demands LongType pk and a runId") {
