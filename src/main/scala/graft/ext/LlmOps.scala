@@ -4148,9 +4148,54 @@ object LlmOps {
     * Returned symbol table is a local relation with the distributed
     * branch's exact schema.
     */
-  /** Driver-regime audit scalars, computed for free during training. */
+  /** Driver-regime audit scalars, computed for free during training.
+    * `wordCount`/`symsFp` are the train-side half of the fit/apply parity
+    * fingerprint (see [[bpeSymsFingerprint]]) — accumulated in the same
+    * tight audit loop, so the parity check never has to aggregate or join
+    * the word-table-sized LocalRelation through Spark (measured 15-17 s
+    * at the sf1 tier for the join form vs ~free here).
+    */
   private[graft] final case class BpeAudit(baseVocab: Long, finalVocab: Long,
-                                           roundtripOk: Boolean)
+                                           roundtripOk: Boolean,
+                                           wordCount: Long, symsFp: BigInt)
+
+  /** Unit-separator delimiter of the parity fingerprint's hash input. */
+  private val BpeFpSep = "\u001f"
+
+  /** Per-word parity fingerprint term, driver side: the first 15 hex
+    * chars of md5(w US syms.join(US)) as a long — EXACTLY what the Spark
+    * side computes as conv(substring(md5(concat_ws(US, w,
+    * array_join(syms, US))), 1, 15), 16, 10) (md5 over UTF-8 both ways;
+    * 60 bits so per-word terms stay inside a long, summed into a BigInt).
+    */
+  private def bpeFpTerm(md: java.security.MessageDigest, w: String,
+                        syms: Array[String]): Long = {
+    md.reset()
+    val s = w + BpeFpSep + syms.mkString(BpeFpSep)
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = the top 7.5 bytes: 7 full bytes + high nibble
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** One-pass (count, fingerprint-sum) over a (word, symbols) table —
+    * the Spark half of the fit/apply parity check: an order-independent
+    * multiset fingerprint of the full encoding, distributed-cheap (one
+    * map-combined aggregate, no join, no LocalRelation shuffle).
+    */
+  private[graft] def bpeSymsFingerprint(df: DataFrame, wordCol: String,
+                                        symsCol: String): (Long, BigInt) = {
+    val row = ensureFns(df).agg(
+      count(lit(1)),
+      sum(conv(substring(md5(concat_ws(BpeFpSep, col(wordCol),
+        array_join(col(symsCol), BpeFpSep))), 1, 15), 16, 10)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+    (row.getLong(0),
+      if (row.isNullAt(1)) BigInt(0)
+      else BigInt(row.getDecimal(1).toBigInteger))
+  }
 
   private def bpeTrainDriver(spark: org.apache.spark.sql.SparkSession,
                              wc0: DataFrame, rounds: Int)
@@ -4230,6 +4275,8 @@ object LlmOps {
     // measured 4-18 s at the sf1 tier vs ~0.3 s here
     val baseV = new java.util.HashSet[String]()
     val finalV = new java.util.HashSet[String]()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var fp = BigInt(0)
     var roundtripOk = true
     var a = 0
     while (a < n) {
@@ -4237,6 +4284,7 @@ object LlmOps {
       val sb = new java.lang.StringBuilder(wordsW(a).length)
       wordsS(a).foreach { sym => finalV.add(sym); sb.append(sym) }
       if (roundtripOk && sb.toString != wordsW(a)) roundtripOk = false
+      fp += bpeFpTerm(md, wordsW(a), wordsS(a))
       a += 1
     }
     import spark.implicits._
@@ -4244,7 +4292,8 @@ object LlmOps {
       .map(i => (wordsW(i), wordsC(i), wordsS(i).toSeq))
       .toDF("w", "cnt", "syms")
     (merges.toSeq, wcFinal,
-      Some(BpeAudit(baseV.size.toLong, finalV.size.toLong, roundtripOk)))
+      Some(BpeAudit(baseV.size.toLong, finalV.size.toLong, roundtripOk,
+        n.toLong, fp)))
   }
 
   /** Tokenize words with an already-trained merge table: apply every merge

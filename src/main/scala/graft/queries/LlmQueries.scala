@@ -685,21 +685,31 @@ object LlmQueries {
     // graft_bpe_merge kernels over word-table-sized rows, never corpus
     // rows), then ONE corpus-sized equi-join from exploded doc words to
     // the encoded words + one map-combined per-doc aggregate. apply_ok
-    // is the in-query fit/apply parity harness: re-encoding the distinct
-    // words with bpeEncode must reproduce the trainer's own final symbol
-    // table exactly (word-table-sized check). The oracle is fully
-    // independent: it TRAINS the same 20 rounds in SQL (materialized CTE
-    // chain; greedy merge via token-wrapped string replace) and derives
-    // every count from its own encoding.
+    // is the in-query fit/apply parity harness: the multiset FINGERPRINT
+    // (count + Σ md5-term per (word, symbols) row — bpeSymsFingerprint)
+    // of the re-encoded distinct words must equal the trainer's own
+    // final symbol table's. Fingerprints, not a join: the driver regime
+    // hands its half over for free from the training audit loop, where
+    // joining the word-table-sized LocalRelation through Spark measured
+    // 15-17 s at sf1 (single-threaded driver serialization); the
+    // distributed regime computes both halves as one cheap aggregate
+    // each. The oracle is fully independent: it TRAINS the same 20
+    // rounds in SQL (materialized CTE chain; greedy merge via
+    // token-wrapped string replace) and derives every count from its
+    // own encoding.
     "bpe_encode" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val (merges, wcFinal) = LlmOps.bpeTrain(docs, BpeRounds,
+      val (merges, wcFinal, auditOpt) = LlmOps.bpeTrainFull(docs, BpeRounds,
         driverWordBudgetBytes = 4L << 30)
+      val (trainN, trainFp) = auditOpt match {
+        case Some(a) => (a.wordCount, a.symsFp)
+        case None => LlmOps.bpeSymsFingerprint(wcFinal, "w", "syms")
+      }
       val words = docs.select(explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "").distinct()
       val enc = LlmOps.bpeEncode(words, merges).localCheckpoint()
-      val mismatch = enc.join(wcFinal.select(col("w"), col("syms")), "w")
-        .filter(col("tokens") =!= col("syms")).limit(1).count()
+      val (encN, encFp) = LlmOps.bpeSymsFingerprint(enc, "w", "tokens")
+      val applyOk = encN == trainN && encFp == trainFp
       docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
         .join(enc.select(col("w"), size(col("tokens")).as("n_tok")), "w")
@@ -707,7 +717,7 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_words"),
           sum(col("n_tok")).as("n_tokens"),
           sum(length(col("w"))).as("n_chars"))
-        .withColumn("apply_ok", lit(mismatch == 0L))
+        .withColumn("apply_ok", lit(applyOk))
         .orderBy(col("doc_id"))
     }),
 

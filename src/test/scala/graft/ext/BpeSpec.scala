@@ -151,4 +151,30 @@ class BpeSpec extends SparkSpec {
     val bad = wcFinal.filter(concat_ws("", col("syms")) =!= col("w")).count()
     assert(bad == 0L)
   }
+
+  test("fit/apply parity fingerprint: the driver audit's md5-term sum " +
+       "equals the Spark-side bpeSymsFingerprint on the same table, and " +
+       "any symbol drift changes it") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val (merges, wcFinal, auditOpt) =
+      LlmOps.bpeTrainFull(docs, rounds = 10)
+    val audit = auditOpt.getOrElse(fail("gate corpus must take the driver regime"))
+    // cross-implementation contract: driver MessageDigest term == Spark
+    // conv(substring(md5(concat_ws(…)),1,15),16,10) term, summed
+    val (n, fp) = LlmOps.bpeSymsFingerprint(wcFinal, "w", "syms")
+    assert(n == audit.wordCount)
+    assert(fp == audit.symsFp)
+    // the re-encoded distinct words carry the SAME fingerprint (the
+    // bpe_encode key's apply_ok), and a corrupted encoding does not
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val enc = LlmOps.bpeEncode(words, merges)
+    val (en, efp) = LlmOps.bpeSymsFingerprint(enc, "w", "tokens")
+    assert(en == n && efp == fp)
+    val corrupted = enc.withColumn("tokens",
+      when(col("w") === enc.select(min(col("w"))).head().getString(0),
+        array(lit("!corrupt!"))).otherwise(col("tokens")))
+    val (_, cfp) = LlmOps.bpeSymsFingerprint(corrupted, "w", "tokens")
+    assert(cfp != fp, "a drifted encoding must change the fingerprint")
+  }
 }
