@@ -3934,6 +3934,204 @@ object LlmOps {
       .limit(kTop)
   }
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack/Clarke/Büttcher,
+    * SIGIR 2009) — the production RAG shape: a lexical BM25 branch and a
+    * dense cosine branch each retrieve their top `k·overfetch`, and the
+    * fused score of a doc is Σ over branches of 1/(kRrf + rank). Rank-based
+    * fusion needs no score normalization across the two incomparable
+    * scales (BM25 points vs cosine), which is why RRF is the default in
+    * every hybrid search engine. A doc missing from one branch simply
+    * contributes nothing for it.
+    *
+    * `documents.doc_id` and `embeddings.vec_id` share an id space (the
+    * embedding of document i); id 0 is the query (its text supplies
+    * nothing — the lexical query is the `terms` list — and its vector is
+    * the dense query), so both branches exclude it.
+    *
+    * Scale shape: each branch is the already-audited bounded form
+    * ([[bm25Search]]'s decimal-summed TakeOrdered, [[cosineTopK]]'s
+    * broadcast-query scan) — the corpus is never exchanged. The rank
+    * windows and the full-outer fusion join run on the two branch LISTS
+    * (≤ k·overfetch rows each, a constant), so the unpartitioned
+    * row_number windows are driver-bounded by construction, not by data.
+    */
+  def hybridSearchRrf(docs: DataFrame, embeddings: DataFrame,
+                      terms: Seq[String], k: Int = 10, overfetch: Int = 2,
+                      kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = k * overfetch
+    val lex = bm25Search(docs.filter(col("doc_id") =!= 0), terms, kTop = n)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("double"))
+      .select(col("doc_id"), col("lex_rank"))
+    val den = cosineTopK(embeddings.filter(col("vec_id") =!= 0),
+        embeddings.filter(col("vec_id") === 0), n)
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))
+          .cast("double"))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+    // identical parenthesization to the oracle: each 1/(kRrf + rank) is one
+    // exactly-rounded division, the fusion is ONE double add — bit-equal
+    // across engines; round6 buffers nothing here but keeps the convention
+    val kR = lit(kRrf.toDouble)
+    lex.join(den, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round6(coalesce(lit(1.0) / (kR + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (kR + col("dense_rank")), lit(0.0))).as("rrf"),
+        col("lex_rank"), col("dense_rank"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Data Selection via Importance Resampling (DSIR — Xie et al., NeurIPS
+    * 2023, arXiv:2302.03169): score every raw-corpus doc by how much more
+    * likely its hashed-n-gram features are under a TARGET domain's bag-of-
+    * words distribution than under the raw corpus's own, then sample by
+    * Gumbel-top-k over the log importance weights — the published recipe
+    * for carving a domain-matched training subset out of a web crawl.
+    *
+    *  - features: unigrams hashed into `buckets` buckets (the paper's
+    *    hashed n-gram collapse; 60-bit md5 → mod B, engine-portable);
+    *  - bucket log-ratio λ[b] = ln((cnt_t[b]+1)/(tot_t+B)) −
+    *    ln((cnt_r[b]+1)/(tot_r+B)) (Laplace-smoothed), computed as ONE ln
+    *    of the exact rational and rounded at 6 — per-doc
+    *    logw = Σ_b count_d[b]·λ[b] then sums EXACTLY via decimal;
+    *  - selection: Gumbel-top-k — key = logw + g_d with
+    *    g_d = −ln(−ln(u_d)) and u_d a content-stable md5 draw (no RNG:
+    *    re-runs and both engines draw identical noise).
+    *
+    * Scale shape: the corpus is read ONCE into the per-(doc, bucket)
+    * feature table (map-combined — ≤ B entries per doc survive each
+    * mapper), which is persisted and reused by both the B-row bucket
+    * stats and the scoring join (λ broadcasts — it is B rows). The Gumbel
+    * draw is a narrow per-row expression and the final selection is a
+    * TakeOrdered (no global sort). Driver state: none beyond the B-row
+    * broadcast. The returned top-k is materialized eagerly so the feature
+    * cache can be released here rather than squatting until session end.
+    */
+  def dsirSelect(docs: DataFrame, targetSources: Seq[String],
+                 buckets: Int = 64, kSelect: Int = 100): DataFrame = {
+    require(targetSources.nonEmpty, "dsirSelect needs a target domain")
+    val feats = withWords(docs)
+      .select(col("doc_id"),
+        col("source").isin(targetSources.map(x => x: Any): _*).as("is_t"),
+        explode(expr("filter(words, w -> w != '')")).as("w"))
+      .withColumn("bucket", expr(s"${hashSql("w", "'dsir'")} % $buckets"))
+      .groupBy(col("doc_id"), col("is_t"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val stats = feats.groupBy(col("bucket"))
+      .agg(sum(when(col("is_t"), col("n")).otherwise(lit(0L))).as("cnt_t"),
+        sum(col("n")).as("cnt_r"))
+    val tots = stats.agg(sum(col("cnt_t")).as("tot_t"),
+      sum(col("cnt_r")).as("tot_r"))
+    // λ[b] as one ln of the exact rational: the four factors are exact
+    // int64→double widenings, each product/quotient is exactly rounded,
+    // and round6 buffers the ln's final-ulp cross-engine wiggle
+    val lam = stats.crossJoin(broadcast(tots))
+      .select(col("bucket"), round6(log(
+        ((col("cnt_t") + 1).cast("double") *
+          (col("tot_r") + buckets).cast("double")) /
+          ((col("tot_t") + buckets).cast("double") *
+            (col("cnt_r") + 1).cast("double")))).as("lam"))
+    // per-doc log weight: n·λ has ≤6 decimals (λ is 6-dec, n integer) so
+    // the decimal sum is exact and order-independent (bm25Search pattern)
+    val scored = feats.join(broadcast(lam), Seq("bucket"))
+      .withColumn("contrib", round6(col("n").cast("double") * col("lam")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib").cast("decimal(30,6)")).as("logw_dec"))
+    // content-stable Gumbel draw: u = (h mod 2^20 + 0.5)/2^20 ∈ (0,1) is a
+    // dyadic rational (exact in double); g = −ln(−ln u) rounded at 6
+    val gum = docs.select(col("doc_id"), col("source"))
+      .withColumn("u",
+        ((expr(hashSql("cast(doc_id as string)", "'gum'")) % lit(1048576L))
+          .cast("double") + lit(0.5)) / lit(1048576.0))
+      .withColumn("gumbel", round6(-log(-log(col("u")))))
+    val out = gum.join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("logw_dec").cast("double"), lit(0.0)).as("logw"),
+        col("gumbel"))
+      .withColumn("skey", round6(col("logw") + col("gumbel")))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(kSelect)
+      .persist()
+    out.count() // materialize the tiny selection, then release the features
+    feats.unpersist()
+    out
+  }
+
+  /** LSH banding parameter sweep — the tuning table a curation owner reads
+    * before locking (bands, rows) for a MinHash dedup pass. For every
+    * (bands, r) split of ONE shared k = bands·r signature it reports both
+    * halves of the trade:
+    *
+    *  - the CLOSED FORM: the S-curve P(candidate | sim = s) =
+    *    1 − (1 − s^r)^bands at s ∈ {0.5, 0.8, 0.9} and its threshold
+    *    s* = (1/bands)^(1/r) (where P crosses ~0.5) — more bands of fewer
+    *    rows recall lower similarities (and cost more comparisons);
+    *  - the MEASURED mass on THIS corpus: distinct candidate pairs the
+    *    banding actually produces (hot buckets above `maxBucket` excluded
+    *    and counted, same contract as [[minhashCandidatesFrom]]).
+    *
+    * Scale shape: the corpus is shingled and signed ONCE (both tables
+    * persisted, released before return); each config adds one narrow
+    * band-hash map over the signature table, and all configs share ONE
+    * (config, band)-keyed self-join — the sweep costs one extra shuffle
+    * column over a single-config run, not configs× pipelines. The output
+    * is configs-many rows.
+    */
+  def minhashTune(docs: DataFrame, idCol: String,
+                  configs: Seq[(Int, Int)] =
+                    Seq((16, 1), (8, 2), (4, 4), (2, 8)),
+                  maxBucket: Int = 1000): DataFrame = {
+    require(configs.nonEmpty && configs.map { case (b, r) => b * r }.distinct.size == 1,
+      "minhashTune configs must all split the same signature length")
+    val k = configs.head match { case (b, r) => b * r }
+    val sess = docs.sparkSession
+    val sh = shingleTable(docs, idCol)
+    val sigT = withMinhashSig(sh, k).select(col(idCol), col("sig")).persist()
+    val banded = configs.map { case (b, r) =>
+      withBandHashes(sigT, b, r)
+        .select(lit(b).as("nb"), lit(r).as("nr"), col(idCol),
+          explode(col("bands")).as("band"))
+    }.reduce(_ unionByName _).persist()
+    val hot = banded.groupBy(col("nb"), col("nr"), col("band"))
+      .agg(count(lit(1)).as("sz")).filter(col("sz") > maxBucket)
+      .select(col("nb"), col("nr"), col("band")).persist()
+    val ok = banded.join(hot, Seq("nb", "nr", "band"), "left_anti")
+    val pairCounts = ok.select(col("nb"), col("nr"), col("band"),
+        col(idCol).as("a"))
+      .join(ok.select(col("nb"), col("nr"), col("band"), col(idCol).as("b")),
+        Seq("nb", "nr", "band"))
+      .filter(col("a") < col("b"))
+      .select(col("nb"), col("nr"), col("a"), col("b")).distinct()
+      .groupBy(col("nb"), col("nr")).agg(count(lit(1)).as("n_pairs"))
+    val hotCounts = hot.groupBy(col("nb"), col("nr"))
+      .agg(count(lit(1)).as("n_hot_buckets"))
+    import sess.implicits._
+    val cfg = configs.toDF("nb", "nr")
+    val out = cfg
+      .join(pairCounts, Seq("nb", "nr"), "left")
+      .join(hotCounts, Seq("nb", "nr"), "left")
+      .select(col("nb").as("bands"), col("nr").as("rows_per_band"),
+        round6(pow(lit(1.0) / col("nb").cast("double"),
+          lit(1.0) / col("nr").cast("double"))).as("s_star"),
+        round6(lit(1.0) - pow(lit(1.0) - pow(lit(0.5),
+          col("nr").cast("double")), col("nb").cast("double"))).as("p050"),
+        round6(lit(1.0) - pow(lit(1.0) - pow(lit(0.8),
+          col("nr").cast("double")), col("nb").cast("double"))).as("p080"),
+        round6(lit(1.0) - pow(lit(1.0) - pow(lit(0.9),
+          col("nr").cast("double")), col("nb").cast("double"))).as("p090"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_hot_buckets"), lit(0L)).as("n_hot_buckets"))
+      .orderBy(col("bands").desc)
+      .persist()
+    out.count() // materialize the configs-row report, then drop the caches
+    Seq(banded, hot, sigT, sh).foreach(_.unpersist())
+    out
+  }
+
   // ---------------------------------------------------------------------
   // BPE vocabulary induction (r14): the merge loop vocab_topk feeds
   // ---------------------------------------------------------------------

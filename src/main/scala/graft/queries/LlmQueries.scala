@@ -1319,6 +1319,27 @@ object LlmQueries {
       LlmOps.bm25Search(t(s, d, "documents"),
         Seq("column", "window", "scan"), kTop = 10)),
 
+    // hybrid retrieval (r15): BM25 lexical branch + dense cosine branch
+    // fused by Reciprocal Rank Fusion — the production RAG search shape
+    // (rank-based, so no cross-scale score normalization). doc_id/vec_id
+    // share an id space; id 0 is the query on both branches.
+    "hybrid_search_rrf" -> ((s, d) =>
+      LlmOps.hybridSearchRrf(t(s, d, "documents"), t(s, d, "embeddings"),
+        Seq("column", "window", "scan"), k = 10)),
+
+    // DSIR data selection (r15, Xie et al. 2023): hashed-unigram importance
+    // weights of every doc against the src1-3 target domain, Gumbel-top-k
+    // sample of 100 — the domain-matched subset-carving recipe
+    "dsir_select" -> ((s, d) =>
+      LlmOps.dsirSelect(t(s, d, "documents"), Seq("src1", "src2", "src3"))),
+
+    // LSH tuning table (r15): for each (bands, rows) split of one 16-perm
+    // signature, the closed-form S-curve (s*, P at s=0.5/0.8/0.9) next to
+    // the MEASURED candidate-pair mass on this corpus — what a curation
+    // owner reads before locking the dedup_minhash parameters
+    "minhash_tune" -> ((s, d) =>
+      LlmOps.minhashTune(docsWithDups(t(s, d, "documents")), "doc_id")),
+
     // crawl-to-crawl corpus overlap (r13): exact shingle-set Jaccard
     // between documents and its "next crawl" twin (1-in-7 docs dropped,
     // 1-in-10 texts edited), plus the MinHash estimate with an in-query
@@ -2946,6 +2967,171 @@ object LlmQueries {
                  count(*) AS n_terms
           FROM contrib GROUP BY doc_id
           ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // RRF fusion of the bm25_search chain (doc_id <> 0, top-20) and the
+    // sim_search_topk chain (top-20): fused = 1/(60+lex_rank) +
+    // 1/(60+dense_rank) — each division exactly rounded, ONE double add,
+    // so both engines produce identical bits before round6. Ranks surface
+    // as DOUBLE so the nullable column has one cross-engine dtype.
+    "hybrid_search_rrf" ->
+      """WITH base AS (SELECT doc_id,
+                              list_filter(string_split(lower(text), ' '),
+                                          w -> w <> '') AS words
+                       FROM documents WHERE doc_id <> 0),
+          dls AS (SELECT doc_id, len(words) AS dl, words FROM base),
+          stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dls),
+          tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                 FROM (SELECT doc_id, dl,
+                              unnest(list_filter(words,
+                                w -> w IN ('column', 'window', 'scan'))) AS term
+                       FROM dls)
+                 GROUP BY 1, 2, 3),
+          dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          contrib AS (
+            SELECT tf.doc_id,
+                   round(((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                            / (CAST(d.df AS DOUBLE) + 0.5)
+                          * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)))
+                         / (CAST(tf.tf AS DOUBLE)
+                            + 1.2 * (1.0 - 0.75
+                                     + (0.75 * CAST(tf.dl AS DOUBLE))
+                                       / (CAST(s.sum_dl AS DOUBLE)
+                                          / CAST(s.n_docs AS DOUBLE)))), 6)
+                     AS contrib
+            FROM tf JOIN dft d USING (term) CROSS JOIN stats s),
+          lexs AS (SELECT doc_id,
+                          CAST(sum(CAST(contrib AS DECIMAL(20,6))) AS DOUBLE)
+                            AS score
+                   FROM contrib GROUP BY doc_id
+                   ORDER BY score DESC, doc_id LIMIT 20),
+          lexr AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY score DESC, doc_id)
+                            AS lex_rank
+                   FROM lexs),
+          q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          dens AS (SELECT vec_id,
+                          round(list_dot_product(embedding::DOUBLE[], qe::DOUBLE[])
+                                / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                         embedding::DOUBLE[]))
+                                   * sqrt(list_dot_product(qe::DOUBLE[],
+                                                           qe::DOUBLE[]))),
+                                6) AS cos
+                   FROM embeddings, q WHERE vec_id <> 0
+                   ORDER BY cos DESC, vec_id LIMIT 20),
+          denr AS (SELECT vec_id AS doc_id,
+                          row_number() OVER (ORDER BY cos DESC, vec_id)
+                            AS dense_rank
+                   FROM dens)
+          SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+                 round(coalesce(1.0 / (60.0 + CAST(l.lex_rank AS DOUBLE)), 0.0)
+                       + coalesce(1.0 / (60.0 + CAST(r.dense_rank AS DOUBLE)),
+                                  0.0), 6) AS rrf,
+                 CAST(l.lex_rank AS DOUBLE) AS lex_rank,
+                 CAST(r.dense_rank AS DOUBLE) AS dense_rank
+          FROM lexr l FULL OUTER JOIN denr r ON l.doc_id = r.doc_id
+          ORDER BY rrf DESC, doc_id LIMIT 10""",
+
+    // DSIR mirror: λ[b] is ONE ln of an exact rational (products of exact
+    // int64→double widenings) rounded at 6; per-doc logw sums 6-dec
+    // contribs through DECIMAL (exact, order-independent); the Gumbel draw
+    // is a dyadic-rational md5 u — identical bits in both engines
+    "dsir_select" ->
+      """WITH base AS (SELECT doc_id, source,
+                              list_filter(string_split(lower(text), ' '),
+                                          w -> w <> '') AS words
+                       FROM documents),
+          wx AS (SELECT doc_id,
+                        source IN ('src1', 'src2', 'src3') AS is_t,
+                        ('0x' || substr(md5(w || ':' || 'dsir'), 1, 15))::BIGINT
+                          % 64 AS bucket
+                 FROM (SELECT doc_id, source, unnest(words) AS w FROM base)),
+          feats AS (SELECT doc_id, is_t, bucket, count(*) AS n
+                    FROM wx GROUP BY 1, 2, 3),
+          stats AS (SELECT bucket,
+                           sum(CASE WHEN is_t THEN n ELSE 0 END) AS cnt_t,
+                           sum(n) AS cnt_r
+                    FROM feats GROUP BY 1),
+          tots AS (SELECT sum(cnt_t) AS tot_t, sum(cnt_r) AS tot_r FROM stats),
+          lam AS (SELECT bucket,
+                         round(ln((CAST(cnt_t + 1 AS DOUBLE)
+                                   * CAST(tot_r + 64 AS DOUBLE))
+                                  / (CAST(tot_t + 64 AS DOUBLE)
+                                     * CAST(cnt_r + 1 AS DOUBLE))), 6) AS lam
+                  FROM stats CROSS JOIN tots),
+          scored AS (SELECT doc_id,
+                            sum(CAST(round(CAST(n AS DOUBLE) * lam, 6)
+                                     AS DECIMAL(30,6))) AS logw_dec
+                     FROM feats JOIN lam USING (bucket) GROUP BY 1),
+          gum AS (SELECT doc_id, source,
+                         round(-ln(-ln(
+                           ((('0x' || substr(md5(doc_id::VARCHAR || ':' || 'gum'),
+                                      1, 15))::BIGINT % 1048576)::DOUBLE + 0.5)
+                           / 1048576.0)), 6) AS gumbel
+                  FROM documents)
+          SELECT g.doc_id, g.source,
+                 coalesce(CAST(s.logw_dec AS DOUBLE), 0.0) AS logw,
+                 g.gumbel,
+                 round(coalesce(CAST(s.logw_dec AS DOUBLE), 0.0) + g.gumbel, 6)
+                   AS skey
+          FROM gum g LEFT JOIN scored s ON g.doc_id = s.doc_id
+          ORDER BY skey DESC, g.doc_id LIMIT 100""",
+
+    // minhash_tune mirror: one 16-perm signature, per-config band keys via
+    // the graft_band_hash string convention ("b|s1,s2,..." md5-prefix-15),
+    // hot buckets > 1000 excluded and counted; the closed forms round at 6
+    // (power's final-ulp wiggle is five orders below the rounding step)
+    "minhash_tune" ->
+      s"""WITH docs AS ($docsDupSql),
+          w AS (SELECT doc_id, text, $duckWords AS words FROM docs),
+          sh AS (SELECT doc_id,
+                   CASE WHEN len(words) < 3 THEN [lower(text)]
+                        ELSE list_transform(generate_series(1, len(words) - 2),
+                               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                   END AS shingles
+                 FROM w),
+          sigt AS (SELECT doc_id,
+                     list_transform(generate_series(0, 15),
+                       j -> list_min(list_transform(
+                              list_transform(shingles,
+                                s -> ('0x' || substr(md5(s), 1, 8))::BIGINT),
+                              h -> ((1 + j * 104729) * h + j * 7919) % 4294967311))) AS sig
+                   FROM sh),
+          cfgs AS (SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8))
+                     AS t(nb, nr)),
+          bands AS (SELECT nb, nr, doc_id,
+                      unnest(list_transform(generate_series(0, nb - 1),
+                        b -> ('0x' || substr(md5(b::VARCHAR || '|' ||
+                               array_to_string(list_slice(sig, b * nr + 1,
+                                                          b * nr + nr), ',')),
+                             1, 15))::BIGINT)) AS band
+                    FROM sigt CROSS JOIN cfgs),
+          hot AS (SELECT nb, nr, band FROM bands
+                  GROUP BY 1, 2, 3 HAVING count(*) > 1000),
+          okb AS (SELECT b.nb, b.nr, b.band, b.doc_id
+                  FROM bands b LEFT JOIN hot h
+                    ON b.nb = h.nb AND b.nr = h.nr AND b.band = h.band
+                  WHERE h.band IS NULL),
+          pairs AS (SELECT DISTINCT l.nb, l.nr, l.doc_id AS a, r.doc_id AS b
+                    FROM okb l JOIN okb r
+                      ON l.nb = r.nb AND l.nr = r.nr AND l.band = r.band
+                    WHERE l.doc_id < r.doc_id),
+          pc AS (SELECT nb, nr, count(*) AS n_pairs FROM pairs GROUP BY 1, 2),
+          hc AS (SELECT nb, nr, count(*) AS n_hot FROM hot GROUP BY 1, 2)
+          SELECT c.nb AS bands, c.nr AS rows_per_band,
+                 round(power(1.0 / CAST(c.nb AS DOUBLE),
+                             1.0 / CAST(c.nr AS DOUBLE)), 6) AS s_star,
+                 round(1.0 - power(1.0 - power(0.5, CAST(c.nr AS DOUBLE)),
+                                   CAST(c.nb AS DOUBLE)), 6) AS p050,
+                 round(1.0 - power(1.0 - power(0.8, CAST(c.nr AS DOUBLE)),
+                                   CAST(c.nb AS DOUBLE)), 6) AS p080,
+                 round(1.0 - power(1.0 - power(0.9, CAST(c.nr AS DOUBLE)),
+                                   CAST(c.nb AS DOUBLE)), 6) AS p090,
+                 coalesce(pc.n_pairs, 0) AS n_pairs,
+                 coalesce(hc.n_hot, 0) AS n_hot_buckets
+          FROM cfgs c
+          LEFT JOIN pc ON c.nb = pc.nb AND c.nr = pc.nr
+          LEFT JOIN hc ON c.nb = hc.nb AND c.nr = hc.nr
+          ORDER BY bands DESC""",
 
     // exact shingle-set Jaccard between documents and the next-crawl twin;
     // est_ok is the envelope contract for the Spark-side MinHash estimate

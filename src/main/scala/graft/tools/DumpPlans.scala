@@ -74,7 +74,10 @@ object DumpPlans {
       "bpe_train" -> "BPE vocabulary induction (r14): the dumped plan is the 1-row report; the training regime below bpeFitsDriver collects the (word, cnt) table once (byte-gated, the duplicateClusters pattern) and loops in memory; ABOVE the gate each round is one map-combined adjacent-pair hash aggregate over the checkpointed word table + a 1-row argmax collect + a stacked codegen'd graft_bpe_merge projection, lineage re-checkpointed every 8 rounds — regimes spec-pinned output-identical; the corpus is read exactly once either way (the Zipf word-table collapse)",
       "connector_batch_write" -> "DSv2 batched write (r14): the dumped plan is the per-pk summary local relation; the interesting plan is the WRITE job, where the sink's RequiresDistributionAndOrdering declaration makes Spark insert the clustering exchange + sort on pk — WriteSinkSpec pins the resulting contiguity (exactly ceil(rows/batchSize) pk-pure batches, each pk in one task), the per-task rate pacing, and the error-budget abort through BatchWrite.abort",
       "connector_migrate" -> "connector-shaped migrate end-to-end (r15): the dumped plan is the 1-row summary local relation; the real plan is the single migrate wave captured in ConnectorMigrateSpec from the LIVE write job — DSv2 range scan with the writetime floor ABSORBED (pushed=[GreaterThanOrEqual(wt,…)]), payload pruned from the read schema, the 4 below-floor input slices eliminated at planning, then tag/transform/increment as narrow codegen'd projections, ONE clustering exchange + sort demanded by the sink's declared distribution, and pk-pure batched V2 writes under a JOB-global error budget (task-local fast abort, commit-time total enforcement, accumulator-fed mid-job watcher); ledgered + resumable like every migrate",
-      "bpe_encode" -> "BPE apply half (r15): the trained merge table applies to the DISTINCT-word table only — ≤20 stacked codegen'd graft_bpe_merge kernels over word-table-sized rows (the same Zipf collapse training rides), localCheckpointed once; the corpus-sized work is ONE exploded-words equi-join to the encoded table plus ONE map-combined per-doc aggregate; apply/train parity (apply_ok) is a word-table-sized join check, and the DuckDB oracle trains its own 20 rounds in SQL so every count is independently derived")
+      "bpe_encode" -> "BPE apply half (r15): the trained merge table applies to the DISTINCT-word table only — ≤20 stacked codegen'd graft_bpe_merge kernels over word-table-sized rows (the same Zipf collapse training rides), localCheckpointed once; the corpus-sized work is ONE exploded-words equi-join to the encoded table plus ONE map-combined per-doc aggregate; apply/train parity (apply_ok) is a word-table-sized join check, and the DuckDB oracle trains its own 20 rounds in SQL so every count is independently derived",
+      "hybrid_search_rrf" -> "RRF hybrid retrieval (r15): each branch keeps its audited bounded shape — BM25's in-row term filter + map-combined tf agg + TakeOrdered, dense cosine's broadcast-query scan + TakeOrdered — so the corpus is never exchanged at row width on either side; the rank windows and the full-outer fusion join run on the two branch LISTS (≤ k·overfetch rows each, a CONSTANT — the single-partition WindowExec is bounded by the upstream limit, not by data)",
+      "dsir_select" -> "DSIR importance resampling (r15): ONE corpus pass into the per-(doc, bucket) feature table (map-combined — ≤ B rows per doc survive each mapper), persisted and reused by the B-row bucket stats and the scoring join; the log-ratio table broadcasts (B = 64 rows), the Gumbel draw is a narrow md5 expression, selection is a TakeOrdered — the corpus never self-joins, never windows, and is never exchanged at row width; the dumped plan is the materialized top-k extraction (cache-release policy, the dedup_clusters pattern)",
+      "minhash_tune" -> "LSH parameter sweep (r15): the corpus is shingled and 16-perm-signed ONCE (persisted); each (bands, r) config adds one narrow band-hash map over the signature table and ALL configs share ONE (config, band)-keyed self-join — the sweep costs one extra shuffle column, not configs× pipelines; hot buckets cap out of pairing exactly as minhashCandidatesFrom; the dumped plan is the 4-row report extraction (cache-release policy)")
 
     val out = new StringBuilder
     out ++= "# Physical plan audit (generated by graft.tools.DumpPlans at sf0.01)\n\n"

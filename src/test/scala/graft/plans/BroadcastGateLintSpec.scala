@@ -69,6 +69,10 @@ class BroadcastGateLintSpec extends AnyFunSuite {
       "LlmOps.ivfSearchBatch: the Q·nprobe probe list — bounded by the QueryBatchMaxRows gate × the nprobe literal"),
     (".join(broadcast(q), \"qid\")",
       "LlmOps.ivfSearchBatch: the query batch — gated at QueryBatchMaxRows (require before any broadcast)"),
+    ("crossJoin(broadcast(tots))",
+      "LlmOps.dsirSelect: groupless global word-total aggregate — exactly 1 row"),
+    ("feats.join(broadcast(lam), Seq(\"bucket\"))",
+      "LlmOps.dsirSelect: the bucket log-ratio table — ≤ `buckets` rows by construction (one row per hash bucket)"),
     ("crossJoin(broadcast(tot))",
       "LlmOps.lmScore / clusterSizeStats: groupless global aggregate (gram count / label count) — exactly 1 row"),
     ("broadcast(cand.select(col(\"vec_id\")))",

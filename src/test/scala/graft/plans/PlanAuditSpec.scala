@@ -418,7 +418,15 @@ class PlanAuditSpec extends SparkSpec {
       "bm25_search",
       // 1-row pushed-aggregate row × 1-row unpushed harness row
       // (MiscQueries.connector_agg_pushdown — both groupless)
-      "connector_agg_pushdown")
+      "connector_agg_pushdown",
+      // inherits bm25Search's 1-row (n_docs, sum_dl) stats attach AND
+      // cosineTopK's 1-row query-vector cross join — both branch-internal
+      // bounded attaches; the fusion join itself is an equi-join on doc_id
+      "hybrid_search_rrf",
+      // 1-row word-total attach (LlmOps.dsirSelect:
+      // crossJoin(broadcast(tots)) — groupless global aggregate; the
+      // B-row λ table joins by equi-key)
+      "dsir_select")
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =
