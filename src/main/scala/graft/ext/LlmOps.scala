@@ -4895,4 +4895,109 @@ object LlmOps {
         java.util.Arrays.asList(rows: _*), report.schema)
     } finally { shA.unpersist(); shB.unpersist(); () }
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, the filter
+    * LLaMA's pretraining corpus was built with; reference analog: the
+    * quality-gate idea behind `docs/06-validation-monitoring.md`'s inline
+    * validators, generalized to a trained signal): a char-trigram LM is
+    * fit on a REFERENCE domain (`refSources` — the "clean" slice playing
+    * Wikipedia's role), every document is scored under it, and each
+    * language's docs split into head/middle/tail perplexity terciles.
+    * Unlike [[lmScore]] (corpus-self-trained) the model here is
+    * reference-trained, so junk scores LOW rather than average; unlike
+    * [[dsirSelect]] (importance RATIO for sampling) the output is the
+    * per-doc BUCKET a curation pipeline routes on (CCNet keeps head+middle,
+    * drops tail).
+    *
+    * Bucketing is per-language on sorted round6 scores: t_lo/t_hi are the
+    * values AT indices (n−1)/3 and 2(n−1)/3 (integer division) — element
+    * access, not interpolated percentiles, so both engines compare the
+    * SAME doubles and ties land identically. `<= t_lo` → tail,
+    * `<= t_hi` → middle, else head (higher avg log-prob = lower
+    * perplexity = head).
+    *
+    * Scale shape: the gram stream is one codegen'd explode feeding the
+    * reference count-agg and the scoring join (both map-combined); the
+    * vocab (top `vocabK` reference grams) and the 1-row reference-mass
+    * total broadcast under trivial byte gates; the per-doc avg shuffles
+    * once on doc_id. Above [[LmCacheCrossoverDocs]] the gram stream
+    * persists once instead of exploding twice (the measured [[lmScore]]
+    * crossover). The per-lang threshold agg holds one lang's scores in
+    * one buffer — exact terciles are a gate-tier contract; at corpus
+    * scale swap the threshold agg for percentile_approx (the bucket
+    * boundary then carries sketch error, which CCNet tolerates — it is
+    * itself a heuristic split; everything downstream of the thresholds
+    * is unchanged).
+    */
+  def ccnetBuckets(docs: DataFrame, refSources: Seq[String],
+                   vocabK: Int = 1024): DataFrame = {
+    require(refSources.nonEmpty, "ccnetBuckets needs a reference domain")
+    val isRef = col("source").isin(refSources.map(x => x: Any): _*)
+    val g0 = ensureFns(docs).select(col("doc_id"), col("lang"), isRef.as("is_ref"),
+      explode(expr("graft_gram_hash(text, 3, ':lm', 15)")).as("h"))
+    val big = !statsSaySmall(docs, LmCacheCrossoverDocs, LmCacheCrossoverBytes)
+      .getOrElse(true)
+    val g = if (big) g0.persist() else g0
+    val refCnt = g.filter(col("is_ref")).groupBy(col("h"))
+      .agg(count(lit(1)).as("c"))
+    // reference gram mass without a gram-table pass: graft_gram_hash emits
+    // exactly max(numChars-2, 0) trigrams per doc (the lmScore identity)
+    val nRef = ensureFns(docs).filter(isRef)
+      .agg(sum(greatest(length(col("text")) - 2, lit(0))).cast("double").as("n"))
+    val vocab = refCnt.orderBy(col("c").desc, col("h")).limit(vocabK)
+    val scored = g.join(broadcast(vocab), Seq("h"), "left")
+      .crossJoin(broadcast(nRef))
+      .select(col("doc_id"), col("lang"),
+        coalesce(log10(col("c").cast("double") / col("n")),
+          log10(lit(0.5) / col("n"))).as("logp"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"), round6(avg(col("logp"))).as("avg_logp"))
+    val thr = scored.groupBy(col("lang"))
+      .agg(sort_array(collect_list(col("avg_logp"))).as("arr"))
+      .select(col("lang"),
+        expr("element_at(arr, cast(((size(arr) - 1) div 3) + 1 as int))").as("t_lo"),
+        expr("element_at(arr, cast(((2 * (size(arr) - 1)) div 3) + 1 as int))").as("t_hi"))
+    val out = scored.join(broadcast(thr), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_grams"), col("avg_logp"),
+        when(col("avg_logp") <= col("t_lo"), lit("tail"))
+          .when(col("avg_logp") <= col("t_hi"), lit("middle"))
+          .otherwise(lit("head")).as("ppl_bucket"))
+      .orderBy(col("doc_id"))
+    if (big) { val m = out.persist(); m.count(); g.unpersist(); m } else out
+  }
+
+  /** Cluster-balanced diversity sampling (the coverage-sampling half of
+    * SemDeDup-style curation: instead of DROPPING within-cell
+    * near-duplicates, CAP each semantic cell's contribution so the sample
+    * spans the embedding space instead of mirroring its density): train
+    * k-means cells, assign every vector, keep at most `cap` per cell by a
+    * content-stable md5 draw — deterministic, re-run-stable, and
+    * label-blind (selection by geometry, not metadata).
+    *
+    * Scale shape: training/assignment are [[kmeansCentroids]] /
+    * [[kmeansAssignTo]]'s audited shapes (c-row broadcast, narrow argmax
+    * stream, map-side-combined 8-byte partials); the per-cell cap is a
+    * graft_topk bounded heap inside one hash-aggregate — ≤cap entries per
+    * cell per mapper, never a window over the corpus — and the output is
+    * ≤ c·cap rows plus the per-cell population count from the same agg.
+    * The draw u = (md5₆₀ mod 2²⁰ + 0.5)/2²⁰ is a dyadic rational (exact
+    * in double; [[dsirSelect]]'s Gumbel convention); heap ties break to
+    * the smaller vec_id (the graft_topk contract).
+    */
+  def clusterBalancedSample(embeddings: DataFrame, c: Int = 16,
+                            iters: Int = 2, cap: Int = 20): DataFrame = {
+    val train = ensureFns(embeddings).filter(col("vec_id") =!= 0)
+    val cents = kmeansCentroids(train, c, iters)
+    val u01 = ((expr(hashSql("cast(vec_id as string)", "'cb'")) % lit(1048576L))
+      .cast("double") + lit(0.5)) / lit(1048576.0)
+    kmeansAssignTo(train, cents)
+      .select(col("vec_id"), col("cid")).withColumn("u", u01)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_cell"), expr(s"graft_topk(u, vec_id, $cap)").as("nn"))
+      .select(col("cid"), col("n_cell"), posexplode(col("nn")).as(Seq("rk", "x")))
+      .select(col("cid"), col("n_cell"), (col("rk") + 1).as("rk"),
+        col("x").getField("id").as("vec_id"),
+        round6(col("x").getField("score")).as("u"))
+      .orderBy(col("cid"), col("rk"))
+  }
 }

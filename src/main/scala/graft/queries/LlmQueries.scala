@@ -1340,6 +1340,20 @@ object LlmQueries {
     "minhash_tune" -> ((s, d) =>
       LlmOps.minhashTune(docsWithDups(t(s, d, "documents")), "doc_id")),
 
+    // CCNet perplexity buckets (r15, Wenzek et al. 2020): char-trigram LM
+    // fit on the src1-3 reference slice, every doc scored under it, and
+    // each language split head/middle/tail at exact score terciles — the
+    // keep/drop routing signal of the CCNet curation recipe
+    "ccnet_buckets" -> ((s, d) =>
+      LlmOps.ccnetBuckets(t(s, d, "documents"), Seq("src1", "src2", "src3"))),
+
+    // cluster-balanced diversity sample (r15): k-means cells over the
+    // embedding corpus, at most 20 keepers per cell by content-stable md5
+    // draw — coverage sampling (the cap flattens density instead of
+    // mirroring it)
+    "cluster_balanced_sample" -> ((s, d) =>
+      LlmOps.clusterBalancedSample(t(s, d, "embeddings"))),
+
     // crawl-to-crawl corpus overlap (r13): exact shingle-set Jaccard
     // between documents and its "next crawl" twin (1-in-7 docs dropped,
     // 1-in-10 texts edited), plus the MinHash estimate with an in-query
@@ -3132,6 +3146,59 @@ object LlmQueries {
           LEFT JOIN pc ON c.nb = pc.nb AND c.nr = pc.nr
           LEFT JOIN hc ON c.nb = hc.nb AND c.nr = hc.nr
           ORDER BY bands DESC""",
+
+    // ccnet_buckets mirror: trigram LM counts restricted to the reference
+    // slice, per-lang terciles by ELEMENT ACCESS into the sorted score
+    // list ((n-1)//3 integer division — no interpolated percentile, so
+    // both engines compare the same round6 doubles)
+    "ccnet_buckets" ->
+      """WITH g AS (SELECT doc_id, lang,
+                      source IN ('src1', 'src2', 'src3') AS is_ref,
+                      unnest(list_transform(generate_series(1, length(text) - 2),
+                        i -> ('0x' || substr(md5(substr(text, i, 3) || ':lm'), 1, 15))::BIGINT)) AS h
+                    FROM documents),
+         cnt AS (SELECT h, count(*) AS c FROM g WHERE is_ref GROUP BY 1),
+         tot AS (SELECT CAST(sum(greatest(length(text) - 2, 0)) AS DOUBLE) AS n
+                 FROM documents WHERE source IN ('src1', 'src2', 'src3')),
+         vocab AS (SELECT h, c FROM cnt ORDER BY c DESC, h LIMIT 1024),
+         scored AS (SELECT g.doc_id, g.lang,
+                      coalesce(log10(v.c::DOUBLE / t.n), log10(0.5 / t.n)) AS logp
+                    FROM g LEFT JOIN vocab v USING (h) CROSS JOIN tot t),
+         s AS (SELECT doc_id, lang, count(*) AS n_grams,
+                      round(avg(logp), 6) AS avg_logp
+               FROM scored GROUP BY 1, 2),
+         thr AS (SELECT lang,
+                        arr[((n - 1) // 3) + 1] AS t_lo,
+                        arr[((2 * (n - 1)) // 3) + 1] AS t_hi
+                 FROM (SELECT lang, list(avg_logp ORDER BY avg_logp) AS arr,
+                              count(*) AS n
+                       FROM s GROUP BY 1))
+         SELECT s.doc_id, s.lang, s.n_grams, s.avg_logp,
+                CASE WHEN s.avg_logp <= t.t_lo THEN 'tail'
+                     WHEN s.avg_logp <= t.t_hi THEN 'middle'
+                     ELSE 'head' END AS ppl_bucket
+         FROM s JOIN thr t USING (lang)
+         ORDER BY s.doc_id""",
+
+    // cluster_balanced_sample mirror: the trained-cell assignment a3 from
+    // the shared k-means chain (c=16), per-cell row_number over the
+    // md5-dyadic draw (u DESC, vec_id — the graft_topk heap contract),
+    // capped at 20 per cell
+    "cluster_balanced_sample" ->
+      s"""WITH ${duckKmeansChainC(16)},
+          uu AS (SELECT vec_id, cid,
+                   ((('0x' || substr(md5(vec_id::VARCHAR || ':' || 'cb'),
+                        1, 15))::BIGINT % 1048576)::DOUBLE + 0.5)
+                     / 1048576.0 AS u
+                 FROM a3),
+          r AS (SELECT cid, vec_id, u,
+                       row_number() OVER (PARTITION BY cid
+                                          ORDER BY u DESC, vec_id) AS rk,
+                       count(*) OVER (PARTITION BY cid) AS n_cell
+                FROM uu)
+          SELECT cid, n_cell, CAST(rk AS INTEGER) AS rk, vec_id,
+                 round(u, 6) AS u
+          FROM r WHERE rk <= 20 ORDER BY cid, rk""",
 
     // exact shingle-set Jaccard between documents and the next-crawl twin;
     // est_ok is the envelope contract for the Spark-side MinHash estimate

@@ -71,6 +71,10 @@ class BroadcastGateLintSpec extends AnyFunSuite {
       "LlmOps.ivfSearchBatch: the query batch — gated at QueryBatchMaxRows (require before any broadcast)"),
     ("crossJoin(broadcast(tots))",
       "LlmOps.dsirSelect: groupless global word-total aggregate — exactly 1 row"),
+    ("crossJoin(broadcast(nRef))",
+      "LlmOps.ccnetBuckets: groupless reference-gram-mass aggregate — exactly 1 row"),
+    ("scored.join(broadcast(thr), Seq(\"lang\"))",
+      "LlmOps.ccnetBuckets: per-language tercile thresholds — one row per language (bounded by the lang cardinality, a corpus property the lang_dist family already treats as report-sized)"),
     ("feats.join(broadcast(lam), Seq(\"bucket\"))",
       "LlmOps.dsirSelect: the bucket log-ratio table — ≤ `buckets` rows by construction (one row per hash bucket)"),
     ("crossJoin(broadcast(tot))",

@@ -426,7 +426,14 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row word-total attach (LlmOps.dsirSelect:
       // crossJoin(broadcast(tots)) — groupless global aggregate; the
       // B-row λ table joins by equi-key)
-      "dsir_select")
+      "dsir_select",
+      // 1-row reference-gram-mass attach (LlmOps.ccnetBuckets:
+      // crossJoin(broadcast(nRef)) — the lmScore total pattern; vocab
+      // and per-lang thresholds join by equi-key)
+      "ccnet_buckets",
+      // inherits assignCells' c-row centroid cross join (the trained
+      // k-means assignment shape every IVF/semantic key audits)
+      "cluster_balanced_sample")
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =
