@@ -198,16 +198,29 @@ object Ops {
     * `exactDistincts`. min/max/count stay single-pass partials either
     * way.
     */
-  def profileTable(df: DataFrame, cols: Seq[String],
+  def profileTable(df0: DataFrame, cols: Seq[String],
                    exactDistincts: Option[Boolean] = None): DataFrame = {
     val exact = exactDistincts.getOrElse(
-      graft.ext.LlmOps.statsSaySmall(df, ProfileExactDistinctCrossoverRows,
+      graft.ext.LlmOps.statsSaySmall(df0, ProfileExactDistinctCrossoverRows,
         ProfileExactDistinctCrossoverBytes).getOrElse(false))
-    // rsd 0.01 (HLL++ precision ~14, a ~16 KB merge-able buffer per
-    // column): ±1% typical error on a PROFILE is free accuracy relative
-    // to the default 5% rsd, and the buffer is still bounded
+    // spreadSmall (r15), EXACT branch only: the Expand×(k+1) distinct
+    // shuffle is the exact profile's CPU floor — on a one-row-group file
+    // it otherwise runs as ONE map task while every other core idles.
+    // The approx branch stays unspread: HLL++ update cost is per-row flat
+    // and each extra partition adds a full register-array partial, so
+    // spreading it only multiplies buffer init/merge work (measured:
+    // approx at rsd 0.01 went 2.7 s flat → 5.8 s repartitioned).
+    val df = if (exact) graft.ext.LlmOps.spreadSmall(df0) else df0
+    // rsd 0.023 (HLL++ precision 12, a ~4 KB merge-able buffer per
+    // column): r15 measured rsd 0.01's precision-14 registers at 4.4 µs
+    // per update — 3.7× the per-row cost of precision 12 — for accuracy
+    // the profile doesn't need: the operator's own contract
+    // (profile_table_approx's nd_ok) is a 5% envelope, and precision 12
+    // lands within 0.6% of exact on every gate tier (measured
+    // sf0.001/0.01/0.1, worst column 14911 vs 15000). At 100 TB the same
+    // per-update ratio holds, so this is the scale posture too.
     def nd(c: String): Column =
-      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c), 0.01)
+      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c), 0.023)
     val aggs = Seq(count(lit(1)).as("__n_rows")) ++ cols.flatMap { c =>
       Seq(count(col(c)).as(s"__${c}__nn"),
           nd(c).as(s"__${c}__nd"),

@@ -97,7 +97,11 @@ object LlmOps {
     * linear (measured locally: 71s → <1s for the LSH self-join).
     */
   def shingleTable(docs: DataFrame, idCol: String): DataFrame =
-    withShingles(withWords(docs)).select(col(idCol), col("shingles")).persist()
+    // spreadSmall (r15): the split/ngram/hash chain is the text family's
+    // CPU floor and materializes HERE — without the spread a small corpus
+    // in one row group shingles on one task while every other core idles
+    withShingles(withWords(spreadSmall(docs)))
+      .select(col(idCol), col("shingles")).persist()
 
   /** Single home of the sig→band→explode construction: returns the
     * PERSISTED signature table (caller must unpersist once its consumer
@@ -630,7 +634,7 @@ object LlmOps {
     * at corpus scale. Narrow per-row map, no shuffle.
     */
   def withWinnowFingerprints(df: DataFrame): DataFrame =
-    ensureFns(df)
+    ensureFns(spreadSmall(df))
       .withColumn("hs", expr("graft_gram_hash(text, 5, ':wn', 15)"))
       .withColumn("wins", expr("graft_sliding_min(hs, 4)"))
       .withColumn("fps", array_distinct(col("wins")))
@@ -1330,7 +1334,7 @@ object LlmOps {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     threshold: Double): DataFrame = {
-    val corpusGrams = withShingles(withWords(corpus))
+    val corpusGrams = withShingles(withWords(spreadSmall(corpus)))
       .select(col(idCol), array_distinct(col("shingles")).as("sh"))
       .select(col(idCol), size(col("sh")).as("n_shingles"), explode(col("sh")).as("g"))
     val benchGrams = withShingles(withWords(benchmark))
@@ -1432,7 +1436,7 @@ object LlmOps {
       val mightMatch = call_function("graft_might_contain",
         lit(bos.toByteArray), col("g"))
 
-      val corpusGrams = withShingles(withWords(ensureFns(corpus)))
+      val corpusGrams = withShingles(withWords(ensureFns(spreadSmall(corpus))))
         .select(col(idCol), array_distinct(col("shingles")).as("sh"))
         .select(col(idCol), size(col("sh")).as("n_shingles"), explode(col("sh")).as("g"))
         .where(mightMatch)
@@ -1656,7 +1660,7 @@ object LlmOps {
     * a minhash fingerprint.
     */
   def textStats(docs: DataFrame): DataFrame =
-    withShingles(withWords(ensureFns(docs)))
+    withShingles(withWords(ensureFns(spreadSmall(docs))))
       .withColumn("n_tokens", size(col("words")))
       // graft_retoken_count == size(regexp_extract_all(text,
       // '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)) (spec-pinned) without
@@ -1724,9 +1728,12 @@ object LlmOps {
     mergeSpans(dupPositions(grams, idCol), idCol, k)
   }
 
-  /** (idCol, pos [1-based], h) gram-hash stream — narrow codegen. */
+  /** (idCol, pos [1-based], h) gram-hash stream — narrow codegen.
+    * spreadSmall (r15): the per-char gram hash is the ExactSubstr tier's
+    * CPU floor; it must not run single-task on a one-row-group corpus.
+    */
   private def gramPositions(docs: DataFrame, idCol: String, k: Int): DataFrame =
-    ensureFns(docs)
+    ensureFns(spreadSmall(docs))
       .select(col(idCol),
         posexplode(expr(s"graft_gram_hash(text, $k, ':xs', 15)"))
           .as(Seq("p0", "h")))
@@ -3195,7 +3202,8 @@ object LlmOps {
   }
 
   private def lmGrams(docs: DataFrame): DataFrame =
-    ensureFns(docs)
+    // spreadSmall (r15): md5-per-trigram is the LM-score kernel cost
+    ensureFns(spreadSmall(docs))
       .select(col("doc_id"), explode(expr("graft_gram_hash(text, 3, ':lm', 15)")).as("h"))
 
   /** The persisted-gram-table form: one explode, cached. Wins above the
@@ -3561,7 +3569,7 @@ object LlmOps {
     */
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                           threshold: Double): DataFrame = {
-    val corpusGrams = withShingles(withWords(corpus))
+    val corpusGrams = withShingles(withWords(spreadSmall(corpus)))
       .select(col(idCol).as("corpus_id"), array_distinct(col("shingles")).as("sh"))
       .select(col("corpus_id"), size(col("sh")).as("n_shingles"),
         explode(col("sh")).as("g"))
@@ -3701,6 +3709,36 @@ object LlmOps {
     */
   val ExactPercentileCrossoverRows = 50L * 1000 * 1000
   val ExactPercentileCrossoverBytes = 4L * 1024 * 1024 * 1024
+
+  /** Scale-adaptive scan spread for CPU-HEAVY, BYTE-LIGHT kernels (r15;
+    * guide §2.5's "input skew — one huge unsplittable file" case): a
+    * single-row-group parquet file cannot be split, so a per-row kernel
+    * whose cost is invisible to byte-based sizing (gram hashing,
+    * shingling, levenshtein) runs at scan parallelism — one task — no
+    * matter how many cores the session has. When the optimizer's own
+    * stats say the input is SMALL (under `minRowsPerTask` rows per
+    * scheduler core, or when no row count exists under `minBytesPerTask`
+    * bytes per core — both conf-overridable),
+    * redistribute round-robin across the cores so the kernel stage uses
+    * them; at scale the stats exceed the threshold (or are UNKNOWN) and
+    * the frame passes through UNCHANGED — no exchange in the plan, the
+    * file splits already exceed the core count. Round-robin repartition
+    * is deterministic (sort-before-repartition is on by default,
+    * SPARK-23207) and every consumer here is partitioning-independent
+    * (DECIMAL sums / hash-agg / ORDER BY outputs), so results are
+    * bit-identical either way.
+    */
+  private[graft] def spreadSmall(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    val cores = sess.sparkContext.defaultParallelism
+    val minRows = sess.conf.get("spark.graft.spread.minRowsPerTask", "65536").toLong
+    val minBytes = sess.conf.get("spark.graft.spread.minBytesPerTask",
+      (8L * 1024 * 1024).toString).toLong
+    statsSaySmall(df, cores * minRows, cores * minBytes) match {
+      case Some(true) => df.repartition(cores)
+      case _ => df
+    }
+  }
 
   /** Shared size-regime selector (the [[lmScore]] pattern): Some(true) =
     * small, Some(false) = big, None = UNKNOWN. rowCount when the

@@ -464,17 +464,38 @@ object LlmQueries {
     // Jaccard under-scores). O(len²) per pair, so it runs on banded
     // candidates ONLY, never all pairs; levenshtein is a codegen'd
     // built-in on both engines.
+    //
+    // r15 (result-identical, measured 6.5 s → 3.9 s at sf0.1): the final
+    // filter accepts a pair iff round6(dist/ml) <= 0.2, i.e. iff
+    // dist < 0.2000005·ml — so (a) a pair whose LENGTH GAP already
+    // exceeds that bound can never pass (levenshtein >= |len(a)-len(b)|)
+    // and is dropped before the O(len²) kernel runs, and (b) the kernel
+    // itself runs BANDED via levenshtein's threshold form at
+    // trunc(0.2000005·ml)+1 — O(len·k) instead of O(len²), returning the
+    // exact distance for every distance that can pass and -1 (dropped;
+    // it would have failed the ratio filter) above the band. Survivor
+    // rows and their dist values are bit-identical to the unbounded
+    // form; the oracle pins it.
     "dedup_edit_distance" -> ((s, d) => {
       val docs = docsWithDups(t(s, d, "documents"))
       val sh = LlmOps.shingleTable(docs, "doc_id")
       val cands = LlmOps.minhashCandidatesFrom(sh, "doc_id")
-      val texts = docs.select(col("doc_id"), col("text"))
+      // the pair list broadcasts onto the text table, so the levenshtein
+      // kernel runs in the TEXT side's stage — spread it (r15): on a
+      // one-row-group corpus it is otherwise a single task
+      val texts = LlmOps.spreadSmall(docs.select(col("doc_id"), col("text")))
       cands
         .join(texts.select(col("doc_id").as("a"), col("text").as("ta")), "a")
         .join(texts.select(col("doc_id").as("b"), col("text").as("tb")), "b")
-        .select(col("a"), col("b"),
-          levenshtein(col("ta"), col("tb")).cast("bigint").as("dist"),
+        .select(col("a"), col("b"), col("ta"), col("tb"),
           greatest(length(col("ta")), length(col("tb"))).cast("double").as("ml"))
+        .filter(abs(length(col("ta")) - length(col("tb"))).cast("double") <=
+          col("ml") * 0.2000005)
+        .select(col("a"), col("b"),
+          expr("levenshtein(ta, tb, cast(ml * 0.2000005 as int) + 1)")
+            .cast("bigint").as("dist"),
+          col("ml"))
+        .filter(col("dist") >= 0) // threshold form returns -1 above the band
         .select(col("a"), col("b"), col("dist"),
           LlmOps.round6(col("dist").cast("double") / col("ml")).as("edit_ratio"))
         .filter(col("edit_ratio") <= 0.2)
@@ -821,7 +842,8 @@ object LlmQueries {
     // Patterns are restricted to syntax with identical semantics in Java
     // regex and RE2 (character classes, bounded repetition, \b).
     "pii_redact" -> ((s, d) =>
-      t(s, d, "documents")
+      // spreadSmall (r15): three regex passes per row are the kernel cost
+      LlmOps.spreadSmall(t(s, d, "documents"))
         .select(col("doc_id"), concat(
           col("text"),
           lit(" contact user"), col("doc_id"), lit("@mail.example.com or +1 555-"),
@@ -914,7 +936,8 @@ object LlmQueries {
     // Gopher-style repetition signal: duplicate word-3-gram fraction per
     // doc (narrow per-row maps, no shuffle)
     "quality_repetition" -> ((s, d) =>
-      LlmOps.withShingles(LlmOps.withWords(docsWithDups(t(s, d, "documents"))))
+      LlmOps.withShingles(LlmOps.withWords(
+          LlmOps.spreadSmall(docsWithDups(t(s, d, "documents")))))
         .select(col("doc_id"),
           size(col("shingles")).as("n_grams"),
           size(array_distinct(col("shingles"))).as("n_distinct"))
@@ -996,7 +1019,7 @@ object LlmQueries {
     // bounds, mean word length bounds, stopword-ratio and symbol-ratio
     // caps; emits per-doc pass/fail with the failing rule for auditability
     "text_quality_filter" -> ((s, d) =>
-      LlmOps.withWords(t(s, d, "documents"))
+      LlmOps.withWords(LlmOps.spreadSmall(t(s, d, "documents")))
         .withColumn("n_tokens", size(col("words")))
         .withColumn("mean_wlen",
           LlmOps.round6(octet_length(concat_ws("", col("words"))).cast("double") /

@@ -346,11 +346,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins.length == 1 &&
       joins.head.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi,
       s"the duplicate test must be one left-semi join:\n$plan")
+    // r15: spreadSmall may add ROUND-ROBIN exchanges ahead of the gram
+    // explode — the scale-CONDITIONAL small-input spread (stats-gated: at
+    // scale they vanish from the plan). The audit's contract is about
+    // DATA-KEYED shuffles — gram-hash windows / extra hash exchanges —
+    // so round-robin spreads are excluded from the bound.
     val exchanges = plan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if !e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] => e
     }
     assert(exchanges.length <= 3,
-      s"expected ≤3 exchanges (partial counts, probe on h, doc id), got ${exchanges.length}:\n$plan")
+      s"expected ≤3 hash exchanges (partial counts, probe on h, doc id), got ${exchanges.length}:\n$plan")
   }
 
   test("audit: EVERY registry query plans cartesian-free") {
