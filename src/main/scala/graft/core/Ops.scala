@@ -203,14 +203,12 @@ object Ops {
     val exact = exactDistincts.getOrElse(
       graft.ext.LlmOps.statsSaySmall(df0, ProfileExactDistinctCrossoverRows,
         ProfileExactDistinctCrossoverBytes).getOrElse(false))
-    // spreadSmall (r15), EXACT branch only: the Expand×(k+1) distinct
-    // shuffle is the exact profile's CPU floor — on a one-row-group file
-    // it otherwise runs as ONE map task while every other core idles.
-    // The approx branch stays unspread: HLL++ update cost is per-row flat
-    // and each extra partition adds a full register-array partial, so
-    // spreading it only multiplies buffer init/merge work (measured:
-    // approx at rsd 0.01 went 2.7 s flat → 5.8 s repartitioned).
-    val df = if (exact) graft.ext.LlmOps.spreadSmall(df0) else df0
+    // No scan spread here (r15, measured): the Expand×(k+1) partial
+    // aggregate builds a distinct-value hash table per partition, so
+    // spreading a small input multiplies total hash-table work ~#cores×
+    // (task CPU 1.7 s → 29.6 s at sf0.1) for a wall-time wash — the
+    // opposite trade of the per-row text kernels spreadSmall exists for.
+    val df = df0
     // rsd 0.023 (HLL++ precision 12, a ~4 KB merge-able buffer per
     // column): r15 measured rsd 0.01's precision-14 registers at 4.4 µs
     // per update — 3.7× the per-row cost of precision 12 — for accuracy

@@ -3649,13 +3649,26 @@ object LlmOps {
         asLongId(least(col("a"), col("b"))).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
+    // Convergence check (r15): both steps emit DISTINCT (larger → smaller)
+    // edges, so round-over-round set equality is decidable from an
+    // order-independent multiset fingerprint — count + exact DECIMAL sum
+    // of per-edge xxhash64 — the dual_write parity construction (residual
+    // collision ~2^-64 per round). ONE aggregate over the new edge set per
+    // round, with the previous round's reused, replaces the old
+    // count+count+exceptAll: two fewer jobs and one fewer edge-set-sized
+    // shuffle PER ROUND at any scale (guide §2.4).
+    def fingerprint(edges: DataFrame): org.apache.spark.sql.Row =
+      edges.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+    var fpPrev = fingerprint(e)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // both steps emit (larger → smaller), so set equality is direct;
-      // counts first — the cheap reject — then one edge-set-sized except
-      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      val fpNext = fingerprint(next)
+      converged = fpNext == fpPrev
+      fpPrev = fpNext
       val old = e
       e = next
       old.unpersist()
@@ -4971,7 +4984,9 @@ object LlmOps {
                    vocabK: Int = 1024): DataFrame = {
     require(refSources.nonEmpty, "ccnetBuckets needs a reference domain")
     val isRef = col("source").isin(refSources.map(x => x: Any): _*)
-    val g0 = ensureFns(docs).select(col("doc_id"), col("lang"), isRef.as("is_ref"),
+    // spreadSmall (r15): md5-per-trigram kernel, the lmGrams rationale
+    val g0 = ensureFns(spreadSmall(docs)).select(col("doc_id"), col("lang"),
+      isRef.as("is_ref"),
       explode(expr("graft_gram_hash(text, 3, ':lm', 15)")).as("h"))
     val big = !statsSaySmall(docs, LmCacheCrossoverDocs, LmCacheCrossoverBytes)
       .getOrElse(true)
