@@ -14,8 +14,8 @@ object AbProbe {
     val sfDir = "/root/testdata/sf0.1"
     val keys = args(0).split(",").toSeq
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master("local[" + sys.env.getOrElse("AB_CPUS", "32") + "]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("AB_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
