@@ -217,15 +217,33 @@ object Ops {
     // lands within 0.6% of exact on every gate tier (measured
     // sf0.001/0.01/0.1, worst column 14911 vs 15000). At 100 TB the same
     // per-update ratio holds, so this is the scale posture too.
+    // r16 (VERDICT item 8): the exact form no longer packs k
+    // count(DISTINCT)s into ONE aggregate — Spark plans that via Expand,
+    // (k+1) copies of every input row through a single partial-aggregate
+    // pipeline whose k distinct-set hash tables all live in the SAME
+    // task (driver bench: ratio 1.00 — dead serial on a one-row-group
+    // input). Instead each column's exact distinct count is its own
+    // 1-row aggregate subtree (a single-distinct agg plans WITHOUT
+    // Expand: map-side partial dedup keyed by the column, then count),
+    // crossJoined onto the base facts row. The subtrees are independent
+    // stages of one job, so they run CONCURRENTLY (guide §2.6), each
+    // over a column-pruned scan — ×(k+1) map volume gone, wall ≈ the
+    // widest single column instead of the sum. Values are identical:
+    // exact counts are exact under any plan.
     def nd(c: String): Column =
       if (exact) countDistinct(col(c)) else approx_count_distinct(col(c), 0.023)
-    val aggs = Seq(count(lit(1)).as("__n_rows")) ++ cols.flatMap { c =>
+    val baseAggs = Seq(count(lit(1)).as("__n_rows")) ++ cols.flatMap { c =>
       Seq(count(col(c)).as(s"__${c}__nn"),
-          nd(c).as(s"__${c}__nd"),
           min(col(c)).cast("string").as(s"__${c}__min"),
-          max(col(c)).cast("string").as(s"__${c}__max"))
+          max(col(c)).cast("string").as(s"__${c}__max")) ++
+        (if (exact) Nil else Seq(nd(c).as(s"__${c}__nd")))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val base = df.agg(baseAggs.head, baseAggs.tail: _*)
+    val one =
+      if (!exact) base
+      else cols.foldLeft(base) { (acc, c) =>
+        acc.crossJoin(broadcast(df.agg(nd(c).as(s"__${c}__nd"))))
+      }
     val stackArgs = cols.map(c =>
       s"'$c', `__${c}__nn`, `__${c}__nd`, `__${c}__min`, `__${c}__max`")
       .mkString(", ")

@@ -97,10 +97,14 @@ object LlmOps {
     * linear (measured locally: 71s → <1s for the LSH self-join).
     */
   def shingleTable(docs: DataFrame, idCol: String): DataFrame =
-    // spreadSmall (r15): the split/ngram/hash chain is the text family's
-    // CPU floor and materializes HERE — without the spread a small corpus
-    // in one row group shingles on one task while every other core idles
-    withShingles(withWords(spreadSmall(docs)))
+    // r15 spread the scan here; r16 REMOVED it (driver bench adjudication):
+    // the LSH consumers' post-persist kernels are cheap (integer minhash +
+    // band join), so at 32 cores the extra round-robin exchange cost more
+    // than the shingle kernel parallelism bought — dedup_weights 0.50×,
+    // corpus_overlap 0.48×, dedup_clusters 0.75× vs r14. The spread stays
+    // where the per-row kernel dominates (gramPositions, lmGrams, the
+    // levenshtein texts side).
+    withShingles(withWords(docs))
       .select(col(idCol), col("shingles")).persist()
 
   /** Single home of the sig→band→explode construction: returns the
@@ -1067,21 +1071,32 @@ object LlmOps {
     */
   def multimodalClusters(docs: DataFrame, images: DataFrame,
                          idCol: String = "doc_id"): DataFrame = {
-    val textPairs = minhashCandidates(docs, idCol).select(col("a"), col("b"))
+    // r16 (guide §6 scan reuse): the text, audio and video channels each
+    // re-scanned the same payload lineage — one NARROW (id, text) persist
+    // feeds all three fingerprint passes and releases as soon as the
+    // (near-dup-sized) edge union materializes. The id frame deliberately
+    // reads `docs` directly: it needs only the pruned id column and
+    // evaluates after the payload cache is gone.
+    val payload = docs.select(col(idCol), col("text")).persist()
+    val textPairs = minhashCandidates(payload, idCol).select(col("a"), col("b"))
     val imagePairs =
       hammingPairsWithCoverage(imagePhashBlocked(images, "vec_id", "embedding"),
         "phash", radius = 2)._1.select(col("a"), col("b"))
     val audioPairs =
-      hammingPairsWithCoverage(audioFingerprintBlocked(docs, idCol, "text"),
+      hammingPairsWithCoverage(audioFingerprintBlocked(payload, idCol, "text"),
         "afp", radius = 2)._1.select(col("a"), col("b"))
     val videoPairs =
-      videoFramePairsWithCoverage(docs, idCol)._1.select(col("a"), col("b"))
+      videoFramePairsWithCoverage(payload, idCol)._1.select(col("a"), col("b"))
     val pairs = textPairs.unionByName(imagePairs).unionByName(audioPairs)
-      .unionByName(videoPairs).distinct()
+      .unionByName(videoPairs).distinct().persist()
+    pairs.count() // materialize the edge union BEFORE dropping the payload
+    payload.unpersist()
     val ids = docs.select(col(idCol))
       .unionByName(images.select(col("vec_id").as(idCol)))
       .distinct()
-    duplicateClusters(ids, idCol, pairs)
+    val clusters = duplicateClusters(ids, idCol, pairs)
+    pairs.unpersist() // driver path collected the edges; lazy plan done with them
+    clusters
   }
 
   /** Corpus-size crossover for [[simhashNearDups]]: the 32-bit form's
@@ -1397,12 +1412,24 @@ object LlmOps {
 
   def purge(corpus: DataFrame, flagged: DataFrame, idCol: String,
             flaggedBroadcastBudgetBytes: Long = 64L << 20): DataFrame = {
-    val ids = flagged.select(col(idCol)).distinct()
+    // r16: the flagged-id lineage is typically the WHOLE decontaminate
+    // chain (corpus gram explode + join + agg) and was evaluated twice —
+    // once by the gate count here and again when the caller materialized
+    // the returned anti-join. The distinct id set is flagged-proportional
+    // (the gate's own premise), so persist it across the two references —
+    // the minhashCandidatesFrom small-persisted-result discipline.
+    val ids = flagged.select(col(idCol)).distinct().persist()
     val n = ids.count()
-    val right =
-      if (n <= flaggedBroadcastBudgetBytes / BytesPerBroadcastId) broadcast(ids)
-      else ids
-    corpus.join(right, Seq(idCol), "left_anti")
+    if (n <= flaggedBroadcastBudgetBytes / BytesPerBroadcastId)
+      corpus.join(broadcast(ids), Seq(idCol), "left_anti")
+    else {
+      // adversarial regime (flagged ~ half the corpus): do NOT pin a
+      // corpus-scale id set in executor storage (r8 ADVICE) — release the
+      // cache and let the anti-join recompute the flagged lineage once,
+      // exactly the pre-r16 behavior
+      ids.unpersist()
+      corpus.join(ids, Seq(idCol), "left_anti")
+    }
   }
 
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, idCol: String,
@@ -1956,18 +1983,30 @@ object LlmOps {
     // sim_search_ivf_kmeans plan vs 4 with the local form). The collect is
     // bounded by the `c` LITERAL (c rows of dim doubles), not by data —
     // the same size contract as broadcasting the c-row table.
-    import scala.jdk.CollectionConverters._
-    val plan = kmeansCentroidsPlan(emb0, c, iters)
-    emb0.sparkSession.createDataFrame(plan.collect().toSeq.asJava, plan.schema)
+    //
+    // r16: materialized PER ITERATION, not once at the end. Each round's
+    // centroids are needed driver-side anyway for the JOIN-FREE local
+    // assignment ([[assignCellsLocal]]), which turns every Lloyd
+    // iteration into scan → argmax projection → the two update
+    // aggregates: one corpus scan and two bounded exchanges per round,
+    // instead of the stacked lazy lineage's two scans + four exchanges +
+    // a vec_id join per round. Values are bit-identical — a collect
+    // round-trips exact doubles, and the local argmax is the pinned
+    // equal of the crossJoin shape.
+    val emb = kmeansInput(emb0)
+    var cents = toLocalRelation(kmeansSeed(emb, c))
+    for (_ <- 1 to iters)
+      cents = toLocalRelation(updateCentroids(assignCells(emb, cents)))
+    cents
   }
 
-  /** The lazy training lineage behind [[kmeansCentroids]]. */
-  private def kmeansCentroidsPlan(emb0: DataFrame, c: Int, iters: Int): DataFrame = {
-    val emb = kmeansInput(emb0)
-    var cents = kmeansSeed(emb, c)
-    for (_ <- 1 to iters)
-      cents = updateCentroids(assignCells(emb, cents))
-    cents
+  /** Collect a bounded frame into a LocalRelation-backed DataFrame (the
+    * [[kmeansCentroids]] materialization contract — exact doubles, no
+    * persistence, size bounded by the caller's literal).
+    */
+  private def toLocalRelation(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
   }
 
   /** Assign the corpus to an existing centroid table — build the index once
@@ -1999,9 +2038,23 @@ object LlmOps {
     * it exists for.
     */
   def kmeansAssignAuto(emb0: DataFrame, cents: DataFrame,
-                       probeG: Int = 4): DataFrame =
-    if (hierAutoPick(cents.count())) kmeansAssignToHier(emb0, cents, probeG = probeG)
+                       probeG: Int = 4): DataFrame = {
+    // r16: a LOCAL centroid table's row count is a driver-side length —
+    // the count() job only runs for lazy centroid lineages
+    val c = localRowCount(cents).getOrElse(cents.count())
+    if (hierAutoPick(c)) kmeansAssignToHier(emb0, cents, probeG = probeG)
     else kmeansAssignTo(emb0, cents)
+  }
+
+  /** Row count of a LocalRelation-backed frame without a job; None for
+    * anything lazy.
+    */
+  private def localRowCount(df: DataFrame): Option[Long] =
+    df.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Some(lr.data.length.toLong)
+      case _ => None
+    }
 
   /** Normed, zero-norm-free corpus view (cosine is undefined on zero
     * vectors — excluded up front, same contract as [[knnJoin]]).
@@ -2035,10 +2088,104 @@ object LlmOps {
     * through the aggregate).
     */
   private[graft] def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
+    localCentroids(cents) match {
+      case Some(cs) =>
+        // replicate withCnorm driver-side: zero/NaN-norm cells are dropped
+        // before assignment (same l2 norm arithmetic as
+        // sqrt(graft_dot(cvec, cvec)): index-order sum, double math)
+        val kept = cs.map { case (cid, cv) => (cid, l2norm(cv), cv) }
+          .filter(_._2 > 0)
+        val dims = kept.map(_._3.length).distinct
+        if (kept.nonEmpty && kept.size <= MaxLocalAssignCells && dims.size == 1)
+          assignCellsLocal(emb, kept, cents.schema("cid").dataType)
+        else assignCellsJoin(emb, cents)
+      case None => assignCellsJoin(emb, cents)
+    }
+
+  /** The r14 crossJoin + groupBy argmax shape — the fallback when the
+    * centroid table is not a bounded local relation (or is degenerate:
+    * empty after the zero-norm drop, mixed-dim, over
+    * [[MaxLocalAssignCells]]).
+    */
+  private def assignCellsJoin(emb: DataFrame, cents: DataFrame): DataFrame =
     argmaxCell(emb,
       ensureFns(emb).crossJoin(broadcast(withCnorm(cents)))
         .select(col("vec_id"), col("cid"),
           (dot("embedding", "cvec") / (col("nrm") * col("cnrm"))).as("ccos_raw")))
+
+  /** Cells bound for the JOIN-FREE local assignment path: the flattened
+    * centroid matrix rides the plan as a literal installed into codegen as
+    * a reference object — 4096 cells × 64 dims × 8 B = 2 MB, comfortably a
+    * task-binary-sized constant. Flat assignment above
+    * [[HierAssignCrossoverC]] only happens under `exact = true`; past THIS
+    * bound the crossJoin shape takes over (broadcast transport).
+    */
+  private[graft] val MaxLocalAssignCells = 4096
+
+  /** The centroid rows of a driver-LOCAL centroid table — Some only when
+    * the plan is already a LocalRelation ([[kmeansCentroids]] /
+    * [[readAnnIndex]] output), so extraction is a driver-side walk, never
+    * a job. None (→ join shape) for lazy lineages and any row the narrow
+    * (int cid, array<double> cvec) contract doesn't fit.
+    */
+  private def localCentroids(cents: DataFrame): Option[Seq[(Int, Array[Double])]] =
+    cents.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        try {
+          val ci = lr.schema.fieldIndex("cid")
+          val vi = lr.schema.fieldIndex("cvec")
+          val intCid =
+            lr.schema(ci).dataType == org.apache.spark.sql.types.IntegerType
+          val anyNull = lr.data.exists(r => r.isNullAt(ci) || r.isNullAt(vi))
+          if (!intCid || anyNull) None
+          else Some(lr.data.map { r =>
+            // toDoubleArray throws on null elements → caught → join shape
+            (r.getInt(ci), r.getArray(vi).toDoubleArray())
+          })
+        } catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
+    }
+
+  /** sqrt(graft_dot(v, v)) driver-side: index-order double accumulation —
+    * the identical arithmetic [[withCnorm]] computes per row.
+    */
+  private def l2norm(v: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Flat assignment as ONE codegen'd projection (r16, guide §2.4): the
+    * bounded local centroid table bakes into [[graft.functions.ArgmaxCellKey]]
+    * literals, so the N×c candidate stream, its vec_id exchange, and the
+    * payload rejoin all disappear — the assignment stage is scan →
+    * project, zero shuffles. The akey decode is bit-identical to
+    * [[argmaxCell]]'s (same pmod/div/divide expressions on the same
+    * encoded max), and the kernel computes the same round6-encoded
+    * (ccos, −cid) order, so outputs match the join shape row-for-row
+    * under the family's vec_id-unique contract.
+    */
+  private def assignCellsLocal(emb: DataFrame,
+                               kept: Seq[(Int, Double, Array[Double])],
+                               cidT: org.apache.spark.sql.types.DataType): DataFrame = {
+    val cids = kept.map(_._1).toArray
+    val cnrms = kept.map(_._2).toArray
+    val dim = kept.head._3.length
+    val mat = new Array[Double](kept.size * dim)
+    kept.zipWithIndex.foreach { case ((_, _, cv), i) =>
+      System.arraycopy(cv, 0, mat, i * dim, dim)
+    }
+    ensureFns(emb)
+      .withColumn("akey", call_function("graft_argmax_cell",
+        col("embedding"), col("nrm"),
+        typedLit(cids.toSeq), typedLit(cnrms.toSeq), typedLit(mat.toSeq)))
+      .select(col("vec_id"),
+        (lit(2147483647L) - pmod(col("akey"), lit(4294967296L))).cast(cidT).as("cid"),
+        col("embedding"), col("nrm"),
+        (expr("(akey - pmod(akey, 4294967296L)) div 4294967296L").cast("double")
+          / lit(1e6)).as("ccos"))
+  }
 
   /** The argmax tail shared by flat and hierarchical assignment.
     *
@@ -2141,7 +2288,7 @@ object LlmOps {
     * [[kmeansAssignToHier]].
     */
   def kmeansCoarse(cents: DataFrame, iters: Int = 2): DataFrame = {
-    val c = cents.count() // cents is the bounded local relation — cheap
+    val c = localRowCount(cents).getOrElse(cents.count()) // bounded local relation → driver-side length
     kmeansCentroids(
       cents.select(col("cid").as("vec_id"), col("cvec").as("embedding")),
       kmeansAutoC(c), iters)
@@ -2466,11 +2613,22 @@ object LlmOps {
                     iters: Int = 2,
                     corpusSizeHint: Option[Long] = None): Unit = {
     val spark = emb0.sparkSession
-    val n = corpusSizeHint.getOrElse(kmeansInput(emb0).count())
-    val c = kmeansAutoC(n, cHint)
+    // r16 (guide §1.2/§2.4 — the build was THREE corpus scans beyond
+    // training): the pre-count exists only to pick c = √N, so with cHint
+    // (or a size hint) it is skipped and n folds into the SAME aggregate
+    // that computes mean_cos — one assignment scan total. mean_cos is
+    // measured against the just-trained table's VALUES; parquet
+    // round-trips doubles exactly, so assigning against the in-memory
+    // local relation equals the old write→read-back→collect detour.
+    val nPre: Option[Long] = corpusSizeHint.orElse(
+      if (cHint.isDefined) None else Some(kmeansInput(emb0).count()))
+    val c = kmeansAutoC(nPre.getOrElse(0L), cHint)
     val cents = kmeansCentroids(emb0, c, iters)
     cents.write.mode("overwrite").parquet(path)
-    val meanCos = meanAssignCos(emb0, readAnnIndex(spark, path))
+    val st = kmeansAssignAuto(emb0, cents)
+      .agg(count(lit(1)).as("n"), round6(avg(col("ccos"))).as("m")).head()
+    val n = nPre.getOrElse(st.getLong(0))
+    val meanCos = st.getDouble(1)
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     spark.createDataFrame(
@@ -2715,9 +2873,16 @@ object LlmOps {
       .select(col("n"), col("c"), col("mean_cos")).head()
     val (nIndexed, cIndex, meanBuild) =
       (st.getLong(0), st.getInt(1), st.getDouble(2))
-    val nNow = corpusSizeHint.getOrElse(kmeansInput(emb0).count())
+    // r16: nNow and the drift mean come from ONE assignment aggregate —
+    // the separate count() was a second full corpus scan (guide §2.4:
+    // fuse sequential actions over the same input into one pass). The
+    // assignment emits exactly one row per kmeansInput row, so the
+    // count is the same number.
+    val now = kmeansAssignAuto(emb0, readAnnIndex(spark, path))
+      .agg(count(lit(1)).as("n"), round6(avg(col("ccos"))).as("m")).head()
+    val nNow = corpusSizeHint.getOrElse(now.getLong(0))
     val cAuto = kmeansAutoC(nNow)
-    val meanNow = meanAssignCos(emb0, readAnnIndex(spark, path))
+    val meanNow = now.getDouble(1)
     val sizeStale = cAuto > growFactor * cIndex
     val driftStale = meanBuild - meanNow > cosDrop
     val reason =
@@ -2766,12 +2931,37 @@ object LlmOps {
     */
   def pqTrainCodebooks(emb0: DataFrame, m: Int = 4, ks: Int = 4,
                        iters: Int = 2): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val subs = pqSubspaces(emb0, m)
-    var cbs = pqSeed(emb0, m, ks)
-    for (_ <- 1 to iters) cbs = pqUpdate(pqAssign(subs, cbs))
-    emb0.sparkSession.createDataFrame(cbs.collect().toSeq.asJava, cbs.schema)
+    // r16 (the kmeansCentroids discipline applied to PQ): codebooks
+    // materialize PER ITERATION, so each Lloyd round's assignment runs
+    // the NARROW per-row walk against the driver-grouped codebook row —
+    // no m-way subvector explode, no m·ks join fan-out, and no
+    // sort-based max(struct) dragging the sv payload through an
+    // exchange; the only shuffles per round are pqUpdate's two bounded
+    // aggregates. Values are bit-identical: the walk computes pqAssign's
+    // exact argmin (same graft_round'd reduced-L2, first-minimum =
+    // smallest code), and a collect round-trips exact doubles.
+    var cbs = toLocalRelation(pqSeed(emb0, m, ks))
+    for (_ <- 1 to iters) cbs = toLocalRelation(pqUpdate(pqAssignNarrow(emb0, cbs, m)))
+    cbs
   }
+
+  /** Training assignment as the narrow encode walk (r16): one row per
+    * (vector, sub) AFTER the per-row m-code argmin — output
+    * (vec_id, sub, code, sv) identical to [[pqAssign]] over
+    * [[pqSubspaces]]. The d2r uses graft_round (not Spark's BigDecimal
+    * round) so the quantity is bit-for-bit [[pqAssign]]'s `round6(d2r)`;
+    * the walk's strict `<` in ascending code order reproduces the
+    * max(struct(−d2r, −code)) smallest-code tie-break.
+    */
+  private def pqAssignNarrow(emb0: DataFrame, cbs: DataFrame, m: Int): DataFrame =
+    pqInput(emb0).crossJoin(broadcast(pqCbRow(cbs)))
+      .select(col("vec_id"), col("embedding"),
+        expr(pqCodesExprWith(m, "graft_round")).as("codes"))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .select(col("vec_id"), col("sub"), col("code"), expr(
+        s"""cast(slice(embedding, sub * (size(embedding) div $m) + 1,
+                       size(embedding) div $m) as array<double>)""").as("sv"))
 
   /** The (vec_id, sub, sv) subvector view: one row per subspace, sliced
     * from the float embedding and cast to double AFTER the slice (cast of
@@ -2845,12 +3035,55 @@ object LlmOps {
     * struct keeps encodes correct when a code died during training (the
     * array ordinal no longer equals the code).
     */
-  private def pqCbRow(cbs: DataFrame): DataFrame =
-    cbs.groupBy(col("sub"))
-      .agg(expr("array_sort(collect_list(struct(code, cvec)))").as("entries"))
-      .groupBy()
-      .agg(expr("transform(array_sort(collect_list(struct(sub, entries))), x -> x.entries)")
-        .as("cb"))
+  private def pqCbRow(cbs: DataFrame): DataFrame = localCodebook(cbs) match {
+    case Some(rows) =>
+      // r16: a LOCAL codebook groups driver-side — the two bounded
+      // aggregates (and their exchanges) vanish from every consumer plan.
+      // Ordering parity with the aggregate form: entries ascend by code
+      // (unique within a sub, so the struct sort IS the code sort),
+      // subspaces ascend by sub.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val cb = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, es) =>
+        es.sortBy(_._2).map { case (_, code, cv) => Row(code, cv.toSeq) }
+      }
+      val entryT = StructType(Seq(StructField("code", IntegerType, false),
+        StructField("cvec", ArrayType(DoubleType, containsNull = true))))
+      cbs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(Row(cb)),
+        StructType(Seq(StructField("cb",
+          ArrayType(ArrayType(entryT, containsNull = true), containsNull = true)))))
+    case None =>
+      cbs.groupBy(col("sub"))
+        .agg(expr("array_sort(collect_list(struct(code, cvec)))").as("entries"))
+        .groupBy()
+        .agg(expr("transform(array_sort(collect_list(struct(sub, entries))), x -> x.entries)")
+          .as("cb"))
+  }
+
+  /** The (sub, code, cvec) rows of a LOCAL codebook table — Some only for
+    * a LocalRelation plan ([[pqTrainCodebooks]] output), extracted
+    * driver-side with no job; None for lazy lineages or rows outside the
+    * (int, int, array<double>) contract.
+    */
+  private def localCodebook(cbs: DataFrame): Option[Seq[(Int, Int, Array[Double])]] =
+    cbs.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        try {
+          val si = lr.schema.fieldIndex("sub")
+          val ci = lr.schema.fieldIndex("code")
+          val vi = lr.schema.fieldIndex("cvec")
+          val intTs =
+            lr.schema(si).dataType == org.apache.spark.sql.types.IntegerType &&
+              lr.schema(ci).dataType == org.apache.spark.sql.types.IntegerType
+          val anyNull = lr.data.exists(r =>
+            r.isNullAt(si) || r.isNullAt(ci) || r.isNullAt(vi))
+          if (!intTs || anyNull) None
+          else Some(lr.data.map(r =>
+            (r.getInt(si), r.getInt(ci), r.getArray(vi).toDoubleArray())))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
+    }
 
   /** The (vec_id, sub, code) training assignment under a codebook table —
     * the argmin [[pqEncode]] must agree with (PqSpec pins the equality
@@ -2877,12 +3110,20 @@ object LlmOps {
   /** The per-row m-code walk over the grouped `cb` attach — shared by
     * [[pqEncode]] and [[pqEncodeIvf]].
     */
-  private def pqCodesExpr(m: Int): String =
+  private def pqCodesExpr(m: Int): String = pqCodesExprWith(m, "round")
+
+  /** [[pqCodesExpr]] with the rounding function named: `round` (Spark's
+    * BigDecimal round — the pinned [[pqEncode]] form the oracle mirrors)
+    * or `graft_round` (the training walk, bit-for-bit [[pqAssign]]'s
+    * `round6(d2r)`). The two agree except within ~1 ulp of an exact half
+    * at scale 6 — the knife edge where the engines already disagree.
+    */
+  private def pqCodesExprWith(m: Int, roundFn: String): String =
     s"""transform(sequence(0, $m - 1), s ->
           aggregate(
             transform(element_at(cb, s + 1), e -> named_struct(
               'code', e.code,
-              'd', round(graft_dot(e.cvec, e.cvec)
+              'd', $roundFn(graft_dot(e.cvec, e.cvec)
                          - 2.0d * graft_dot(
                              slice(embedding,
                                    s * (size(embedding) div $m) + 1,
@@ -2932,9 +3173,16 @@ object LlmOps {
     * mismatch must fail HERE, loudly.
     */
   private def pqLut(cbs: DataFrame, q: DataFrame, m: Int, ks: Int): DataFrame = {
-    val chk = cbs.agg(max(col("code")), countDistinct(col("sub"))).head()
-    val maxCode = if (chk.isNullAt(0)) -1 else chk.getAs[Number](0).intValue
-    val nSub = chk.getLong(1)
+    // r16: a LOCAL codebook validates driver-side — no job
+    val (maxCode, nSub) = localCodebook(cbs) match {
+      case Some(rows) =>
+        (if (rows.isEmpty) -1 else rows.map(_._2).max,
+          rows.map(_._1).distinct.size.toLong)
+      case None =>
+        val chk = cbs.agg(max(col("code")), countDistinct(col("sub"))).head()
+        (if (chk.isNullAt(0)) -1 else chk.getAs[Number](0).intValue,
+          chk.getLong(1))
+    }
     require(maxCode < ks && nSub <= m,
       s"codebook/param mismatch: max code=$maxCode vs ks=$ks, " +
         s"subspaces=$nSub vs m=$m — graft_pq_adc would NULL every score; " +
@@ -3098,15 +3346,30 @@ object LlmOps {
                        threshold: Double = 0.5, minTokens: Int = 5,
                        maxTokens: Int = 100000, numShards: Int = 8,
                        seed: String = "42"): DataFrame = {
+    // r16 (guide §5 caching / §2.4): the deduped survivor set `kept` was
+    // referenced THREE times (the decontaminate gram side, the purge
+    // corpus side, and again when the caller materialized the lazy
+    // result), each reference re-running the dedup join + keeper
+    // election. It now persists for the call, the (contamination-
+    // proportional, small) flagged id set materializes off it once, and
+    // the NARROW manifest output (5 columns, no text) materializes
+    // eagerly so both caches release here — the decontaminateBloom
+    // discipline: eager small results, no corpus-sized cache outliving
+    // the call.
     val kept = dedupCorpusBest(corpus, idCol).drop("capped_lsh_buckets")
+      .persist()
     val flagged = decontaminate(kept, benchmark, idCol, threshold)
       .filter(col("contaminated")).select(col(idCol))
     val gated = purge(kept, flagged, idCol)
       .withColumn("n_tokens", size(split(col("text"), " ")))
       .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
-    graft.core.Ops.shardShuffle(gated, idCol, numShards, seed)
+    val out = graft.core.Ops.shardShuffle(gated, idCol, numShards, seed)
       .select(col(idCol), col("lang"), col("n_tokens"),
         col("shard"), col("ord"))
+      .persist()
+    out.count() // materialize BEFORE releasing the kept cache it reads
+    kept.unpersist()
+    out
   }
 
   // ---- char-n-gram LM quality scoring (the CCNet-style LM filter) ----

@@ -175,6 +175,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_might_contain takes (bloom binary literal, value)")
         BloomMightContain(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_argmax_cell"),
+      new ExpressionInfo(classOf[ArgmaxCellKey].getName, "graft_argmax_cell"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_argmax_cell takes (embedding, nrm, cids, cnrms, mat)")
+        ArgmaxCellKey(args(0), args(1), args(2), args(3), args(4))
       }))
 
   /** Idempotently register graft's functions in `spark`'s session-local

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType}
 
@@ -659,4 +660,157 @@ case class PqAdc(codes: Expression, lut: Expression, ksExpr: Expression)
       newFirst: Expression, newSecond: Expression,
       newThird: Expression): PqAdc =
     copy(codes = newFirst, lut = newSecond, ksExpr = newThird)
+}
+
+/** Static runtime for [[ArgmaxCellKey]]'s generated code: the per-row
+  * argmax-over-centroids loop, kept out of the generated source so codegen
+  * emits one call instead of a centroid-table-sized method body.
+  */
+object ArgmaxOps {
+  /** The encoded argmax key over all centroids for one embedding row —
+    * bit-identical to the crossJoin + `max(akey)` group it replaces
+    * (LlmOps.argmaxCell):
+    *
+    *   - per centroid i: ccos = graft_dot(emb, cvec_i) / (nrm · cnrm_i)
+    *     with graft_dot's exact semantics (element widened to double
+    *     before multiply, accumulation in array order, NULL on length
+    *     mismatch or a null element — here: that candidate contributes a
+    *     NULL akey, and since every centroid shares one dim, ALL
+    *     candidates are null together → boxed null, exactly the
+    *     all-null-group `max` the join shape produced);
+    *   - NaN ccos throws (the r12 ADVICE loud-NaN guard — the bigint
+    *     encoding would otherwise map NaN to a clean-looking ccos=0);
+    *   - akey = m·2³² + (2³¹−1 − cid) with m = (long) (floor(|ccos·10⁶| +
+    *     0.5) · signum(ccos·10⁶)) — the identical double ops and the
+    *     identical non-ANSI long overflow wrap;
+    *   - the max over centroids = the group max over the candidate rows.
+    */
+  def akey(emb: ArrayData, isFloat: Boolean, mayNullElem: Boolean, nrm: Double,
+           cids: Array[Int], cnrms: Array[Double],
+           mat: Array[Double]): java.lang.Long = {
+    val k = cids.length
+    val dim = if (k == 0) 0 else mat.length / k
+    val n = emb.numElements()
+    if (n != dim) return null // every candidate dot is NULL together
+    if (mayNullElem) {
+      var j = 0
+      while (j < n) { if (emb.isNullAt(j)) return null; j += 1 }
+    }
+    var best = Long.MinValue
+    var i = 0
+    while (i < k) {
+      var dot = 0.0
+      var j = 0
+      val off = i * dim
+      if (isFloat) {
+        while (j < n) { dot += emb.getFloat(j).toDouble * mat(off + j); j += 1 }
+      } else {
+        while (j < n) { dot += emb.getDouble(j) * mat(off + j); j += 1 }
+      }
+      val ccos = dot / (nrm * cnrms(i))
+      if (java.lang.Double.isNaN(ccos))
+        throw new RuntimeException(
+          "argmaxCell: NaN assignment cosine — NaN-poisoned vector or " +
+            "centroid; run embeddingHealth and purge")
+      val y = ccos * 1e6
+      val m = (math.floor(math.abs(y) + 0.5) * math.signum(y)).toLong
+      val akey = m * 4294967296L + (2147483647L - cids(i).toLong)
+      if (akey > best) best = akey
+      i += 1
+    }
+    java.lang.Long.valueOf(best)
+  }
+}
+
+/** Join-free k-means cell assignment key:
+  * `graft_argmax_cell(embedding, nrm, cids, cnrms, mat)` returns the SAME
+  * encoded bigint the argmaxCell crossJoin+groupBy pipeline maxes —
+  * m·2³² + (2³¹−1 − cid) for the winning centroid — computed per row
+  * against a FOLDABLE centroid table (cids: array<int>, cnrms:
+  * array<double>, mat: row-major flattened array<double>), so a flat
+  * assignment against a driver-local centroid table is ONE codegen'd
+  * projection: no crossJoin, no exchange, no groupBy, no payload rejoin
+  * (guide §2.4 "remove shuffles outright"). The centroid literals are
+  * evaluated once and installed as codegen reference objects, never
+  * inlined in generated source. NULL exactly when the join shape's group
+  * max was NULL (null/mismatched/null-element embedding); the NaN guard
+  * throws the same loud error.
+  */
+case class ArgmaxCellKey(emb: Expression, nrm: Expression,
+                         cidsE: Expression, cnrmsE: Expression,
+                         matE: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(emb, nrm, cidsE, cnrmsE, matE)
+
+  private def isFloat: Boolean = emb.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def mayNullElem: Boolean = emb.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (emb.dataType, nrm.dataType, cidsE.dataType, cnrmsE.dataType, matE.dataType) match {
+      case (ArrayType(FloatType, _) | ArrayType(DoubleType, _), DoubleType,
+            ArrayType(IntegerType, _), ArrayType(DoubleType, _),
+            ArrayType(DoubleType, _))
+          if cidsE.foldable && cnrmsE.foldable && matE.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_argmax_cell requires (array<float|double> emb, double nrm, " +
+          "foldable array<int> cids, foldable array<double> cnrms, " +
+          "foldable array<double> mat), got " +
+          s"(${emb.dataType}, ${nrm.dataType}, ${cidsE.dataType}, " +
+          s"${cnrmsE.dataType}, ${matE.dataType})")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_argmax_cell"
+
+  @transient private lazy val cids: Array[Int] =
+    cidsE.eval().asInstanceOf[ArrayData].toIntArray()
+  @transient private lazy val cnrms: Array[Double] =
+    cnrmsE.eval().asInstanceOf[ArrayData].toDoubleArray()
+  @transient private lazy val mat: Array[Double] =
+    matE.eval().asInstanceOf[ArrayData].toDoubleArray()
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val e = emb.eval(input)
+    val n = nrm.eval(input)
+    if (e == null || n == null) return null
+    ArgmaxOps.akey(e.asInstanceOf[ArrayData], isFloat, mayNullElem,
+      n.asInstanceOf[Double], cids, cnrms, mat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val embGen = emb.genCode(ctx)
+    val nrmGen = nrm.genCode(ctx)
+    val cidsRef = ctx.addReferenceObj("argmaxCids", cids, "int[]")
+    val cnrmsRef = ctx.addReferenceObj("argmaxCnrms", cnrms, "double[]")
+    val matRef = ctx.addReferenceObj("argmaxMat", mat, "double[]")
+    val boxed = ctx.freshName("akeyBoxed")
+    val code =
+      code"""
+        |${embGen.code}
+        |${nrmGen.code}
+        |boolean ${ev.isNull} = true;
+        |long ${ev.value} = -1L;
+        |if (!${embGen.isNull} && !${nrmGen.isNull}) {
+        |  java.lang.Long $boxed = graft.functions.ArgmaxOps.akey(
+        |    ${embGen.value}, $isFloat, $mayNullElem, ${nrmGen.value},
+        |    $cidsRef, $cnrmsRef, $matRef);
+        |  if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.longValue(); }
+        |}
+      """.stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ArgmaxCellKey =
+    copy(emb = newChildren(0), nrm = newChildren(1), cidsE = newChildren(2),
+      cnrmsE = newChildren(3), matE = newChildren(4))
 }

@@ -234,18 +234,53 @@ class AnnIndexSpec extends SparkSpec {
     assert(flatDrift == hierDrift, "staleness decision must not depend on the path")
   }
 
-  test("assignment argmax plans as a fixed-width HashAggregate — never a " +
-       "sort-based aggregate over the vectors×centroids stream (r12 ENOSPC fix)") {
-    val emb = baseCorpus(200)
+  test("join-free local assignment is row-identical to the crossJoin " +
+       "argmax shape it replaced (r16) — same winners, same tie-breaks, " +
+       "same round6-encoded cosines") {
+    import org.apache.spark.sql.functions.col
+    // repartition: a LocalRelation corpus would let ConvertToLocalRelation
+    // evaluate the whole argmax projection driver-side (which also works,
+    // but then the plan carries no kernel to assert on)
+    val emb = baseCorpus(200).repartition(2)
+    val cents = LlmOps.kmeansCentroids(emb, 4, 2)
+    val local = LlmOps.kmeansAssignTo(emb, cents)
+    assert(local.queryExecution.executedPlan.toString
+      .contains("graft_argmax_cell"), "fixture must exercise the local path")
+    // hide the LocalRelation behind a non-collapsible lineage so
+    // assignCells falls back to the r14 crossJoin + groupBy shape
+    val joined = LlmOps.kmeansAssignTo(emb, cents.repartition(1))
+    assert(!joined.queryExecution.executedPlan.toString
+      .contains("graft_argmax_cell"), "fixture must exercise the join path")
+    def rows(df: DataFrame) = df
+      .select(col("vec_id"), col("cid"), col("ccos"), col("nrm"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    assert(rows(local) == rows(joined))
+  }
+
+  test("assignment argmax never plans a sort-based aggregate over the " +
+       "vectors×centroids stream (r12 ENOSPC fix); the flat LOCAL path " +
+       "plans JOIN-FREE with zero exchanges (r16)") {
+    val emb = baseCorpus(200).repartition(2)
     val cents = LlmOps.kmeansCentroids(emb, 4, 1)
-    for (df <- Seq(LlmOps.kmeansAssignTo(emb, cents),
-                   LlmOps.kmeansAssignToHier(emb, cents))) {
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("HashAggregate"), plan)
-      assert(!plan.contains("SortAggregate"),
-        s"argmax fell back to sort-based aggregation — the N×c candidate " +
-          s"stream would sort/spill again:\n$plan")
-    }
+    // flat assignment against a local centroid table: one codegen'd
+    // argmax projection — no crossJoin, no aggregate, and no exchange
+    // beyond the fixture's own repartition
+    val flat = LlmOps.kmeansAssignTo(emb, cents)
+    val flatPlan = flat.queryExecution.executedPlan.toString
+    assert(flatPlan.contains("graft_argmax_cell"),
+      s"flat local assignment must ride the join-free kernel:\n$flatPlan")
+    assert(!flatPlan.contains("Aggregate") && !flatPlan.contains("Join"),
+      s"flat local assignment must be a scan-side projection — no join, " +
+        s"no aggregate:\n$flatPlan")
+    // the hierarchical path still aggregates (coarse-group top-G +
+    // argmax) — fixed-width HashAggregate, never sort-based
+    val hierPlan = LlmOps.kmeansAssignToHier(emb, cents)
+      .queryExecution.executedPlan.toString
+    assert(hierPlan.contains("HashAggregate"), hierPlan)
+    assert(!hierPlan.contains("SortAggregate"),
+      s"argmax fell back to sort-based aggregation — the N×c candidate " +
+        s"stream would sort/spill again:\n$hierPlan")
   }
 
   test("appendAnnAssignments (r13): delta-proportional append — existing " +

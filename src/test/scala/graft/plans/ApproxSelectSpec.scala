@@ -64,12 +64,17 @@ class ApproxSelectSpec extends SparkSpec {
     }
   }
 
-  test("profileTable: small table defaults to EXACT count(DISTINCT) (Expand), " +
-       "big stats default to approx_count_distinct (no Expand)") {
+  test("profileTable: small table defaults to EXACT count(DISTINCT) — one " +
+       "independent no-Expand subtree per column (r16) — big stats default " +
+       "to approx_count_distinct (no Expand)") {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
     val small = graft.core.Ops.profileTable(orders, cols)
       .queryExecution.executedPlan.toString
-    assert(small.contains("Expand") && !small.contains("approx_count_distinct"),
+    // exact regime: k single-distinct aggregates (planned WITHOUT Expand —
+    // the ×(k+1)-row Expand pipeline was serial on one-row-group inputs),
+    // attached as 1-row broadcast nested loops that run as concurrent stages
+    assert(small.contains("count(distinct") &&
+      !small.contains("approx_count_distinct") && !small.contains("Expand"),
       small)
     val big = graft.core.Ops.profileTable(hugeDf, Seq("vec_id", "s"))
       .queryExecution.executedPlan.toString

@@ -41,8 +41,10 @@ class BroadcastGateLintSpec extends AnyFunSuite {
       "LlmOps.decontaminate: benchmark n-gram set — benchmark suites are contractually small (plan-audited)"),
     ("broadcast(benchGramsAttr)",
       "LlmOps.contaminationReport: attributed benchmark n-gram table — same bench-suite-small contract as decontaminate; beyond-broadcast suites go through decontaminateBloom first"),
-    ("if (n <= flaggedBroadcastBudgetBytes / BytesPerBroadcastId) broadcast(ids)",
-      "LlmOps.purge: the byte gate IS on this line"),
+    ("corpus.join(broadcast(ids), Seq(idCol), \"left_anti\")",
+      "LlmOps.purge: executes only in the n <= flaggedBroadcastBudgetBytes/BytesPerBroadcastId branch — the byte gate is the enclosing if"),
+    ("acc.crossJoin(broadcast(df.agg(nd(c).as(s\"__${c}__nd\"))))",
+      "Ops.profileTable exact regime: groupless global aggregate — exactly 1 row per column subtree"),
     ("broadcast(bBand",
       "LlmOps.decontaminateMinhash: benchmark band table — benchmark-small by contract"),
     ("broadcast(cand.join(broadcast(bench), \"bench_id\"))",

@@ -440,7 +440,12 @@ class PlanAuditSpec extends SparkSpec {
       "ccnet_buckets",
       // inherits assignCells' c-row centroid cross join (the trained
       // k-means assignment shape every IVF/semantic key audits)
-      "cluster_balanced_sample")
+      "cluster_balanced_sample",
+      // r16: the exact profile's per-column count(DISTINCT) subtrees are
+      // 1-row aggregate attaches (Ops.profileTable — the no-Expand form);
+      // profile_table_approx composes the exact harness, so both carry
+      // the same bounded crossJoins
+      "profile_table", "profile_table_approx")
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =
