@@ -2909,7 +2909,8 @@ object LlmOps {
     */
   def annIndexHealth(emb0: DataFrame, path: String, growFactor: Double = 2.0,
                      cosDrop: Double = 0.05,
-                     corpusSizeHint: Option[Long] = None): AnnIndexHealth = {
+                     corpusSizeHint: Option[Long] = None,
+                     centsHint: Option[DataFrame] = None): AnnIndexHealth = {
     val spark = emb0.sparkSession
     val st = spark.read.parquet(annStatsPath(path))
       .select(col("n"), col("c"), col("mean_cos")).head()
@@ -2919,8 +2920,12 @@ object LlmOps {
     // the separate count() was a second full corpus scan (guide §2.4:
     // fuse sequential actions over the same input into one pass). The
     // assignment emits exactly one row per kmeansInput row, so the
-    // count is the same number.
-    val now = kmeansAssignAuto(emb0, readAnnIndex(spark, path))
+    // count is the same number. `centsHint` lets a caller that already
+    // holds the stored index's centroid table (ann_index_append reads it
+    // right after writing it) skip the readAnnIndex re-collect — the
+    // CALLER owns the claim that the hint equals the store's table.
+    val now = kmeansAssignAuto(emb0,
+        centsHint.getOrElse(readAnnIndex(spark, path)))
       .agg(count(lit(1)).as("n"), round6(avg(col("ccos"))).as("m")).head()
     val nNow = corpusSizeHint.getOrElse(now.getLong(0))
     val cAuto = kmeansAutoC(nNow)
@@ -5164,20 +5169,19 @@ object LlmOps {
       "embeddingPcaApplyReport expects exactly one query row")
     val k = fit.basis.length
     val d = fit.dim
-    val proj = embeddingPcaApply(corpus, fit)
-    val m = proj
-      .select(col("proj"), expr("transform(proj, v -> v * v)").as("p2"))
-      .agg(count(lit(1)).as("n"), expr("graft_vec_sum(proj)").as("s1"),
-        expr("graft_vec_sum(p2)").as("s2"))
-      .collect()(0)
-    val n = m.getLong(0)
-    val s1 = m.getSeq[Double](1).toArray
-    val s2 = m.getSeq[Double](2).toArray
-    def varJ(j: Int): Double = (s2(j) - s1(j) * s1(j) / n) / (n - 1)
-    val projVarOk = (0 until k).forall { j =>
-      math.abs(varJ(j) - fit.eigenvalues(j)) <=
-        1e-4 * math.max(fit.eigenvalues(j), 1e-12)
-    }
+    val proj0 = embeddingPcaApply(corpus, fit)
+    // r16 (guide §1.4/§2.4): the projected-moment aggregate used to be
+    // its OWN corpus pass; the projected-pool search below scans the
+    // same projection anyway (a global TakeOrdered reads every row), so
+    // the moments ride that scan as observe() metrics — one corpus pass
+    // fewer. Float-sum ordering noise is the same class the separate
+    // aggregate already had (partition-merge order), and every consumer
+    // below is a toleranced boolean.
+    val mObs = new org.apache.spark.sql.Observation()
+    val proj = proj0.observe(mObs,
+      count(lit(1)).as("n"),
+      expr("graft_vec_sum(proj)").as("s1"),
+      expr("graft_vec_sum(transform(proj, v -> v * v))").as("s2"))
     val orthoOk = (0 until k).forall { a =>
       (a until k).forall { b =>
         val dotAB = (0 until d).map(i => fit.basis(a)(i) * fit.basis(b)(i)).sum
@@ -5204,6 +5208,17 @@ object LlmOps {
       .orderBy(col("cos").desc, col("vec_id")).limit(overfetch)
       .collect().map(_.getLong(0))
     val trueIds = Await.result(trueIdsF, Duration.Inf)
+    // metrics are complete once the pool collect (the observed plan's
+    // action) returned
+    val m = mObs.get
+    val n = m("n").asInstanceOf[Long]
+    val s1 = m("s1").asInstanceOf[scala.collection.Seq[Double]].toArray
+    val s2 = m("s2").asInstanceOf[scala.collection.Seq[Double]].toArray
+    def varJ(j: Int): Double = (s2(j) - s1(j) * s1(j) / n) / (n - 1)
+    val projVarOk = (0 until k).forall { j =>
+      math.abs(varJ(j) - fit.eigenvalues(j)) <=
+        1e-4 * math.max(fit.eigenvalues(j), 1e-12)
+    }
     // exact full-dim rescore of the bounded candidate pool
     val rescored = cosineTopK(
       corpus.filter(col("vec_id").isin(poolIds.map(x => x: Any): _*)),

@@ -1319,7 +1319,9 @@ object LlmQueries {
         if (LlmOps.kmeansAutoC(st.getLong(0)) > 2.0 * st.getInt(1)) "size"
         else "fresh"
       LlmOps.appendAnnAssignments(delta, cents, store)
-      val hPost = LlmOps.annIndexHealth(corpus, cent)
+      // centsHint: `cents` IS the stored table (read back from the store
+      // four lines up) — the health check skips a second collect (r16)
+      val hPost = LlmOps.annIndexHealth(corpus, cent, centsHint = Some(cents))
       LlmOps.annAssignedSearch(s, store, cents,
           e.filter(col("vec_id") === 0), nprobe = 2, k = 10)
         .withColumn("reason_pre", lit(reasonPre))
